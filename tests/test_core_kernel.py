@@ -1,0 +1,254 @@
+"""Unit tests for the pure-Python kernel (SURVEY.md §5.2 item 3).
+
+No Spark here — these pin the semantics the Spark layer vectorizes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from textextraction_spark.core.boilerplate import extract_html
+from textextraction_spark.core.dategrammar import find_first_date, recognize_date
+from textextraction_spark.core.extract import extract_document
+from textextraction_spark.core.gazetteer import find_org, find_person
+from textextraction_spark.core.model import rect_to_pdf_points
+from textextraction_spark.core.pdfblocks import parse_pdf
+from textextraction_spark.core.spans import extract_spans
+from textextraction_spark.core.textfilter import remove_special_characters
+
+
+# ---------------------------------------------------------------- P1 filter
+class TestFilter:
+    def test_keeps_allowed_set(self):
+        s = "ab(#-@&$:/.,|)cd 12_3"
+        assert remove_special_characters(s) == s
+
+    def test_strips_specials_and_rtrims(self):
+        assert remove_special_characters("a*b!c?  ") == "abc"
+        assert remove_special_characters("x%^=+[]{}y") == "xy"
+
+    def test_preserves_leading_ws(self):
+        assert remove_special_characters("  a! ") == "  a"
+
+
+# ------------------------------------------------------------- date grammar
+class TestDateGrammar:
+    @pytest.mark.parametrize(
+        "text,expect",
+        [
+            ("DOB 01/02/1980", "01/02/1980"),
+            ("x 9/5/2021 y", "9/5/2021"),
+            ("12-31-1999", "12-31-1999"),
+            ("Date of Birth: March 5, 1975 ok", "March 5, 1975"),
+            ("JAN 02, 2020", "JAN 02, 2020"),
+            ("due 13/01/2020", ""),  # 13 invalid month; \b blocks partial match
+            ("no date here", ""),
+            ("v1.2 released 2020", ""),
+        ],
+    )
+    def test_cases(self, text, expect):
+        assert recognize_date(text) == expect
+
+    def test_first_match_wins(self):
+        got = find_first_date("a 01/01/2001 b 02/02/2002")
+        assert got is not None and got[0] == "01/01/2001"
+
+
+# ---------------------------------------------------------------- gazetteer
+class TestGazetteer:
+    def test_person_and_boundaries(self):
+        assert find_person("PATIENT NAME: JAMES SMITH JR")[0] == "JAMES SMITH"
+        assert find_person("XJAMES SMITH") is None or find_person("XJAMES SMITH")[0] != "JAMES SMITH"
+
+    def test_golden_vendors(self):
+        for v in ("J.J. MARIN, LLC", "COMFREIGHT HAULPAY", "RTS FINANCIAL SERVICE, INC"):
+            assert find_org(f"FROM {v} THANKS")[0] == v
+
+
+# ------------------------------------------------------------- boilerplate
+SHELL = """<html><head><title>T</title><script>junk()</script></head><body>
+<nav><a href=/>A</a> <a href=/b>B</a> <a href=/c>C</a></nav>
+<div><ul><li><a href=/1>ad</a></li><li><a href=/2>ad</a></li></ul></div>
+{main}
+<footer><a href=/x>x</a> <a href=/y>y</a> <a href=/z>z</a></footer>
+</body></html>"""
+
+SHELL2 = """<html><body><header><a href=/>H</a> <a href=/2>H2</a> <a href=/3>H3</a></header>
+<aside>side <a href=/s>links</a> <a href=/t>here</a> <a href=/u>now</a></aside>
+<main>{main}</main></body></html>"""
+
+
+class TestBoilerplate:
+    def test_strips_shell_keeps_main(self):
+        doc = extract_html(SHELL.format(main="<p>alpha beta gamma</p>").encode())
+        assert doc.text() == "alpha beta gamma"
+
+    def test_shell_invariance(self):
+        """FIXTURES.md §4 invariant 4: different shell, same main content,
+        identical extracted text."""
+        main = "<p>one two three</p><p>four five six</p>"
+        a = extract_html(SHELL.format(main=main).encode()).text()
+        b = extract_html(SHELL2.format(main=main).encode()).text()
+        assert a == b == "one two three\nfour five six"
+
+    def test_link_farm_div_dropped(self):
+        html = SHELL.format(
+            main="<p>real content words here</p>"
+            '<div><a href=/1>buy</a> <a href=/2>now</a> <a href=/3>cheap</a></div>'
+        )
+        assert extract_html(html.encode()).text() == "real content words here"
+
+    def test_malformed_unclosed(self):
+        doc = extract_html(b"<html><body><p>unclosed paragraph text")
+        assert doc.text() == "unclosed paragraph text"
+
+    def test_empty_body(self):
+        assert extract_html(b"<html><body></body></html>").text() == ""
+
+    def test_non_utf8_latin1(self):
+        doc = extract_html("<p>caf\xe9 m\xfcnchen</p>".encode("latin-1"))
+        assert doc.text() == "caf\xe9 m\xfcnchen"
+
+    def test_confidence_ratio(self):
+        doc = extract_html(SHELL.format(main="<p>w1 w2 w3 w4</p>").encode())
+        assert 0.0 < doc.confidence < 1.0
+
+    def test_offsets_and_words(self):
+        doc = extract_html(b"<p>aa bb</p><p>cc</p>")
+        t = doc.text()
+        for ln in doc.lines:
+            assert t[ln.start : ln.end] == ln.text
+            for w in ln.words:
+                assert t[w.start : w.end] == w.text
+
+
+# --------------------------------------------------------------- PDF blocks
+class TestPdf:
+    def _pdf(self, blocks):
+        body = "".join(f"BT {x} {y} Td ({t}) Tj ET\n" for x, y, t in blocks)
+        return f"%PDF-1.4\n1 0 obj\nstream\n{body}endstream\n%%EOF".encode()
+
+    def test_reading_order_sort(self):
+        data = self._pdf([(50, 100, "bottom"), (300, 700, "top right"), (50, 700, "top left")])
+        doc = parse_pdf(data)
+        assert doc.text() == "top left\ntop right\nbottom"
+
+    def test_multi_page(self):
+        p1 = "BT 10 700 Td (page one) Tj ET\n"
+        p2 = "BT 10 700 Td (page two) Tj ET\n"
+        data = f"%PDF-1.4\n{p1}%%PageBreak\n{p2}%%EOF".encode()
+        doc = parse_pdf(data)
+        assert [p.page_no for p in doc.pages] == [1, 2]
+        assert doc.text() == "page one\npage two"
+
+    def test_rect_emitted(self):
+        doc = parse_pdf(self._pdf([(100, 200, "hello")]))
+        spanstr = rect_to_pdf_points(doc.lines[0].bbox)
+        assert spanstr.startswith("24.00,48.00,")
+
+
+# ------------------------------------------------------------ span extract
+class TestSpans:
+    def _doc(self, *lines):
+        html = "".join(f"<p>{ln}</p>" for ln in lines)
+        return extract_html(html.encode())
+
+    def test_invoice_fields_first_match_wins(self):
+        doc = self._doc(
+            "INVOICE 4329",
+            "INVOICE DATE 09/23/2020",
+            "DUE DATE 10/01/2030",
+            "LOAD REF48215X",
+            "TOTAL $1,250.00",
+            "INVOICE 9999",  # later duplicate must lose
+            "TOTAL $9.99",
+        )
+        spans = {s.field: s for s in extract_spans(doc)}
+        assert spans["invoice.number"].text == "4329"
+        assert spans["invoice.date"].text == "09/23/2020"
+        assert spans["invoice.order_number"].text == "REF48215X"
+        assert spans["invoice.total"].text == "$1,250.00"
+
+    def test_due_date_not_invoice_date(self):
+        doc = self._doc("DUE DATE 10/01/2030")
+        assert "invoice.date" not in {s.field for s in extract_spans(doc)}
+
+    def test_rate_amount(self):
+        doc = self._doc("RATE $980")
+        spans = {s.field: s for s in extract_spans(doc)}
+        assert spans["invoice.total"].text == "$980"
+
+    def test_balance_due_amount(self):
+        doc = self._doc("BALANCE DUE $12,345.67")
+        spans = {s.field: s for s in extract_spans(doc)}
+        assert spans["invoice.total"].text == "$12,345.67"
+
+    def test_medical_gate_blocks_ungated_person(self):
+        """A person on a line without a patient key must NOT extract
+        (the gate at Worker.cs:220 is part of the semantics)."""
+        doc = self._doc("CONTACT JAMES SMITH TODAY")
+        assert "patient.name" not in {s.field for s in extract_spans(doc)}
+
+    def test_medical_fields(self):
+        doc = self._doc(
+            "CONTACT MARY JONES TODAY",  # decoy: no key
+            "Patient Name: JAMES SMITH",
+            "DOB 01/02/1980",
+        )
+        spans = {s.field: s for s in extract_spans(doc)}
+        assert spans["patient.name"].text == "JAMES SMITH"
+        assert spans["patient.birth_date"].text == "01/02/1980"
+
+    def test_span_offsets_valid(self):
+        doc = self._doc("filler words", "INVOICE 77", "TOTAL $5.00")
+        text = doc.text()
+        for s in extract_spans(doc):
+            assert text[s.start : s.end] == s.text
+
+    def test_invoice_number_not_matched_by_invoice_date_line(self):
+        doc = self._doc("INVOICE DATE 09/23/2020")
+        spans = {s.field: s for s in extract_spans(doc)}
+        assert "invoice.number" not in spans  # \W+ can't cross "DATE"
+        assert spans["invoice.date"].text == "09/23/2020"
+
+
+# -------------------------------------------------------- property tests
+WORDS = st.lists(
+    st.text(alphabet="abcdefghij", min_size=1, max_size=8), min_size=1, max_size=30
+)
+
+
+class TestProperties:
+    @given(WORDS)
+    @settings(max_examples=50, deadline=None)
+    def test_shell_injection_invariance(self, words):
+        main = "<p>" + " ".join(words) + "</p>"
+        a = extract_html(SHELL.format(main=main).encode()).text()
+        b = extract_html(SHELL2.format(main=main).encode()).text()
+        assert a == b == " ".join(words)
+
+    @given(WORDS)
+    @settings(max_examples=50, deadline=None)
+    def test_idempotence(self, words):
+        """extract(wrap(extract(x))) is stable (SURVEY.md §5.2 item 4)."""
+        main = "<p>" + " ".join(words) + "</p>"
+        t1 = extract_html(SHELL.format(main=main).encode()).text()
+        t2 = extract_html(f"<p>{t1}</p>".encode()).text()
+        assert t1 == t2
+
+    @given(st.binary(max_size=400))
+    @settings(max_examples=50, deadline=None)
+    def test_never_raises(self, data):
+        r = extract_document(data)
+        assert r.error == "" or r.extracted_text == ""
+
+    @given(WORDS)
+    @settings(max_examples=30, deadline=None)
+    def test_offsets_always_valid(self, words):
+        main = "".join(f"<p>{w}</p>" for w in words)
+        doc = extract_html(main.encode())
+        t = doc.text()
+        for ln in doc.lines:
+            assert t[ln.start : ln.end] == ln.text

@@ -1,0 +1,76 @@
+"""Document-level extraction: bytes in -> (text, spans, confidence) out.
+
+The per-document orchestration the reference spreads over ``RunOcr`` +
+``ExtractMedicalData`` + ``ExtractInvoiceData`` (``Worker.cs:96-200,
+201-281, 282-457``), as one pure function.  Routing mirrors the reference's
+single input kind becoming two here: ``%PDF``-sniffed bytes take the layout
+block path, everything else the HTML DOM path.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from textextraction_spark.core.boilerplate import extract_html
+from textextraction_spark.core.model import Doc, Span
+from textextraction_spark.core.pdfblocks import is_pdf, parse_pdf
+from textextraction_spark.core.spans import extract_spans
+
+
+@dataclass
+class ExtractResult:
+    extracted_text: str
+    spans: list[Span]
+    confidence: float
+    is_pdf: bool
+    n_lines: int
+    error: str = ""
+    doc: Doc | None = field(default=None, repr=False)
+
+    def doc_json(self) -> str:
+        """Deterministic JSON of the page tree — the ``OCRText`` column
+        analog (``Worker.cs:271``).  Key order pinned by json.dumps
+        sort_keys for byte-identity (SURVEY.md §2.8 F10)."""
+        d = self.doc
+        tree = [
+            {
+                "page": p.page_no,
+                "lines": [
+                    {
+                        "line": ln.line_no,
+                        "text": ln.text,
+                        "start": ln.start,
+                        "end": ln.end,
+                        "words": [[w.text, w.start, w.end] for w in ln.words],
+                    }
+                    for ln in p.lines
+                ],
+            }
+            for p in (d.pages if d else [])
+        ]
+        return json.dumps(tree, sort_keys=True, separators=(",", ":"))
+
+
+def extract_document(data: bytes) -> ExtractResult:
+    """Pure function of the document bytes (north_rule determinism)."""
+    try:
+        doc = parse_pdf(data) if is_pdf(data) else extract_html(data)
+        spans = extract_spans(doc)
+        return ExtractResult(
+            extracted_text=doc.text(),
+            spans=spans,
+            confidence=doc.confidence,
+            is_pdf=doc.is_pdf,
+            n_lines=len(doc.lines),
+            doc=doc,
+        )
+    except Exception as e:  # never kill a batch on one bad document
+        return ExtractResult(
+            extracted_text="",
+            spans=[],
+            confidence=0.0,
+            is_pdf=False,
+            n_lines=0,
+            error=f"{type(e).__name__}: {e}",
+        )

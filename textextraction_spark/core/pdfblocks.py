@@ -1,0 +1,96 @@
+"""PDF path — layout-aware block extraction (SURVEY.md §2.1 S2/S3).
+
+The reference rasterizes PDFs at 300 DPI (``Pdf-To-ImageStream/
+Convert.cs:9-34``) and OCRs each page back into a block tree
+(``Worker.cs:144-200``).  We skip the raster/OCR round-trip entirely: the
+``html:binary`` column carries the PDF bytes and we parse the text content
+streams directly — page -> text block (``BT .. ET``) -> reading-order sort
+(top-to-bottom, then left-to-right), mirroring the reference's
+page -> block -> line traversal order.
+
+Scope: minimal *uncompressed* PDF 1.4 subset (the fixture format per
+FIXTURES.md §2.4): per page one content stream, blocks of the form
+
+    BT x y Td (text) Tj ET
+
+Coordinates are PDF user-space-ish integer "pixels"; origin bottom-left, so
+reading order = y DESCENDING, then x ascending.  Anything outside this
+subset yields an empty Doc with an error recorded by the caller (real-world
+compressed PDFs would need a decode library not present in this image).
+"""
+
+from __future__ import annotations
+
+import re
+
+from textextraction_spark.core.model import Doc, Line, Page, build_words
+
+PDF_MAGIC = b"%PDF"
+
+_PAGE_SPLIT = re.compile(rb"%%PageBreak")
+_BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
+_TD = re.compile(rb"(-?\d+)\s+(-?\d+)\s+Td")
+_TJ = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+
+
+def is_pdf(data: bytes) -> bool:
+    return data[:4] == PDF_MAGIC
+
+
+def _unescape(raw: bytes) -> str:
+    return (
+        raw.replace(rb"\(", b"(")
+        .replace(rb"\)", b")")
+        .replace(rb"\\", b"\\")
+        .decode("latin-1")
+    )
+
+
+def parse_pdf(data: bytes) -> Doc:
+    """PDF bytes -> Doc with reading-order-sorted lines per page."""
+    pages: list[Page] = []
+    offset = 0
+    body_parts = _PAGE_SPLIT.split(data)
+    page_no = 0
+    for part in body_parts:
+        blocks: list[tuple[int, int, str]] = []  # (x, y, text)
+        for seg in _BT_ET.finditer(part):
+            body = seg.group(1)
+            td = _TD.search(body)
+            x, y = (int(td.group(1)), int(td.group(2))) if td else (0, 0)
+            texts = [_unescape(m.group(1)) for m in _TJ.finditer(body)]
+            text = " ".join(t for t in texts if t).strip()
+            if text:
+                blocks.append((x, y, text))
+        if not blocks:
+            continue
+        page_no += 1
+        # Reading order: top-to-bottom (y descending — PDF origin is
+        # bottom-left), then left-to-right.
+        blocks.sort(key=lambda b: (-b[1], b[0]))
+        lines: list[Line] = []
+        for i, (x, y, text) in enumerate(blocks):
+            start = offset
+            end = start + len(text)
+            # Synthetic pixel bbox: block origin + 8px/char x 16px line.
+            bbox = (x, y, x + 8 * len(text), y + 16)
+            lines.append(
+                Line(
+                    page=page_no,
+                    line_no=i + 1,
+                    text=text,
+                    start=start,
+                    end=end,
+                    words=build_words(text, start),
+                    bbox=bbox,
+                )
+            )
+            offset = end + 1
+        pages.append(Page(page_no=page_no, lines=lines))
+
+    # Confidence: parse coverage — fraction of BT..ET segments that yielded
+    # text (1.0 for well-formed fixtures), analog of mean OCR confidence.
+    n_segs = len(_BT_ET.findall(data))
+    n_lines = sum(len(p.lines) for p in pages)
+    conf = (n_lines / n_segs) if n_segs else 0.0
+    return Doc(pages=pages, confidence=conf, is_pdf=True)
