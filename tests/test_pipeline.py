@@ -1,0 +1,165 @@
+"""Spark-layer tests: pages builder, extraction kernel, checkpoint resume,
+parallelism invariance (SURVEY.md §5.2 items 1, 3, 5)."""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+from textextraction_spark.io.checkpoint import CheckpointCatalog
+from textextraction_spark.job.extract import extract_pages
+from textextraction_spark.plans.pipeline import JobConfig, run_extraction_job
+from textextraction_spark.plans.skew import host_frequencies, salt_plan, salted_repartition
+from textextraction_spark.sources.pages import URL_SQL, build_pages, expected_text_sql
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return build_pages(spark, SF)
+
+
+def oracle_df():
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{SF}/documents.parquet')"
+    )
+    return con.execute(
+        f"select {URL_SQL} as url, {expected_text_sql('duckdb')} as extracted_text "
+        "from documents"
+    ).df()
+
+
+class TestPagesBuilder:
+    def test_schema_and_counts(self, pages):
+        assert [f.name for f in pages.schema.fields] == [
+            "url", "warc_ts", "html", "text", "lang",
+        ]
+        assert pages.count() == 500
+
+    def test_heavy_host_skew_present(self, pages):
+        """FIXTURES.md §1: one host owns ~30% of rows."""
+        top = host_frequencies(pages).first()
+        assert top["host"] == "heavy.example.com"
+        assert 0.25 <= top["count"] / 500 <= 0.35
+
+
+class TestExtraction:
+    def test_byte_identical_vs_oracle(self, spark, pages):
+        """THE north-rule invariant at Spark level: every url's
+        extracted_text matches the DuckDB-computed expected bytes."""
+        got = extract_pages(pages).select("url", "extracted_text").toPandas()
+        want = oracle_df()
+        m = got.merge(want, on="url", suffixes=("_g", "_w"), how="outer")
+        assert len(m) == 500
+        bad = m[m.extracted_text_g != m.extracted_text_w]
+        assert len(bad) == 0, bad.head()
+
+    def test_no_errors_and_confidence(self, spark, pages):
+        import pyspark.sql.functions as F
+
+        res = extract_pages(pages)
+        assert res.filter(F.col("error") != "").count() == 0
+        # plain docs keep main content only -> confidence in (0, 1]
+        assert res.filter((F.col("confidence") <= 0) & (F.col("n_lines") > 0)).count() == 0
+
+    def test_spans_offsets_validate_distributed(self, spark, pages):
+        """extracted_text[start:end] == span.text for every span, checked
+        with a relational expression (no collect of full data)."""
+        import pyspark.sql.functions as F
+
+        res = extract_pages(pages).select("url", "extracted_text", F.explode("spans").alias("s"))
+        bad = res.filter(
+            F.expr("substring(extracted_text, s.start + 1, s.end - s.start)") != F.col("s.text")
+        )
+        assert bad.count() == 0
+
+    def test_parallelism_invariance(self, pages, spark):
+        """Same bytes at 1 and 8 partitions (north_rule: identical output
+        at every parallelism)."""
+        a = (
+            extract_pages(salted_repartition(pages, 1))
+            .select("url", "extracted_text")
+            .toPandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        b = (
+            extract_pages(salted_repartition(pages, 8))
+            .select("url", "extracted_text")
+            .toPandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+
+class TestSkew:
+    def test_salt_plan_targets_heavy_host(self, pages):
+        plan = salt_plan(pages, rows_per_task=50)
+        assert "heavy.example.com" in plan
+        assert plan["heavy.example.com"] >= 2
+
+    def test_salted_partitions_bounded(self, spark, pages):
+        """With host+salt keys, no partition holds the whole heavy host."""
+        import pyspark.sql.functions as F
+
+        plan = salt_plan(pages, rows_per_task=50)
+        dist = salted_repartition(pages, 16, plan)
+        sizes = (
+            dist.select(F.spark_partition_id().alias("p"))
+            .groupBy("p")
+            .count()
+            .toPandas()["count"]
+        )
+        assert sizes.max() < 150  # heavy host (~150 rows) must be split
+
+
+class TestCheckpointResume:
+    def test_exactly_once_resume(self, spark, pages, tmp_path):
+        """Kill-after-partial-commit: first run commits half the urls; the
+        resumed run processes ONLY the rest; union is complete & duplicate
+        free; bytes identical to a clean one-shot run."""
+        root = str(tmp_path / "ckpt")
+        half = pages.limit(250)
+
+        cfg1 = JobConfig(checkpoint_root=root, batch_id="b1", num_partitions=4)
+        run_extraction_job(spark, half, cfg1)
+
+        cat = CheckpointCatalog(root)
+        assert cat.committed_batches() == ["b1"]
+        assert cat.committed_urls(spark).count() == 250
+
+        cfg2 = JobConfig(checkpoint_root=root, batch_id="b2", num_partitions=4)
+        run_extraction_job(spark, pages, cfg2)
+
+        all_res = cat.results(spark)
+        assert all_res.count() == 500
+        assert all_res.select("url").distinct().count() == 500
+        # batch 2 only contains urls batch 1 didn't commit
+        b2 = spark.read.parquet(str(cat.results_dir / "b2"))
+        assert b2.count() == 250
+
+        got = all_res.select("url", "extracted_text").toPandas()
+        want = oracle_df()
+        m = got.merge(want, on="url", suffixes=("_g", "_w"))
+        assert (m.extracted_text_g == m.extracted_text_w).all()
+
+    def test_uncommitted_batch_invisible(self, spark, pages, tmp_path):
+        """Results written but marker missing => invisible to readers."""
+        root = str(tmp_path / "ckpt2")
+        cat = CheckpointCatalog(root)
+        extract_pages(pages.limit(10)).write.parquet(str(cat.results_dir / "dead"))
+        assert cat.committed_batches() == []
+        assert cat.committed_urls(spark).count() == 0
+
+    def test_metrics_lineage(self, spark, pages, tmp_path):
+        root = str(tmp_path / "ckpt3")
+        cfg = JobConfig(checkpoint_root=root, batch_id="m1", num_partitions=4)
+        metrics = run_extraction_job(spark, pages.limit(100), cfg).toPandas()
+        assert metrics["n_docs"].sum() == 100
+        assert (metrics["n_err"] == 0).all()
+        assert metrics["bytes_in"].sum() > 0

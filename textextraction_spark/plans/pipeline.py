@@ -1,0 +1,82 @@
+"""The end-to-end extraction job (SURVEY.md §3.2-3.3 Spark equivalents).
+
+    read pages -> project(url, warc_ts, html)        [column pruning at scan]
+      -> anti-join committed urls                    [resume, K3]
+      -> salted repartition                          [skew, §4.2]
+      -> mapInPandas extract                         [the kernel]
+      -> + lineage columns (part_id, batch_id)
+      -> write results + commit checkpoint           [exactly-once]
+      -> per-partition metrics                       [lineage, A3]
+
+Every stage is declarative except the kernel; the only shuffle in the whole
+job is the explicit repartition (verified by tests/test_plans.py reading
+the physical plan).  At 100 TB the same plan holds: the scan prunes
+columns/partitions, the anti-join broadcasts the (small) committed-url set
+or shuffles hash-to-hash, and extraction parallelism = num_partitions,
+sized ~2-4x executor cores.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from textextraction_spark.io.checkpoint import CheckpointCatalog
+from textextraction_spark.job.extract import extract_pages
+from textextraction_spark.plans.skew import salt_plan, salted_repartition
+
+
+@dataclass
+class JobConfig:
+    checkpoint_root: str
+    batch_id: str
+    num_partitions: int = 32
+    arrow_max_records: int = 512  # html rows can be MBs — cap batch size
+    diagnose_skew: bool = False  # host-freq pre-pass (off: uniform url hash)
+    rows_per_task: int = 50_000
+
+
+def run_extraction_job(spark, pages_df, cfg: JobConfig):
+    """Run one extraction batch; returns the per-partition metrics rows.
+
+    Idempotent: re-running with the same batch_id (or after a crash)
+    re-extracts only uncommitted urls and commits atomically.
+    """
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_max_records)
+    )
+    catalog = CheckpointCatalog(cfg.checkpoint_root)
+
+    pending = catalog.pending(pages_df.select("url", "warc_ts", "html"), spark)
+    plan = (
+        salt_plan(pending, cfg.rows_per_task) if cfg.diagnose_skew else None
+    )
+    distributed = salted_repartition(pending, cfg.num_partitions, plan)
+
+    extracted = extract_pages(distributed).select(
+        "*",
+        F.spark_partition_id().alias("part_id"),
+        F.lit(cfg.batch_id).alias("batch_id"),
+    )
+
+    catalog.write_batch(extracted, cfg.batch_id)
+
+    # Lineage metrics per partition (A3 analog: the reference logs only a
+    # doc count, Worker.cs:98; we record count/ok/err/bytes per task).
+    results = spark.read.parquet(str(catalog.results_dir / cfg.batch_id))
+    metrics = (
+        results.groupBy("part_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("error") == "", 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(F.col("error") != "", 1).otherwise(0)).alias("n_err"),
+            F.sum("n_bytes").alias("bytes_in"),
+            F.avg("confidence").alias("avg_confidence"),
+        )
+        .orderBy("part_id")
+    )
+    metrics.write.mode("overwrite").parquet(
+        str(catalog.root / "metrics" / cfg.batch_id)
+    )
+    return metrics

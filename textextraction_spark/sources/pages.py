@@ -1,0 +1,244 @@
+"""Deterministic Common-Crawl-style ``pages`` table (BASELINE.json input_hint).
+
+Builds the job's input table
+
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+from the driver's ``documents`` parquet, entirely as a function of
+``(doc_id, text, lang)`` — seed-free, wall-clock-free, so Spark and the
+DuckDB oracle can both reconstruct every byte (FIXTURES.md §1-2).
+
+Document families by ``doc_id % 20`` (FIXTURES.md §2):
+
+    0      pdf      — minimal uncompressed PDF 1.4, 2 out-of-order blocks
+    1-6    invoice  — field lines A..F (+ doc_id%20==1: later duplicates,
+                      asserting first-match-wins)
+    7-12   medical  — decoy person line (no key), patient name, DOB
+    13-18  plain    — main text only
+    19     empty    — empty <body> (edge case)
+
+One heavy host owns ~30% of urls (``doc_id % 100 < 30`` -> heavy.example.com)
+to exercise the salting path (FIXTURES.md §1, SURVEY.md §7.4.7).
+
+Every content formula exists twice: a Spark SQL expression and a DuckDB SQL
+expression (generated from the same Python constants), because the driver's
+correctness gate compares the Spark result against DuckDB running the
+oracle SQL on the same parquet.  Where the dialects agree the string is
+shared verbatim.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from textextraction_spark.core.gazetteer import (
+    FIRST_NAMES,
+    LAST_NAMES,
+    generate_org_list,
+)
+
+EPOCH_2026 = 1767225600  # 2026-01-01T00:00:00Z
+
+# --------------------------------------------------------------------------
+# Shared SQL fragments (valid in BOTH Spark SQL and DuckDB).
+# --------------------------------------------------------------------------
+
+URL_SQL = (
+    "'https://' || CASE WHEN doc_id % 100 < 30 THEN 'heavy.example.com' "
+    "ELSE 'h' || CAST(doc_id % 20 AS STRING) || '.example.com' END "
+    "|| '/d/' || CAST(doc_id AS STRING)"
+)
+
+INV_NUM_SQL = "CAST(4000 + doc_id % 1000 AS STRING)"
+
+INV_DATE_SQL = (
+    "lpad(CAST(1 + doc_id % 12 AS STRING), 2, '0') || '/' || "
+    "lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0') || '/' || "
+    "CAST(2019 + doc_id % 6 AS STRING)"
+)
+
+MED_DATE_SQL = (
+    "lpad(CAST(1 + (doc_id + 5) % 12 AS STRING), 2, '0') || '/' || "
+    "lpad(CAST(1 + (doc_id + 11) % 28 AS STRING), 2, '0') || '/' || "
+    "CAST(1950 + doc_id % 50 AS STRING)"
+)
+
+ORDER_NUM_SQL = "'REF' || CAST(doc_id AS STRING) || 'X'"
+
+TOTAL_SQL = (
+    "'$' || CAST(1 + doc_id % 9 AS STRING) || ',' || "
+    "lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '.00'"
+)
+
+
+def _sql_str_array(items: list[str], engine: str, index_sql: str) -> str:
+    """1-based indexed lookup into a string list, per engine dialect."""
+    lits = ", ".join("'" + s.replace("'", "''") + "'" for s in items)
+    if engine == "spark":
+        return f"element_at(array({lits}), CAST(({index_sql}) AS INT) + 1)"
+    return f"(list_value({lits}))[CAST(({index_sql}) AS INT) + 1]"
+
+
+def vendor_sql(engine: str) -> str:
+    return _sql_str_array(generate_org_list(), engine, "doc_id % 103")
+
+
+def person_sql(engine: str, offset: int = 0) -> str:
+    """FIRST[(doc_id+o) % 16] || ' ' || LAST[floor((doc_id+o)/16) % 16]."""
+    first = _sql_str_array(FIRST_NAMES, engine, f"(doc_id + {offset}) % 16")
+    last = _sql_str_array(
+        LAST_NAMES, engine, f"CAST(floor((doc_id + {offset}) / 16) AS INT) % 16"
+    )
+    return f"{first} || ' ' || {last}"
+
+
+def pdf_text_sql(engine: str) -> str:
+    """Expected extracted text of a pdf-family doc: first 10 words, newline,
+    remainder (single block when <= 10 words)."""
+    if engine == "spark":
+        words = "split(text, ' ')"
+        return (
+            f"CASE WHEN size({words}) <= 10 THEN text "
+            f"ELSE array_join(slice({words}, 1, 10), ' ') || chr(10) || "
+            f"array_join(slice({words}, 11, 1000000), ' ') END"
+        )
+    words = "str_split(text, ' ')"
+    return (
+        f"CASE WHEN len({words}) <= 10 THEN text "
+        f"ELSE array_to_string(list_slice({words}, 1, 10), ' ') || chr(10) || "
+        f"array_to_string(list_slice({words}, 11, len({words})), ' ') END"
+    )
+
+
+def invoice_lines_sql() -> str:
+    """Lines A..F appended to an invoice doc's main text (dialect-shared)."""
+    return (
+        f"'INVOICE ' || {INV_NUM_SQL} || chr(10) || "
+        f"'INVOICE DATE ' || {INV_DATE_SQL} || chr(10) || "
+        f"'DUE DATE 12/31/2030' || chr(10) || "
+        f"'LOAD ' || {ORDER_NUM_SQL} || chr(10) || "
+        f"'TOTAL ' || {TOTAL_SQL}"
+    )
+
+
+def expected_text_sql(engine: str) -> str:
+    """The oracle: expected ``extracted_text`` per doc — also the generator
+    (content html is built FROM this expression, so generator and oracle
+    cannot drift)."""
+    vendor = vendor_sql(engine)
+    person = person_sql(engine)
+    decoy = person_sql(engine, offset=7)
+    return f"""CASE
+    WHEN doc_id % 20 = 0 THEN {pdf_text_sql(engine)}
+    WHEN doc_id % 20 BETWEEN 1 AND 6 THEN
+        text || chr(10) || {invoice_lines_sql()} || chr(10) || {vendor}
+        || CASE WHEN doc_id % 20 = 1
+                THEN chr(10) || 'INVOICE 9999' || chr(10) || 'TOTAL $9.99'
+                ELSE '' END
+    WHEN doc_id % 20 BETWEEN 7 AND 12 THEN
+        text || chr(10) || 'CONTACT ' || {decoy} || ' TODAY'
+        || chr(10) || 'PATIENT NAME: ' || {person}
+        || chr(10) || 'DOB ' || {MED_DATE_SQL}
+    WHEN doc_id % 20 = 19 THEN ''
+    ELSE text
+    END"""
+
+
+# Two boilerplate shells (doc_id % 2) — high link-density nav/footer chrome
+# that MUST be stripped; no single quotes so they embed in SQL literals.
+SHELL_A_PRE = (
+    "<html><head><title>Site A</title><script>var a=1;</script></head><body>"
+    "<nav><a href=/>Home</a> <a href=/b>Blog</a> <a href=/c>Contact</a> "
+    "<a href=/d>Docs</a></nav>"
+    "<div><ul><li><a href=/x>ad one here</a></li>"
+    "<li><a href=/y>ad two now</a></li><li><a href=/z>ad three</a></li></ul></div>"
+    "<article>"
+)
+SHELL_A_POST = (
+    "</article><footer><a href=/p>privacy</a> <a href=/t>terms</a> "
+    "<a href=/s>sitemap</a> <a href=/r>rss</a></footer></body></html>"
+)
+SHELL_B_PRE = (
+    "<html><body><header><a href=/>BrandB</a> <a href=/1>One</a> "
+    "<a href=/2>Two</a> <a href=/3>Three</a></header>"
+    "<aside>more <a href=/m>links</a> <a href=/n>over</a> <a href=/o>here</a></aside>"
+    "<main>"
+)
+SHELL_B_POST = (
+    "</main><footer><a href=/a>about</a> <a href=/b>jobs</a> "
+    "<a href=/c>legal</a></footer></body></html>"
+)
+
+
+def html_str_sql(engine: str) -> str:
+    """Content html = shell(<p>-joined expected text).  Spark-side only
+    (the oracle never needs the html), but kept dialect-clean anyway."""
+    expected = expected_text_sql(engine)
+    body = f"'<p>' || replace(({expected}), chr(10), '</p><p>') || '</p>'"
+    return (
+        f"CASE WHEN doc_id % 2 = 0 "
+        f"THEN '{SHELL_A_PRE}' || {body} || '{SHELL_A_POST}' "
+        f"ELSE '{SHELL_B_PRE}' || {body} || '{SHELL_B_POST}' END"
+    )
+
+
+def warc_ts_sql(engine: str) -> str:
+    if engine == "spark":
+        return f"timestamp_seconds({EPOCH_2026} + doc_id)"
+    return f"CAST(to_timestamp({EPOCH_2026} + doc_id) AS TIMESTAMP)"
+
+
+# --------------------------------------------------------------------------
+# PDF byte synthesis (python-side; vectorized pandas UDF).
+# --------------------------------------------------------------------------
+
+
+def make_pdf_bytes(text: str) -> bytes:
+    """Two text blocks emitted OUT of reading order (remainder first at
+    y=300, head at y=700) so the extractor's sort is load-bearing."""
+    words = text.split(" ")
+    if len(words) <= 10:
+        blocks = [(72, 700, text)]
+    else:
+        head = " ".join(words[:10])
+        tail = " ".join(words[10:])
+        blocks = [(72, 300, tail), (72, 700, head)]  # stream order != reading order
+    body = "".join(f"BT {x} {y} Td ({t}) Tj ET\n" for x, y, t in blocks)
+    return f"%PDF-1.4\nstream\n{body}endstream\n%%EOF".encode("latin-1")
+
+
+def build_pages(spark, sf_dir: str, with_pdf: bool = True):
+    """documents parquet -> pages DataFrame (url, warc_ts, html, text, lang).
+
+    Pure narrow transforms (no shuffle): the plan is a parquet scan +
+    projections, so Catalyst prunes to (doc_id, text, lang) at the scan.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from textextraction_spark.job.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    html_col = F.expr(html_str_sql("spark"))
+
+    if with_pdf:
+
+        @F.pandas_udf(T.BinaryType())
+        def pdf_udf(text: pd.Series) -> pd.Series:
+            return text.map(make_pdf_bytes)
+
+        binary = F.when(
+            F.col("doc_id") % 20 == 0, pdf_udf(F.col("text"))
+        ).otherwise(F.encode(html_col, "UTF-8"))
+    else:
+        binary = F.encode(html_col, "UTF-8")
+
+    return docs.select(
+        F.expr(URL_SQL).alias("url"),
+        F.expr(warc_ts_sql("spark")).alias("warc_ts"),
+        binary.alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
