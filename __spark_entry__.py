@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship: the full extraction pipeline over sf0.001 pages.
+``queries``    — one entry per implemented operator (SURVEY.md §2 + the
+                 training-data operator suite), each (spark, sf_dir) -> DF.
+``oracle_sql`` — DuckDB-runnable ANSI SQL reconstructing each query's exact
+                 output (column names aligned; floats rounded identically).
+
+Every oracle here is a FULL value oracle — including the extraction
+pipeline itself: the pages table is generated from the documents parquet
+by deterministic formula (textextraction_spark/sources/pages.py), so DuckDB
+can recompute the byte-exact expected extracted_text per url.
 """
 
 from __future__ import annotations
@@ -15,24 +20,110 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract main content + spans from the synthetic
+    Common-Crawl-style pages table at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from textextraction_spark.job.extract import extract_pages
+    from textextraction_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, "/root/testdata/sf0.001")
+    return extract_pages(pages).select(
+        "url",
+        "warc_ts",
+        "extracted_text",
+        "confidence",
+        "n_lines",
+        "is_pdf",
+        F.size("spans").alias("n_spans"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from textextraction_spark.functions import relational as R
+    from textextraction_spark.operators import dedup as D
+    from textextraction_spark.operators import multimodal as M
+    from textextraction_spark.operators import simsearch as S
+    from textextraction_spark.operators import textstats as T
+    from textextraction_spark.plans import queries as X
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- extraction pipeline (SURVEY.md §2.1-2.3, §2.8) ---
+        "extract_html_text": X.extract_html_text,
+        "extract_pdf_text": X.extract_pdf_text,
+        "extract_confidence": X.extract_confidence,
+        "extract_invoice_fields": X.extract_invoice_fields,
+        "extract_medical_fields": X.extract_medical_fields,
+        "extract_span_offsets": X.extract_span_offsets,
+        "host_distribution": X.host_distribution,
+        # --- text analysis ---
+        "token_stats": T.token_stats,
+        "quality_score": T.quality_score,
+        "lang_id": T.lang_id,
+        "fingerprint": T.fingerprint,
+        # --- dedup ---
+        "dedup_exact": D.exact_dedup,
+        "dedup_ngram_jaccard": D.ngram_jaccard,
+        "dedup_minhash_lsh": D.minhash_lsh,
+        "dedup_simhash": D.simhash_pairs,
+        # --- similarity search ---
+        "ann_brute_force_topk": S.brute_force_topk,
+        "ann_lsh_bucket": S.lsh_bucket_ann,
+        "embedding_near_dup": S.embedding_near_dup,
+        # --- multimodal plumbing ---
+        "media_metadata": M.media_metadata,
+        # --- relational operator suite (SURVEY.md §2.3-2.7) ---
+        "p1_strip_special": R.p1_strip_special,
+        "p3_keyword_gate": R.p3_keyword_gate,
+        "a1_avg_by_group": R.a1_avg_by_group,
+        "a2_first_event_per_user": R.a2_first_event_per_user,
+        "a4_collect_per_group": R.a4_collect_per_group,
+        "w1_topk_per_group": R.w1_topk_per_group,
+        "j1_broadcast_join": R.j1_broadcast_join,
+        "j2_anti_join_resume": R.j2_anti_join_resume,
+        "s1_top_orders": R.s1_top_orders,
+        "set_except_types": R.set_except_types,
+        "q1_pricing_summary": R.q1_pricing_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from textextraction_spark.functions import relational as R
+    from textextraction_spark.operators import dedup as D
+    from textextraction_spark.operators import multimodal as M
+    from textextraction_spark.operators import simsearch as S
+    from textextraction_spark.operators import textstats as T
+    from textextraction_spark.plans import queries as X
+
+    return {
+        "extract_html_text": X.extract_html_text_oracle(),
+        "extract_pdf_text": X.extract_pdf_text_oracle(),
+        "extract_confidence": X.extract_confidence_oracle(),
+        "extract_invoice_fields": X.extract_invoice_fields_oracle(),
+        "extract_medical_fields": X.extract_medical_fields_oracle(),
+        "extract_span_offsets": X.extract_span_offsets_oracle(),
+        "host_distribution": X.host_distribution_oracle(),
+        "token_stats": T.TOKEN_STATS_ORACLE,
+        "quality_score": T.QUALITY_ORACLE,
+        "lang_id": T.LANG_ID_ORACLE,
+        "fingerprint": T.FINGERPRINT_ORACLE,
+        "dedup_exact": D.EXACT_DEDUP_ORACLE,
+        "dedup_ngram_jaccard": D.NGRAM_JACCARD_ORACLE,
+        "dedup_minhash_lsh": D.MINHASH_LSH_ORACLE,
+        "dedup_simhash": D.SIMHASH_ORACLE,
+        "ann_brute_force_topk": S.BRUTE_FORCE_ORACLE,
+        "ann_lsh_bucket": S.LSH_ANN_ORACLE,
+        "embedding_near_dup": S.EMBEDDING_NEAR_DUP_ORACLE,
+        "media_metadata": M.MEDIA_METADATA_ORACLE,
+        "p1_strip_special": R.P1_ORACLE,
+        "p3_keyword_gate": R.P3_ORACLE,
+        "a1_avg_by_group": R.A1_ORACLE,
+        "a2_first_event_per_user": R.A2_ORACLE,
+        "a4_collect_per_group": R.A4_ORACLE,
+        "w1_topk_per_group": R.W1_ORACLE,
+        "j1_broadcast_join": R.J1_ORACLE,
+        "j2_anti_join_resume": R.J2_ORACLE,
+        "s1_top_orders": R.S1_ORACLE,
+        "set_except_types": R.SET_ORACLE,
+        "q1_pricing_summary": R.Q1_ORACLE,
+    }

@@ -1,0 +1,290 @@
+"""Deduplication operators (task brief §dedup): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.  (Embedding-cosine near-dup lives in simsearch.py.)
+
+Design for 100 TB:
+- exact dedup  = hash-groupBy with partial (map-side) aggregation — one
+  shuffle keyed by content hash; survivors via min_by.
+- MinHash+LSH  = shingle -> k minhashes -> band-bucket equi-join.  The
+  candidate join is an equi-join on (band, hash), i.e. shuffle-hash — the
+  classic way to avoid the O(n^2) pair space.
+- SimHash      = per-word hashes -> 16 signed bit sums (partial agg) ->
+  64.. well, 16-bit signature; near-dup = bit_count(xor) <= r.
+- n-gram Jaccard = candidate pairs restricted by a shared-shingle join,
+  never a cross join.
+
+Every hash is md5-derived (``conv(substr(md5(x),1,8),16,10)``) — identical
+in Spark and DuckDB, so the oracles reproduce exact values, accidental
+collisions included.
+
+Since the driver's corpus has no real duplicates, each operator runs over
+``variants``: docs with doc_id < 150 unioned with a deterministic
+near-duplicate copy (vid = doc_id + 1000, text || ' extra token added'),
+so dedup output is non-trivial and formula-reconstructable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+MUTATION = " extra token added"
+N_BASE = 150
+COPY_OFFSET = 1000
+N_HASHES = 4  # minhash band count (1 row per band)
+SIM_BITS = 16
+
+# md5 -> 32-bit int, per dialect (same value!).
+H_SPARK = "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
+H_DUCK = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+VARIANTS_DUCK = f"""
+  SELECT doc_id AS vid, text FROM documents WHERE doc_id < {N_BASE}
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET} AS vid, text || '{MUTATION}' AS text
+  FROM documents WHERE doc_id < {N_BASE}
+"""
+
+
+def variants(spark, sf_dir: str):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < N_BASE
+    )
+    orig = d.select(F.col("doc_id").alias("vid"), "text")
+    copy = d.select(
+        (F.col("doc_id") + COPY_OFFSET).alias("vid"),
+        F.concat(F.col("text"), F.lit(MUTATION)).alias("text"),
+    )
+    return orig.unionByName(copy)
+
+
+# ------------------------------------------------------------ exact dedup
+def exact_dedup(spark, sf_dir: str):
+    """Hash-groupBy exact dedup over variants + exact copies: groups by
+    full-content md5, keeps the smallest vid as survivor.  Adds a second
+    exact copy of each base doc (vid + 2000) so groups have size 2."""
+    v = variants(spark, sf_dir)
+    extra = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < N_BASE)
+        .select((F.col("doc_id") + 2 * COPY_OFFSET).alias("vid"), "text")
+    )
+    allv = v.unionByName(extra)
+    return (
+        allv.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("vid").cast("bigint").alias("survivor_vid"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+EXACT_DEDUP_ORACLE = f"""
+WITH allv AS (
+  {VARIANTS_DUCK}
+  UNION ALL
+  SELECT doc_id + {2 * COPY_OFFSET} AS vid, text
+  FROM documents WHERE doc_id < {N_BASE}
+)
+SELECT md5(text) AS content_hash,
+       count(*)::BIGINT AS n_copies,
+       min(vid)::BIGINT AS survivor_vid
+FROM allv GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+# --------------------------------------------------- shingles (shared CTE)
+def _shingles_df(v):
+    """vid -> distinct word-3-gram shingles."""
+    return v.select(
+        "vid",
+        F.explode(
+            F.expr(
+                "case when size(split(text,' ')) < 3 then array(text) "
+                "else transform(sequence(1, size(split(text,' ')) - 2), "
+                "i -> array_join(slice(split(text,' '), i, 3), ' ')) end"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+SHINGLES_DUCK = f"""
+  SELECT DISTINCT vid, shingle FROM (
+    SELECT vid,
+           unnest(CASE WHEN len(str_split(text,' ')) < 3 THEN [text]
+                  ELSE list_transform(range(1, len(str_split(text,' ')) - 1),
+                       i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' '))
+                  END) AS shingle
+    FROM variants
+  )
+"""
+
+
+# ------------------------------------------------------ n-gram Jaccard
+def ngram_jaccard(spark, sf_dir: str):
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.5.  Pair space is
+    bounded by the shared-shingle equi-join (never cross-join)."""
+    sh = _shingles_df(variants(spark, sf_dir)).cache()
+    sizes = sh.groupBy("vid").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .groupBy(F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("vid", "vid_a").withColumnRenamed("n_sh", "na"), "vid_a")
+        .join(sizes.withColumnRenamed("vid", "vid_b").withColumnRenamed("n_sh", "nb"), "vid_b")
+        .select(
+            "vid_a",
+            "vid_b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH variants AS ({VARIANTS_DUCK}),
+sh AS ({SHINGLES_DUCK}),
+sizes AS (SELECT vid, count(*) AS n_sh FROM sh GROUP BY vid),
+inter AS (
+  SELECT a.vid AS vid_a, b.vid AS vid_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.vid < b.vid
+  GROUP BY a.vid, b.vid
+)
+SELECT vid_a, vid_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.vid = vid_a
+JOIN sizes sb ON sb.vid = vid_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+"""
+
+
+# ---------------------------------------------------------- MinHash + LSH
+def minhash_lsh(spark, sf_dir: str):
+    """shingle -> 4 md5-family minhashes -> 1-row bands -> bucket join ->
+    candidates verified by exact Jaccard >= 0.5."""
+    sh = _shingles_df(variants(spark, sf_dir)).cache()
+    bands = spark.range(N_HASHES).select(F.col("id").cast("int").alias("j"))
+    sig = (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("vid", "j")
+        .agg(
+            F.min(F.expr(H_SPARK.format(x="concat(j, ':', shingle)"))).alias("h")
+        )
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, (F.col("a.j") == F.col("b.j")) & (F.col("a.h") == F.col("b.h")))
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .groupBy(F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b"))
+        .agg(F.count("*").cast("bigint").alias("n_bands"))
+    )
+    sizes = sh.groupBy("vid").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), F.col("x.shingle") == F.col("y.shingle"))
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .groupBy(F.col("x.vid").alias("vid_a"), F.col("y.vid").alias("vid_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        cand.join(inter, ["vid_a", "vid_b"])
+        .join(sizes.withColumnRenamed("vid", "vid_a").withColumnRenamed("n_sh", "na"), "vid_a")
+        .join(sizes.withColumnRenamed("vid", "vid_b").withColumnRenamed("n_sh", "nb"), "vid_b")
+        .select(
+            "vid_a",
+            "vid_b",
+            "n_bands",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+_H_J_SHINGLE = H_DUCK.format(x="j || ':' || shingle")
+MINHASH_LSH_ORACLE = f"""
+WITH variants AS ({VARIANTS_DUCK}),
+sh AS ({SHINGLES_DUCK}),
+sig AS (
+  SELECT vid, j, min({_H_J_SHINGLE}) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {N_HASHES})) AS j)
+  GROUP BY vid, j
+),
+cand AS (
+  SELECT a.vid AS vid_a, b.vid AS vid_b, count(*)::BIGINT AS n_bands
+  FROM sig a JOIN sig b ON a.j = b.j AND a.h = b.h AND a.vid < b.vid
+  GROUP BY a.vid, b.vid
+),
+sizes AS (SELECT vid, count(*) AS n_sh FROM sh GROUP BY vid),
+inter AS (
+  SELECT x.vid AS vid_a, y.vid AS vid_b, count(*) AS n_inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.vid < y.vid
+  GROUP BY x.vid, y.vid
+)
+SELECT c.vid_a, c.vid_b, c.n_bands,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.vid_a = c.vid_a AND i.vid_b = c.vid_b
+JOIN sizes sa ON sa.vid = c.vid_a
+JOIN sizes sb ON sb.vid = c.vid_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+"""
+
+
+# --------------------------------------------------------------- SimHash
+def simhash_pairs(spark, sf_dir: str):
+    """16-bit SimHash over distinct 3-gram shingles (word-level features
+    would wash out on a shared vocabulary); near-dup = hamming <= 3."""
+    wh = _shingles_df(variants(spark, sf_dir)).select(
+        "vid", F.expr(H_SPARK.format(x="shingle")).alias("h")
+    )
+    sums = wh.groupBy("vid").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1)") == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIM_BITS)
+        ]
+    )
+    simhash = sums.select(
+        "vid",
+        sum(
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIM_BITS)
+        ).cast("bigint").alias("simhash"),
+    )
+    a, b_ = simhash.alias("a"), simhash.alias("b")
+    return (
+        a.join(b_, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vid_a"),
+            F.col("b.vid").alias("vid_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+_SIM_SUMS = ",\n".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(SIM_BITS)
+)
+_SIM_VAL = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIM_BITS))
+_H_SHINGLE = H_DUCK.format(x="shingle")
+SIMHASH_ORACLE = f"""
+WITH variants AS ({VARIANTS_DUCK}),
+wh AS ({SHINGLES_DUCK}),
+hh AS (SELECT vid, {_H_SHINGLE} AS h FROM wh),
+sums AS (SELECT vid, {_SIM_SUMS} FROM hh GROUP BY vid),
+sig AS (SELECT vid, ({_SIM_VAL})::BIGINT AS simhash FROM sums)
+SELECT a.vid AS vid_a, b.vid AS vid_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.vid < b.vid
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""

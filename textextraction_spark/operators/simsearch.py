@@ -1,0 +1,192 @@
+"""Similarity search over the embeddings table (task brief §similarity):
+brute-force cosine top-k baseline, hyperplane-LSH bucketed ANN as the
+scale path, and embedding-cosine near-dup detection.
+
+Spark-first: dot products via ``zip_with`` + ``aggregate`` higher-order
+functions on ``array<float>`` cast to double — JVM-side, no Python.  The
+"hyperplanes" are rows of the embeddings table itself (vec_id 1..4), so
+the DuckDB oracle can recompute identical bucket signatures; at production
+scale they'd be broadcast constants and the bucket assignment is the same
+single narrow projection.
+
+Scale notes: brute-force is scan x 1 (fine as the verifier / small-k
+re-ranker); the LSH variant prunes candidates to one bucket — the
+equi-join on bucket id replaces the O(n) scan per query with O(n / 2^bits),
+and buckets are the partitioning key for a billion-vector corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+TOP_K = 10
+QUERY_VEC_ID = 0
+N_PLANES = 4
+PLANE_IDS = [1, 2, 3, 4]
+NEAR_DUP_N = 200  # vec_id < N get a duplicated copy
+NEAR_DUP_OFFSET = 10_000
+
+
+def _emb(spark, sf_dir: str):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+def _query_vec_expr(spark, sf_dir: str, vec_id: int) -> str:
+    """Literal array expression for one stored vector (driver-side scalar
+    config, like a broadcast query vector in a serving job)."""
+    row = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    vals = ", ".join(f"cast({float(v)!r} as double)" for v in row["embedding"])
+    return f"array({vals})"
+
+
+def brute_force_topk(spark, sf_dir: str):
+    """Exact cosine top-k for the query vector — the baseline/verifier."""
+    q = _query_vec_expr(spark, sf_dir, QUERY_VEC_ID)
+    e = _emb(spark, sf_dir)
+    cos = F.expr(
+        f"{_dot('embedding', q)} / ({_norm('embedding')} * {_norm(q)})"
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(F.col("vec_id").cast("bigint").alias("vec_id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+BRUTE_FORCE_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id::BIGINT AS vec_id,
+       round({_duck_dot('embedding', 'qe')} /
+             (sqrt({_duck_dot('embedding', 'embedding')}) * sqrt({_duck_dot('qe', 'qe')})), 6)
+           AS cosine
+FROM embeddings, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def lsh_bucket_ann(spark, sf_dir: str):
+    """Hyperplane-LSH ANN: 4-bit sign bucket from dots with plane vectors;
+    search = exact cosine restricted to the query's bucket."""
+    planes = [
+        _query_vec_expr(spark, sf_dir, pid) for pid in PLANE_IDS
+    ]
+    bucket_expr = " + ".join(
+        f"(case when {_dot('embedding', p)} > 0 then {1 << i} else 0 end)"
+        for i, p in enumerate(planes)
+    )
+    e = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "embedding",
+        F.expr(bucket_expr).cast("bigint").alias("bucket"),
+    )
+    qb = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("bucket").alias("qbucket")
+    )
+    q = _query_vec_expr(spark, sf_dir, QUERY_VEC_ID)
+    cos = F.expr(f"{_dot('embedding', q)} / ({_norm('embedding')} * {_norm(q)})")
+    return (
+        e.join(F.broadcast(qb), e.bucket == qb.qbucket)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "bucket", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p{i}.embedding::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(N_PLANES)
+)
+_DUCK_PLANES = " ".join(
+    f", (SELECT embedding FROM embeddings WHERE vec_id = {pid}) p{i}({'embedding'})"
+    for i, pid in enumerate(PLANE_IDS)
+)
+LSH_ANN_ORACLE = f"""
+WITH b AS (
+  SELECT e.vec_id::BIGINT AS vec_id, e.embedding,
+         ({_DUCK_BUCKET})::BIGINT AS bucket
+  FROM embeddings e {_DUCK_PLANES}
+),
+q AS (SELECT bucket AS qbucket, embedding AS qe FROM b WHERE vec_id = {QUERY_VEC_ID})
+SELECT b.vec_id, b.bucket,
+       round({_duck_dot('b.embedding', 'q.qe')} /
+             (sqrt({_duck_dot('b.embedding', 'b.embedding')}) * sqrt({_duck_dot('q.qe', 'q.qe')})), 6)
+           AS cosine
+FROM b, q
+WHERE b.bucket = q.qbucket AND b.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def embedding_near_dup(spark, sf_dir: str):
+    """Embedding-cosine near-dup: vectors with cosine >= 0.999999 among the
+    corpus + identity copies (vec_id + 10000) of the first 200 vectors.
+    Bucketed by LSH first so the pair join is bucket-local, not O(n^2)."""
+    e = _emb(spark, sf_dir)
+    base = e.select(F.col("vec_id").cast("bigint").alias("vid"), "embedding")
+    copies = (
+        e.filter(F.col("vec_id") < NEAR_DUP_N)
+        .select((F.col("vec_id") + NEAR_DUP_OFFSET).cast("bigint").alias("vid"), "embedding")
+    )
+    allv = base.unionByName(copies)
+    planes = [_query_vec_expr(spark, sf_dir, pid) for pid in PLANE_IDS]
+    bucket_expr = " + ".join(
+        f"(case when {_dot('embedding', p)} > 0 then {1 << i} else 0 end)"
+        for i, p in enumerate(planes)
+    )
+    withb = allv.select("vid", "embedding", F.expr(bucket_expr).alias("bucket"))
+    a, b = withb.alias("a"), withb.alias("b")
+    cos = F.expr(
+        f"{_dot('a.embedding', 'b.embedding')} / ({_norm('a.embedding')} * {_norm('b.embedding')})"
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("vid_a"),
+            F.col("b.vid").alias("vid_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.999999)
+    )
+
+
+EMBEDDING_NEAR_DUP_ORACLE = f"""
+WITH allv AS (
+  SELECT vec_id::BIGINT AS vid, embedding FROM embeddings
+  UNION ALL
+  SELECT (vec_id + {NEAR_DUP_OFFSET})::BIGINT AS vid, embedding
+  FROM embeddings WHERE vec_id < {NEAR_DUP_N}
+),
+bk AS (
+  SELECT e.vid, e.embedding, ({_DUCK_BUCKET})::BIGINT AS bucket
+  FROM allv e {_DUCK_PLANES}
+)
+SELECT a.vid AS vid_a, b.vid AS vid_b,
+       round({_duck_dot('a.embedding', 'b.embedding')} /
+             (sqrt({_duck_dot('a.embedding', 'a.embedding')}) * sqrt({_duck_dot('b.embedding', 'b.embedding')})), 6)
+           AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vid < b.vid
+WHERE round({_duck_dot('a.embedding', 'b.embedding')} /
+            (sqrt({_duck_dot('a.embedding', 'a.embedding')}) * sqrt({_duck_dot('b.embedding', 'b.embedding')})), 6) >= 0.999999
+"""

@@ -1,0 +1,215 @@
+"""Extraction-pipeline queries + DuckDB oracles (the driver's gate).
+
+Each query runs the REAL engine (pages builder -> mapInPandas kernel) and
+each oracle reconstructs the expected output from the ``documents`` parquet
+by pure SQL formula (sources/pages.py keeps generator and oracle from
+drifting — the html is literally built from the oracle expression).
+
+``doc_id`` is recovered from the url tail (``.../d/<doc_id>``) so family
+filters work on the engine side without threading extra columns through
+the fixed pages schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from textextraction_spark.job.extract import extract_pages
+from textextraction_spark.sources.pages import (
+    INV_DATE_SQL,
+    INV_NUM_SQL,
+    MED_DATE_SQL,
+    ORDER_NUM_SQL,
+    TOTAL_SQL,
+    URL_SQL,
+    build_pages,
+    expected_text_sql,
+    person_sql,
+    vendor_sql,
+    warc_ts_sql,
+)
+
+DOC_ID_FROM_URL = r"cast(regexp_extract(url, '/d/(\\d+)$', 1) as bigint)"
+
+
+def _extracted(spark, sf_dir: str):
+    return extract_pages(build_pages(spark, sf_dir)).withColumn(
+        "doc_id", F.expr(DOC_ID_FROM_URL)
+    )
+
+
+# ------------------------------------------------------- full-text queries
+def extract_html_text(spark, sf_dir: str):
+    """Flagship: byte-identical main-content extraction for HTML docs."""
+    return _extracted(spark, sf_dir).filter(~F.col("is_pdf")).select(
+        "url", "warc_ts", "extracted_text"
+    )
+
+
+def extract_html_text_oracle() -> str:
+    return f"""
+    SELECT {URL_SQL} AS url, {warc_ts_sql('duckdb')} AS warc_ts,
+           {expected_text_sql('duckdb')} AS extracted_text
+    FROM documents WHERE doc_id % 20 != 0
+    """
+
+
+def extract_pdf_text(spark, sf_dir: str):
+    """PDF route: layout blocks reading-order sorted."""
+    return _extracted(spark, sf_dir).filter(F.col("is_pdf")).select(
+        "url", "extracted_text"
+    )
+
+
+def extract_pdf_text_oracle() -> str:
+    return f"""
+    SELECT {URL_SQL} AS url, {expected_text_sql('duckdb')} AS extracted_text
+    FROM documents WHERE doc_id % 20 = 0
+    """
+
+
+def extract_confidence(spark, sf_dir: str):
+    """Kept-word ratio (A1 mean-confidence analog) for HTML docs."""
+    return _extracted(spark, sf_dir).filter(~F.col("is_pdf")).select(
+        "url", F.round("confidence", 6).alias("confidence")
+    )
+
+
+def extract_confidence_oracle() -> str:
+    expected = expected_text_sql("duckdb")
+    kept = f"(CASE WHEN ({expected}) = '' THEN 0 ELSE len(str_split(replace(({expected}), chr(10), ' '), ' ')) END)"
+    shell = "(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 11 END)"
+    return f"""
+    SELECT {URL_SQL} AS url,
+           round({kept} / ({kept} + {shell}), 6) AS confidence
+    FROM documents WHERE doc_id % 20 != 0
+    """
+
+
+# ----------------------------------------------------------- field queries
+_INV_FIELDS = {
+    "inv_num": "invoice.number",
+    "inv_date": "invoice.date",
+    "order_num": "invoice.order_number",
+    "total": "invoice.total",
+    "vendor": "invoice.vendor",
+}
+
+
+def extract_invoice_fields(spark, sf_dir: str):
+    ex = _extracted(spark, sf_dir).filter(
+        (F.col("doc_id") % 20 >= 1) & (F.col("doc_id") % 20 <= 6)
+    )
+    sp = ex.select("url", F.explode("spans").alias("s"))
+    return sp.groupBy("url").agg(
+        *[
+            F.max(F.when(F.col("s.field") == field, F.col("s.text"))).alias(alias)
+            for alias, field in _INV_FIELDS.items()
+        ]
+    )
+
+
+def extract_invoice_fields_oracle() -> str:
+    return f"""
+    SELECT {URL_SQL} AS url,
+           {INV_NUM_SQL} AS inv_num,
+           {INV_DATE_SQL} AS inv_date,
+           {ORDER_NUM_SQL} AS order_num,
+           {TOTAL_SQL} AS total,
+           {vendor_sql('duckdb')} AS vendor
+    FROM documents WHERE doc_id % 20 BETWEEN 1 AND 6
+    """
+
+
+def extract_medical_fields(spark, sf_dir: str):
+    ex = _extracted(spark, sf_dir).filter(
+        (F.col("doc_id") % 20 >= 7) & (F.col("doc_id") % 20 <= 12)
+    )
+    sp = ex.select("url", F.explode("spans").alias("s"))
+    return sp.groupBy("url").agg(
+        F.max(F.when(F.col("s.field") == "patient.name", F.col("s.text"))).alias(
+            "patient_name"
+        ),
+        F.max(F.when(F.col("s.field") == "patient.birth_date", F.col("s.text"))).alias(
+            "birth_date"
+        ),
+    )
+
+
+def extract_medical_fields_oracle() -> str:
+    return f"""
+    SELECT {URL_SQL} AS url,
+           {person_sql('duckdb')} AS patient_name,
+           {MED_DATE_SQL} AS birth_date
+    FROM documents WHERE doc_id % 20 BETWEEN 7 AND 12
+    """
+
+
+def extract_span_offsets(spark, sf_dir: str):
+    """Char offsets of every invoice span — the oracle recomputes them by
+    pure length arithmetic over the generated line layout."""
+    ex = _extracted(spark, sf_dir).filter(
+        (F.col("doc_id") % 20 >= 1) & (F.col("doc_id") % 20 <= 6)
+    )
+    return ex.select("url", F.explode("spans").alias("s")).select(
+        "url",
+        F.col("s.field").alias("field"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.start").cast("bigint").alias("start"),
+        F.col("s.end").cast("bigint").alias("end"),
+    )
+
+
+def extract_span_offsets_oracle() -> str:
+    # Line layout (plans/queries.py mirrors sources/pages.py):
+    #   text \n INVOICE <num> \n INVOICE DATE <date> \n DUE DATE 12/31/2030
+    #   \n LOAD <ref> \n TOTAL <amt> \n <vendor> [...]
+    t = "length(text)"
+    num, date, ref, amt = INV_NUM_SQL, INV_DATE_SQL, ORDER_NUM_SQL, TOTAL_SQL
+    vendor = vendor_sql("duckdb")
+    a_start = f"({t} + 1 + 8)"  # after 'INVOICE '
+    a_end = f"({a_start} + length({num}))"
+    b_line = f"({t} + 1 + 8 + length({num}) + 1)"
+    b_start = f"({b_line} + 13)"  # after 'INVOICE DATE '
+    b_end = f"({b_start} + 10)"
+    c_line = f"({b_line} + 13 + 10 + 1)"  # 'DUE DATE 12/31/2030' len 19
+    d_line = f"({c_line} + 19 + 1)"
+    d_start = f"({d_line} + 5)"  # after 'LOAD '
+    d_end = f"({d_start} + length({ref}))"
+    e_line = f"({d_line} + 5 + length({ref}) + 1)"
+    e_start = f"({e_line} + 6)"  # after 'TOTAL '
+    e_end = f"({e_start} + length({amt}))"
+    f_line = f"({e_line} + 6 + length({amt}) + 1)"
+    f_end = f"({f_line} + length({vendor}))"
+    return f"""
+    WITH inv AS (SELECT * FROM documents WHERE doc_id % 20 BETWEEN 1 AND 6)
+    SELECT {URL_SQL} AS url, 'invoice.number' AS field, {num} AS span_text,
+           {a_start}::BIGINT AS start, {a_end}::BIGINT AS "end" FROM inv
+    UNION ALL
+    SELECT {URL_SQL}, 'invoice.date', {date}, {b_start}::BIGINT, {b_end}::BIGINT FROM inv
+    UNION ALL
+    SELECT {URL_SQL}, 'invoice.order_number', {ref}, {d_start}::BIGINT, {d_end}::BIGINT FROM inv
+    UNION ALL
+    SELECT {URL_SQL}, 'invoice.total', {amt}, {e_start}::BIGINT, {e_end}::BIGINT FROM inv
+    UNION ALL
+    SELECT {URL_SQL}, 'invoice.vendor', {vendor}, {f_line}::BIGINT, {f_end}::BIGINT FROM inv
+    """
+
+
+# -------------------------------------------------------- host distribution
+def host_distribution(spark, sf_dir: str):
+    """Skew diagnosis over pages urls (plans/skew.py host_frequencies)."""
+    from textextraction_spark.plans.skew import host_frequencies
+
+    return host_frequencies(build_pages(spark, sf_dir, with_pdf=False)).select(
+        "host", F.col("count").cast("bigint").alias("count")
+    )
+
+
+def host_distribution_oracle() -> str:
+    return """
+    SELECT CASE WHEN doc_id % 100 < 30 THEN 'heavy.example.com'
+                ELSE 'h' || CAST(doc_id % 20 AS STRING) || '.example.com' END AS host,
+           count(*)::BIGINT AS count
+    FROM documents GROUP BY 1
+    """
