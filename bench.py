@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.json north_rule evidence).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": ..., "value": <extract e2e sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "throughput": {docs_per_sec, mb_per_sec, n_docs},
+     "scaling": {local8, local32, efficiency}}
+
+The scaling section is the sandbox protocol for the north_rule's N->4N
+executor criterion: the same extraction job over the same (replicated)
+input at local[8] and local[32]; efficiency = (T8 / T32) / 4.
+Disable with SPARK_GRAFT_BENCH_SCALING=0; replication factor via
+SPARK_GRAFT_BENCH_REP (default 200 -> ~1M docs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"textextraction-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def replicated_pages(spark, sf_dir: str, rep: int):
+    """pages x rep with unique urls — same bytes, rep-scaled volume."""
+    from pyspark.sql import functions as F
+
+    from textextraction_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    if rep <= 1:
+        return pages
+    return pages.withColumn(
+        "r", F.explode(F.sequence(F.lit(1), F.lit(rep)))
+    ).withColumn("url", F.concat("url", F.lit("?r="), F.col("r"))).drop("r")
+
+
+def materialize_pages(spark, sf_dir: str, rep: int, out_dir: str) -> None:
+    """Write the (replicated) pages table to parquet — the bench input.
+    The north_rule job READS a pages table; generation is not part of the
+    measured pipeline."""
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        # 64 output files so the bench scan parallelizes on any core count
+        # (a single fat file caps scan parallelism at its row groups).
+        replicated_pages(spark, sf_dir, rep).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+
+
+def run_extract(spark, pages_dir: str, partitions: int):
+    """One full extraction pass over a stored pages table; returns
+    (seconds, n_docs, n_bytes)."""
+    from pyspark.sql import functions as F
+
+    from textextraction_spark.job.extract import extract_pages
+    from textextraction_spark.job.schemas import PAGES_SCHEMA
+    from textextraction_spark.plans.skew import salted_repartition
+
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
+    t0 = time.time()
+    out = extract_pages(salted_repartition(pages, partitions))
+    row = out.agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("b"),
+        F.sum(F.when(F.col("error") != "", 1).otherwise(0)).alias("err"),
+    ).first()
+    dt = time.time() - t0
+    assert row["err"] == 0, f"extraction errors: {row['err']}"
+    return dt, row["n"], row["b"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "200"))
+    do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as E
+
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bench_pages_")
+    pages_sf = os.path.join(work, "pages_sf")
+    pages_rep = os.path.join(work, "pages_rep")
+
+    spark = make_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    materialize_pages(spark, sf_dir, 1, pages_sf)
+    materialize_pages(spark, sf_dir, rep, pages_rep)
+
+    queries: dict[str, float] = {}
+
+    # Headline: the extraction pipeline end-to-end (unreplicated sf).
+    t, n_docs_sf, n_bytes_sf = run_extract(spark, pages_sf, cpus * 3)
+    queries["extract_e2e"] = round(t, 3)
+
+    # Operator headliners.
+    qmap = E.queries()
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "ann_brute_force_topk",
+        "token_stats",
+        "fingerprint",
+        "q1_pricing_summary",
+        "media_metadata",
+    ):
+        t0 = time.time()
+        n = qmap[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    # Replicated throughput at full cores (the 100TB-shaped measurement).
+    t_full, n_docs, n_bytes = run_extract(spark, pages_rep, cpus * 3)
+    queries[f"extract_rep{rep}"] = round(t_full, 3)
+    throughput = {
+        "n_docs": int(n_docs),
+        "mb": round(n_bytes / 1e6, 1),
+        "docs_per_sec": round(n_docs / t_full, 1),
+        "mb_per_sec": round(n_bytes / 1e6 / t_full, 2),
+    }
+    spark.stop()
+
+    scaling = {}
+    if do_scaling:
+        results = {}
+        for cores in (8, 32):
+            s = make_session(cores)
+            s.sparkContext.setLogLevel("ERROR")
+            s.read.parquet(f"{sf_dir}/documents.parquet").count()
+            t_c, n_c, b_c = run_extract(s, pages_rep, cores * 3)
+            results[cores] = {
+                "sec": round(t_c, 2),
+                "docs_per_sec": round(n_c / t_c, 1),
+                "mb_per_sec": round(b_c / 1e6 / t_c, 2),
+            }
+            s.stop()
+        eff = (results[8]["sec"] / results[32]["sec"]) / 4.0
+        scaling = {
+            "local8": results[8],
+            "local32": results[32],
+            "efficiency_8_to_32": round(eff, 3),
+        }
+
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "extract_e2e_sec",
+                "value": queries["extract_e2e"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "throughput": throughput,
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Operator suite tests.
+
+The driver's full value-hash gate runs at sf0.01 (tests/oracle_check.py
+replicates it; CI-speed subset here at sf0.001):
+- every queries() entry has an oracle and builds a valid plan (analysis
+  passes — schema resolved) without executing;
+- a representative subset is executed and compared against DuckDB.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E  # noqa: E402
+from tests.oracle_check import compare, connect_duckdb  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+FAST_SUBSET = [
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "ann_brute_force_topk",
+    "ann_lsh_bucket",
+    "media_metadata",
+    "a1_avg_by_group",
+    "a2_first_event_per_user",
+    "j1_broadcast_join",
+    "w1_topk_per_group",
+    "q1_pricing_summary",
+]
+
+
+class TestContract:
+    def test_oracle_keys_align(self):
+        assert set(E.queries()) == set(E.oracle_sql())
+
+    def test_all_plans_resolve(self, spark):
+        """Analysis (schema resolution) for every query — catches SQL
+        dialect errors without paying execution."""
+        for name, fn in E.queries().items():
+            df = fn(spark, SF)
+            assert len(df.schema.fields) > 0, name
+
+    def test_entry_contract(self, spark):
+        df = E.entry(spark)
+        assert df.count() == 500
+        assert "extracted_text" in df.columns
+
+
+class TestOracleSubset:
+    @pytest.fixture(scope="class")
+    def duck(self):
+        return connect_duckdb(SF)
+
+    @pytest.mark.parametrize("name", FAST_SUBSET)
+    def test_query_matches_oracle(self, spark, duck, name):
+        got = E.queries()[name](spark, SF).toPandas()
+        want = duck.execute(E.oracle_sql()[name]).df()
+        problems = compare(name, got, want)
+        assert not problems, problems

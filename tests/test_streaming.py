@@ -1,0 +1,63 @@
+"""Streaming-variant tests: micro-batch drain, incremental file arrival,
+exactly-once commit through the shared CheckpointCatalog."""
+
+from __future__ import annotations
+
+import duckdb
+
+from textextraction_spark.io.checkpoint import CheckpointCatalog
+from textextraction_spark.sources.pages import URL_SQL, build_pages, expected_text_sql
+from textextraction_spark.streaming.stream_job import run_streaming_extraction
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_pages(spark, out_dir: str, limit: int | None = None, skip: int = 0):
+    from pyspark.sql import functions as F
+
+    pages = build_pages(spark, SF).withColumn(
+        "doc_id", F.expr(r"cast(regexp_extract(url, '/d/(\\d+)$', 1) as bigint)")
+    )
+    if limit is not None:
+        pages = pages.filter(
+            (F.col("doc_id") >= skip) & (F.col("doc_id") < skip + limit)
+        )
+    pages.drop("doc_id").write.mode("append").parquet(out_dir)
+
+
+class TestStreaming:
+    def test_available_now_drains_and_commits(self, spark, tmp_path):
+        pages_dir = str(tmp_path / "pages")
+        ckpt = str(tmp_path / "ckpt")
+        sckpt = str(tmp_path / "sckpt")
+        _write_pages(spark, pages_dir, limit=200)
+
+        q = run_streaming_extraction(spark, pages_dir, ckpt, sckpt, num_partitions=4)
+        q.awaitTermination(120)
+
+        cat = CheckpointCatalog(ckpt)
+        res = cat.results(spark)
+        assert res.count() == 200
+        assert res.select("url").distinct().count() == 200
+
+        # incremental arrival: 100 more docs -> second micro-batch run
+        _write_pages(spark, pages_dir, limit=100, skip=200)
+        q2 = run_streaming_extraction(spark, pages_dir, ckpt, sckpt, num_partitions=4)
+        q2.awaitTermination(120)
+        res2 = cat.results(spark)
+        assert res2.count() == 300
+        assert res2.select("url").distinct().count() == 300
+
+        # bytes still oracle-identical through the streaming path
+        got = res2.select("url", "extracted_text").toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"create view documents as select * from read_parquet('{SF}/documents.parquet')"
+        )
+        want = con.execute(
+            f"select {URL_SQL} as url, {expected_text_sql('duckdb')} as extracted_text "
+            "from documents where doc_id < 300"
+        ).df()
+        m = got.merge(want, on="url", suffixes=("_g", "_w"))
+        assert len(m) == 300
+        assert (m.extracted_text_g == m.extracted_text_w).all()

@@ -52,11 +52,24 @@ class ExtractResult:
         return json.dumps(tree, sort_keys=True, separators=(",", ":"))
 
 
-def extract_document(data: bytes) -> ExtractResult:
-    """Pure function of the document bytes (north_rule determinism)."""
+PHI_FIELDS = ("patient.name", "patient.birth_date")
+
+
+def extract_document(data: bytes, encrypt_phi: bool = False) -> ExtractResult:
+    """Pure function of the document bytes (north_rule determinism).
+
+    encrypt_phi mirrors the reference's ``EnableEncryption`` flag
+    (``Worker.cs:238-250``): patient fields' span text is replaced by its
+    deterministic fixed-IV AES ciphertext (core/crypt.py, F9)."""
     try:
         doc = parse_pdf(data) if is_pdf(data) else extract_html(data)
         spans = extract_spans(doc)
+        if encrypt_phi:
+            from textextraction_spark.core.crypt import encrypt_field
+
+            for s in spans:
+                if s.field in PHI_FIELDS:
+                    s.text = encrypt_field(s.text)
         return ExtractResult(
             extracted_text=doc.text(),
             spans=spans,

@@ -29,7 +29,9 @@ from textextraction_spark.core.extract import extract_document
 from textextraction_spark.job.schemas import EXTRACT_OUTPUT_SCHEMA
 
 
-def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def extract_batch(
+    batches: Iterator[pd.DataFrame], encrypt_phi: bool = False
+) -> Iterator[pd.DataFrame]:
     """Iterator[pd.DataFrame(url, warc_ts, html)] -> extraction results."""
     for pdf in batches:
         n = len(pdf)
@@ -44,7 +46,7 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         errors = [""] * n
         for i, data in enumerate(pdf["html"].values):
             b = bytes(data) if data is not None else b""
-            r = extract_document(b)
+            r = extract_document(b, encrypt_phi=encrypt_phi)
             texts[i] = r.extracted_text
             spans[i] = [asdict(s) for s in r.spans]
             conf[i] = r.confidence
@@ -67,15 +69,18 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def extract_pages(pages_df):
+def extract_pages(pages_df, encrypt_phi: bool = False):
     """pages DataFrame -> extracted DataFrame (no lineage columns yet).
 
     Projects to the minimal column set FIRST so column pruning reaches the
     scan, then runs the Arrow-batched kernel.
     """
+    from functools import partial
+
     from textextraction_spark.job.packaging import ensure_shipped
 
     ensure_shipped(pages_df.sparkSession)
+    fn = partial(extract_batch, encrypt_phi=encrypt_phi) if encrypt_phi else extract_batch
     return pages_df.select("url", "warc_ts", "html").mapInPandas(
-        extract_batch, schema=EXTRACT_OUTPUT_SCHEMA
+        fn, schema=EXTRACT_OUTPUT_SCHEMA
     )

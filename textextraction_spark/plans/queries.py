@@ -196,6 +196,39 @@ def extract_span_offsets_oracle() -> str:
     """
 
 
+def pdf_highlight_rects(spark, sf_dir: str):
+    """K2/A4/F7 analog with full oracle: spans extracted from PDF blocks
+    carry the px->pt rect string the reference's highlighter would draw
+    (``Worker.cs:459-528``, ``Helper.cs:13-17``)."""
+    ex = _extracted(spark, sf_dir).filter(F.col("is_pdf"))
+    return ex.select("url", F.explode("spans").alias("s")).select(
+        "url",
+        F.col("s.field").alias("field"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.page").cast("bigint").alias("page"),
+        F.col("s.line").cast("bigint").alias("line"),
+        F.col("s.rect").alias("rect"),
+    )
+
+
+def pdf_highlight_rects_oracle() -> str:
+    from textextraction_spark.sources.pages import TOTAL_SQL
+
+    k = "4.166666666666667"
+    lt = f"length('TOTAL ' || {TOTAL_SQL})"
+    rect = (
+        f"printf('%.2f,%.2f,%.2f,%.2f', 72/{k}, 100/{k}, (72 + 8*{lt})/{k}, 116/{k})"
+    )
+    return f"""
+    SELECT {URL_SQL} AS url, 'invoice.total' AS field,
+           {TOTAL_SQL} AS span_text,
+           1::BIGINT AS page,
+           (CASE WHEN len(str_split(text, ' ')) <= 10 THEN 2 ELSE 3 END)::BIGINT AS line,
+           {rect} AS rect
+    FROM documents WHERE doc_id % 40 = 0
+    """
+
+
 # -------------------------------------------------------- host distribution
 def host_distribution(spark, sf_dir: str):
     """Skew diagnosis over pages urls (plans/skew.py host_frequencies)."""

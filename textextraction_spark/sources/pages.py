@@ -94,19 +94,22 @@ def person_sql(engine: str, offset: int = 0) -> str:
 
 def pdf_text_sql(engine: str) -> str:
     """Expected extracted text of a pdf-family doc: first 10 words, newline,
-    remainder (single block when <= 10 words)."""
+    remainder (single block when <= 10 words); every second pdf doc
+    (doc_id % 40 = 0) carries a trailing TOTAL block (exercises field
+    extraction + rect emission on the PDF path)."""
+    total = f"CASE WHEN doc_id % 40 = 0 THEN chr(10) || 'TOTAL ' || {TOTAL_SQL} ELSE '' END"
     if engine == "spark":
         words = "split(text, ' ')"
         return (
-            f"CASE WHEN size({words}) <= 10 THEN text "
+            f"(CASE WHEN size({words}) <= 10 THEN text "
             f"ELSE array_join(slice({words}, 1, 10), ' ') || chr(10) || "
-            f"array_join(slice({words}, 11, 1000000), ' ') END"
+            f"array_join(slice({words}, 11, 1000000), ' ') END) || ({total})"
         )
     words = "str_split(text, ' ')"
     return (
-        f"CASE WHEN len({words}) <= 10 THEN text "
+        f"(CASE WHEN len({words}) <= 10 THEN text "
         f"ELSE array_to_string(list_slice({words}, 1, 10), ' ') || chr(10) || "
-        f"array_to_string(list_slice({words}, 11, len({words})), ' ') END"
+        f"array_to_string(list_slice({words}, 11, len({words})), ' ') END) || ({total})"
     )
 
 
@@ -193,9 +196,18 @@ def warc_ts_sql(engine: str) -> str:
 # --------------------------------------------------------------------------
 
 
-def make_pdf_bytes(text: str) -> bytes:
-    """Two text blocks emitted OUT of reading order (remainder first at
-    y=300, head at y=700) so the extractor's sort is load-bearing."""
+TOTAL_BLOCK_Y = 100
+
+
+def total_amount_str(doc_id: int) -> str:
+    """Python twin of TOTAL_SQL (kept adjacent; a drift breaks tests)."""
+    return f"${1 + doc_id % 9},{doc_id % 1000:03d}.00"
+
+
+def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
+    """Text blocks emitted OUT of reading order (remainder first at y=300,
+    head at y=700) so the extractor's sort is load-bearing; doc_id % 40 = 0
+    adds a bottom TOTAL block (field + rect on the PDF path)."""
     words = text.split(" ")
     if len(words) <= 10:
         blocks = [(72, 700, text)]
@@ -203,6 +215,8 @@ def make_pdf_bytes(text: str) -> bytes:
         head = " ".join(words[:10])
         tail = " ".join(words[10:])
         blocks = [(72, 300, tail), (72, 700, head)]  # stream order != reading order
+    if doc_id % 40 == 0:
+        blocks.insert(0, (72, TOTAL_BLOCK_Y, f"TOTAL {total_amount_str(doc_id)}"))
     body = "".join(f"BT {x} {y} Td ({t}) Tj ET\n" for x, y, t in blocks)
     return f"%PDF-1.4\nstream\n{body}endstream\n%%EOF".encode("latin-1")
 
@@ -226,11 +240,13 @@ def build_pages(spark, sf_dir: str, with_pdf: bool = True):
     if with_pdf:
 
         @F.pandas_udf(T.BinaryType())
-        def pdf_udf(text: pd.Series) -> pd.Series:
-            return text.map(make_pdf_bytes)
+        def pdf_udf(text: pd.Series, doc_id: pd.Series) -> pd.Series:
+            return pd.Series(
+                [make_pdf_bytes(t, int(d)) for t, d in zip(text, doc_id)]
+            )
 
         binary = F.when(
-            F.col("doc_id") % 20 == 0, pdf_udf(F.col("text"))
+            F.col("doc_id") % 20 == 0, pdf_udf(F.col("text"), F.col("doc_id"))
         ).otherwise(F.encode(html_col, "UTF-8"))
     else:
         binary = F.encode(html_col, "UTF-8")
