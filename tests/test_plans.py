@@ -1,0 +1,74 @@
+"""Physical-plan audits (SURVEY.md §4.2): these tests read .explain output
+and pin the scale-critical plan properties — a regression here is a 100 TB
+performance bug even when results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from textextraction_spark.job.extract import extract_pages
+from textextraction_spark.job.schemas import PAGES_SCHEMA
+from textextraction_spark.plans.skew import salted_repartition
+from textextraction_spark.sources.pages import build_pages
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def stored_pages(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_store")
+    build_pages(spark, "/root/testdata/sf0.001").write.parquet(str(d / "pages"))
+    return spark.read.schema(PAGES_SCHEMA).parquet(str(d / "pages"))
+
+
+class TestExtractionPlan:
+    def test_column_pruning_reaches_scan(self, stored_pages):
+        """The kernel consumes (url, warc_ts, html); text/lang must never
+        be read from parquet."""
+        plan = plan_of(extract_pages(salted_repartition(stored_pages, 8)))
+        read = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read, plan
+        assert "text" not in read[0].split("warc_ts")[1] or "extracted_text" not in read[0]
+        assert "lang" not in read[0]
+        assert "html:binary" in read[0]
+
+    def test_single_shuffle(self, stored_pages):
+        """Exactly ONE Exchange in the extraction job — the explicit salted
+        repartition.  A second shuffle at 100 TB is a regression."""
+        plan = plan_of(extract_pages(salted_repartition(stored_pages, 8)))
+        assert plan.count("Exchange") <= 2  # node + its Input line
+        assert "hashpartitioning(xxhash64(url" in plan
+
+    def test_predicate_pushdown(self, stored_pages):
+        """A native filter placed before the kernel reaches the scan as a
+        pushed filter (the manual cheap-filter-first ordering, §4.1)."""
+        from pyspark.sql import functions as F
+
+        filtered = stored_pages.filter(F.col("lang") == "en")
+        plan = plan_of(extract_pages(filtered))
+        assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+class TestJoinStrategies:
+    def test_dimension_join_broadcasts(self, spark):
+        from textextraction_spark.functions.relational import j1_broadcast_join
+
+        plan = plan_of(j1_broadcast_join(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_anti_join_resume_is_broadcastable(self, spark):
+        """The checkpoint anti-join must not devolve into a cartesian."""
+        from textextraction_spark.functions.relational import j2_anti_join_resume
+
+        plan = plan_of(j2_anti_join_resume(spark, "/root/testdata/sf0.001"))
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan

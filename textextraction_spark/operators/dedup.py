@@ -4,12 +4,15 @@ MinHash+LSH, SimHash.  (Embedding-cosine near-dup lives in simsearch.py.)
 Design for 100 TB:
 - exact dedup  = hash-groupBy with partial (map-side) aggregation — one
   shuffle keyed by content hash; survivors via min_by.
-- MinHash+LSH  = shingle -> k minhashes -> band-bucket equi-join.  The
-  candidate join is an equi-join on (band, hash), i.e. shuffle-hash — the
-  classic way to avoid the O(n^2) pair space.
-- SimHash      = per-word hashes -> 16 signed bit sums (partial agg) ->
-  64.. well, 16-bit signature; near-dup = bit_count(xor) <= r.
-- n-gram Jaccard = candidate pairs restricted by a shared-shingle join,
+- MinHash+LSH  = shingle -> k minhashes (one wide agg) -> band-bucket
+  equi-join for candidates -> exact-Jaccard verify restricted to the
+  (broadcast) candidate list: verify cost is O(|candidates|), independent
+  of corpus size — the classic escape from the O(n^2) pair space.
+- SimHash      = shingle hashes -> 16 signed bit sums (partial agg) ->
+  16-bit signature -> pigeonhole banding (hamming <= 3 forces exact
+  agreement on >= 1 of 4 4-bit bands) -> equi-join candidates -> exact
+  hamming filter.  Never an all-pairs join.
+- n-gram Jaccard = candidate pairs bounded by a shared-shingle equi-join,
   never a cross join.
 
 Every hash is md5-derived (``conv(substr(md5(x),1,8),16,10)``) — identical
@@ -123,7 +126,11 @@ SHINGLES_DUCK = f"""
 def ngram_jaccard(spark, sf_dir: str):
     """Near-dup pairs by exact 3-gram Jaccard >= 0.5.  Pair space is
     bounded by the shared-shingle equi-join (never cross-join)."""
-    sh = _shingles_df(variants(spark, sf_dir)).cache()
+    # No .cache(): a cached subtree pins its 64-way partitioning and disables
+    # AQE coalescing downstream (canChangeCachedPlanOutputPartitioning=false
+    # by default) — recomputing the cheap shingle scan is faster than losing
+    # AQE on every stage built above it.
+    sh = _shingles_df(variants(spark, sf_dir))
     sizes = sh.groupBy("vid").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -169,14 +176,22 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
 def minhash_lsh(spark, sf_dir: str):
     """shingle -> 4 md5-family minhashes -> 1-row bands -> bucket join ->
     candidates verified by exact Jaccard >= 0.5."""
-    sh = _shingles_df(variants(spark, sf_dir)).cache()
-    bands = spark.range(N_HASHES).select(F.col("id").cast("int").alias("j"))
-    sig = (
-        sh.crossJoin(F.broadcast(bands))
-        .groupBy("vid", "j")
-        .agg(
-            F.min(F.expr(H_SPARK.format(x="concat(j, ':', shingle)"))).alias("h")
-        )
+    # No .cache(): a cached subtree pins its 64-way partitioning and disables
+    # AQE coalescing downstream (canChangeCachedPlanOutputPartitioning=false
+    # by default) — recomputing the cheap shingle scan is faster than losing
+    # AQE on every stage built above it.
+    sh = _shingles_df(variants(spark, sf_dir))
+    # k minhashes as ONE wide aggregation (single shuffle), then unpivot to
+    # (vid, j, h) band rows — same values as a per-band groupBy, fewer stages.
+    wide = sh.groupBy("vid").agg(
+        *[
+            F.min(F.expr(H_SPARK.format(x=f"concat({j}, ':', shingle)"))).alias(f"h{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+    stack_expr = ", ".join(f"{j}, h{j}" for j in range(N_HASHES))
+    sig = wide.selectExpr(
+        "vid", f"stack({N_HASHES}, {stack_expr}) as (j, h)"
     )
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
@@ -186,11 +201,18 @@ def minhash_lsh(spark, sf_dir: str):
         .agg(F.count("*").cast("bigint").alias("n_bands"))
     )
     sizes = sh.groupBy("vid").agg(F.count("*").alias("n_sh"))
+    # Exact-Jaccard verify ONLY for LSH candidate pairs (broadcast the tiny
+    # candidate list) — never an all-pairs shingle self-join.  This is the
+    # load-bearing scale property: verify cost is O(|candidates| x shingles
+    # per doc), independent of corpus size.
     inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), F.col("x.shingle") == F.col("y.shingle"))
-        .filter(F.col("x.vid") < F.col("y.vid"))
-        .groupBy(F.col("x.vid").alias("vid_a"), F.col("y.vid").alias("vid_b"))
+        sh.join(F.broadcast(cand.select("vid_a", "vid_b")), sh.vid == F.col("vid_a"))
+        .select("vid_a", "vid_b", "shingle")
+        .join(
+            sh.select(F.col("vid").alias("vid_b2"), F.col("shingle").alias("sh2")),
+            (F.col("vid_b") == F.col("vid_b2")) & (F.col("shingle") == F.col("sh2")),
+        )
+        .groupBy("vid_a", "vid_b")
         .agg(F.count("*").alias("n_inter"))
     )
     return (
@@ -259,14 +281,31 @@ def simhash_pairs(spark, sf_dir: str):
             for b in range(SIM_BITS)
         ).cast("bigint").alias("simhash"),
     )
-    a, b_ = simhash.alias("a"), simhash.alias("b")
+    # Pigeonhole banding (Manku et al.-style multi-index): any pair with
+    # hamming <= 3 over 16 bits must agree EXACTLY on >= 1 of 4 4-bit
+    # bands, so candidates come from 4 equi-joins on (band_idx, band_val)
+    # — never an all-pairs join; exact hamming filters the candidates.
+    n_bands = 4
+    stack = ", ".join(
+        f"{k}, (shiftright(simhash, {4 * k}) & 15)" for k in range(n_bands)
+    )
+    banded = simhash.selectExpr(
+        "vid", "simhash", f"stack({n_bands}, {stack}) as (k, band)"
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b_, F.col("a.vid") < F.col("b.vid"))
+        a.join(
+            b_,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
         .select(
             F.col("a.vid").alias("vid_a"),
             F.col("b.vid").alias("vid_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").cast("bigint").alias("hamming"),
         )
+        .distinct()
         .filter(F.col("hamming") <= 3)
     )
 
