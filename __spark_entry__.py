@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_medical_fields": X.extract_medical_fields,
         "extract_span_offsets": X.extract_span_offsets,
         "pdf_highlight_rects": X.pdf_highlight_rects,
+        "audit_row": X.audit_row,
         "host_distribution": X.host_distribution,
         # --- text analysis ---
         "token_stats": T.token_stats,
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_medical_fields": X.extract_medical_fields_oracle(),
         "extract_span_offsets": X.extract_span_offsets_oracle(),
         "pdf_highlight_rects": X.pdf_highlight_rects_oracle(),
+        "audit_row": X.audit_row_oracle(),
         "host_distribution": X.host_distribution_oracle(),
         "token_stats": T.TOKEN_STATS_ORACLE,
         "quality_score": T.QUALITY_ORACLE,

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction job (the north_star
+packaging contract):
+
+    python textextraction_spark/job/packaging.py   # -> build the zip, or
+    spark-submit --py-files /tmp/textextraction_spark_pyfiles.zip \\
+        job.py --input /data/pages --checkpoint /data/ckpt --batch-id b1
+
+Local library use needs no zip (job/packaging.py self-ships).
+
+Modes:
+  --input DIR           read a stored pages parquet/Iceberg table
+  --synthetic SF_DIR    build the deterministic pages table from a
+                        testdata documents parquet (fixtures/bench)
+  --streaming           run the Structured Streaming variant instead
+                        (micro-batch trigger = the reference's 2-min poll)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_session(app: str, shuffle_partitions: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="pages parquet directory")
+    src.add_argument("--synthetic", help="testdata sf dir to synthesize pages from")
+    ap.add_argument("--checkpoint", required=True, help="checkpoint root dir")
+    ap.add_argument("--batch-id", default="batch-0")
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--encrypt-phi", action="store_true")
+    ap.add_argument("--diagnose-skew", action="store_true")
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--stream-checkpoint", help="streaming offsets dir")
+    args = ap.parse_args(argv)
+
+    spark = build_session("textextraction-job", args.partitions)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.streaming:
+        from textextraction_spark.streaming.stream_job import run_streaming_extraction
+
+        if not args.input or not args.stream_checkpoint:
+            ap.error("--streaming requires --input and --stream-checkpoint")
+        q = run_streaming_extraction(
+            spark,
+            args.input,
+            args.checkpoint,
+            args.stream_checkpoint,
+            num_partitions=args.partitions,
+        )
+        q.awaitTermination()
+        return 0
+
+    from textextraction_spark.job.schemas import PAGES_SCHEMA
+    from textextraction_spark.plans.pipeline import JobConfig, run_extraction_job
+
+    if args.synthetic:
+        from textextraction_spark.sources.pages import build_pages
+
+        pages = build_pages(spark, args.synthetic)
+    else:
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+
+    cfg = JobConfig(
+        checkpoint_root=args.checkpoint,
+        batch_id=args.batch_id,
+        num_partitions=args.partitions,
+        diagnose_skew=args.diagnose_skew,
+        encrypt_phi=args.encrypt_phi,
+    )
+    metrics = run_extraction_job(spark, pages, cfg)
+    metrics.show(100, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

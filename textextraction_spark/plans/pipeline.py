@@ -35,6 +35,7 @@ class JobConfig:
     arrow_max_records: int = 512  # html rows can be MBs — cap batch size
     diagnose_skew: bool = False  # host-freq pre-pass (off: uniform url hash)
     rows_per_task: int = 50_000
+    encrypt_phi: bool = False  # F9: deterministic AES on patient fields
 
 
 def run_extraction_job(spark, pages_df, cfg: JobConfig):
@@ -54,7 +55,7 @@ def run_extraction_job(spark, pages_df, cfg: JobConfig):
     )
     distributed = salted_repartition(pending, cfg.num_partitions, plan)
 
-    extracted = extract_pages(distributed).select(
+    extracted = extract_pages(distributed, encrypt_phi=cfg.encrypt_phi).select(
         "*",
         F.spark_partition_id().alias("part_id"),
         F.lit(cfg.batch_id).alias("batch_id"),

@@ -229,6 +229,47 @@ def pdf_highlight_rects_oracle() -> str:
     """
 
 
+def audit_row(spark, sf_dir: str):
+    """The ``AppImageOcr`` audit-row analog (SURVEY.md §1.1, §2.8 F10-F13):
+    deterministic doc id (F12: sha2(url) replacing Guid.NewGuid), formatted
+    confidence string (F11: '{0:0.00}'), lineage paths (F13), and the
+    extracted fields serialized to JSON (F10) — for invoice docs."""
+    ex = _extracted(spark, sf_dir).filter(
+        (F.col("doc_id") % 20 >= 1) & (F.col("doc_id") % 20 <= 6)
+    )
+    sp = ex.select("url", "confidence", F.explode("spans").alias("s"))
+    fields = sp.groupBy("url", "confidence").agg(
+        F.max(F.when(F.col("s.field") == "invoice.number", F.col("s.text"))).alias("inv_num"),
+        F.max(F.when(F.col("s.field") == "invoice.total", F.col("s.text"))).alias("total"),
+    )
+    return fields.select(
+        "url",
+        F.sha2(F.col("url"), 256).alias("doc_guid"),
+        F.format_number(F.col("confidence"), 2).alias("confidence_str"),
+        F.concat_ws("/", F.lit("warehouse"), F.lit("extracted"), F.col("url")).alias(
+            "output_path"
+        ),
+        F.to_json(F.struct("inv_num", "total")).alias("fields_json"),
+    )
+
+
+def audit_row_oracle() -> str:
+    # DuckDB reconstructs to_json(struct(...)) byte-for-byte: Spark emits
+    # {"inv_num":"...","total":"..."} (struct order, no spaces, non-null).
+    kept = f"(CASE WHEN ({expected_text_sql('duckdb')}) = '' THEN 0 ELSE len(str_split(replace(({expected_text_sql('duckdb')}), chr(10), ' '), ' ')) END)"
+    shell = "(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 11 END)"
+    conf = f"({kept} / ({kept} + {shell}))"
+    return f"""
+    SELECT {URL_SQL} AS url,
+           sha256({URL_SQL}) AS doc_guid,
+           printf('%.2f', {conf}) AS confidence_str,
+           'warehouse/extracted/' || {URL_SQL} AS output_path,
+           '{{"inv_num":"' || {INV_NUM_SQL} || '","total":"' || {TOTAL_SQL} || '"}}'
+               AS fields_json
+    FROM documents WHERE doc_id % 20 BETWEEN 1 AND 6
+    """
+
+
 # -------------------------------------------------------- host distribution
 def host_distribution(spark, sf_dir: str):
     """Skew diagnosis over pages urls (plans/skew.py host_frequencies)."""
