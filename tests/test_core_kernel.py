@@ -252,3 +252,45 @@ class TestProperties:
         t = doc.text()
         for ln in doc.lines:
             assert t[ln.start : ln.end] == ln.text
+
+
+# -------------------------------------------- fast vs stdlib parser parity
+from textextraction_spark.core.dom import parse_blocks  # noqa: E402
+
+
+def _blockkey(bs):
+    return [(b.text, b.n_words, b.n_link_words, b.boiler_ancestor) for b in bs]
+
+
+class TestParserParity:
+    """The fast regex scanner must match the html.parser oracle
+    block-for-block (dom.py dual front-end contract)."""
+
+    CASES = [
+        b"<p>plain</p>",
+        b"<a href=/>L</a> after",
+        b"<p/>selfclosed block",
+        b"<br/><p>x</p><img src=y title='a>b'/>",
+        b"<script>var x = '</p>';</script><p>real</p>",
+        b"<!-- comment --><p>a &amp; b &lt;c&gt;</p>",
+        b"<P CLASS='z'>UPPER</P>",
+        b"<p>unclosed",
+        b"<div><ul><li><a href='/x'>l1</a></li></ul></div>",
+        "<p>caf\xe9 üml</p>".encode("latin-1"),
+        b"\x00\xffgarbage<<>>",
+        b"<nav><a href=/1>a</a> <a href=/2>b</a></nav><main><p>keep</p></main>",
+    ]
+
+    @pytest.mark.parametrize("case", CASES)
+    def test_fixed_cases(self, case):
+        assert _blockkey(parse_blocks(case, "fast")) == _blockkey(
+            parse_blocks(case, "stdlib")
+        )
+
+    @given(WORDS)
+    @settings(max_examples=60, deadline=None)
+    def test_generated_docs(self, words):
+        html = SHELL.format(main="<p>" + " ".join(words) + "</p>").encode()
+        assert _blockkey(parse_blocks(html, "fast")) == _blockkey(
+            parse_blocks(html, "stdlib")
+        )

@@ -16,7 +16,7 @@ extracts with low confidence just as a noisy scan OCRs with low confidence.
 from __future__ import annotations
 
 from textextraction_spark.core.dom import RawBlock, parse_blocks
-from textextraction_spark.core.model import Doc, Line, Page, build_words
+from textextraction_spark.core.model import Doc, Line, Page
 
 MAX_LINK_DENSITY = 1.0 / 3.0
 
@@ -53,7 +53,6 @@ def doc_from_blocks(blocks: list[RawBlock]) -> Doc:
                 text=b.text,
                 start=start,
                 end=end,
-                words=build_words(b.text, start),
             )
         )
         offset = end + 1  # the "\n" joiner

@@ -36,9 +36,17 @@ class Line:
     text: str
     start: int
     end: int
-    words: list[Word] = field(default_factory=list)
     # PDF block origin in "pixel" units (x1, y1, x2, y2); None for HTML.
     bbox: tuple[int, int, int, int] | None = None
+    # Lazy word cache — tokenization is ~15% of kernel time and only the
+    # doc_json audit column consumes words, so they build on demand.
+    _words: list[Word] | None = field(default=None, repr=False, compare=False)
+
+    @property
+    def words(self) -> list[Word]:
+        if self._words is None:
+            self._words = build_words(self.text, self.start)
+        return self._words
 
 
 @dataclass

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import re
 
-from textextraction_spark.core.model import Doc, Line, Page, build_words
+from textextraction_spark.core.model import Doc, Line, Page
 
 PDF_MAGIC = b"%PDF"
 
@@ -81,7 +81,6 @@ def parse_pdf(data: bytes) -> Doc:
                     text=text,
                     start=start,
                     end=end,
-                    words=build_words(text, start),
                     bbox=bbox,
                 )
             )

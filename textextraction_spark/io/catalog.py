@@ -1,0 +1,82 @@
+"""Catalog abstraction: Iceberg when the runtime has it, local parquet
+checkpoint otherwise — same exactly-once contract either way (SURVEY.md
+§7.0, §7.4.6).
+
+On a production cluster (Iceberg jars + a configured catalog) the commit
+protocol maps onto:
+
+    results:   MERGE INTO results r USING batch b ON r.url = b.url
+               WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+    resume:    pages LEFT ANTI JOIN (SELECT url FROM results) — or Iceberg's
+               incremental snapshot reads
+    atomicity: the Iceberg snapshot commit (optimistic, single swap) replaces
+               the local backend's atomic directory-marker rename.
+
+This image has no Iceberg jars (SURVEY.md §7.0), so ``IcebergCatalog`` is
+capability-gated: constructing it without the extension raises a clear
+error, and ``get_catalog`` falls back to the tested local backend.  The
+class body is the documented production shape; its semantics are the SAME
+contract the kill/resume tests pin on the local backend.
+"""
+
+from __future__ import annotations
+
+from textextraction_spark.io.checkpoint import CheckpointCatalog
+
+
+def iceberg_available(spark) -> bool:
+    """True iff the Iceberg Spark extension is on the classpath."""
+    try:
+        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+class IcebergCatalog:
+    """Iceberg-backed implementation of the checkpoint contract.
+
+    Requires: spark.sql.extensions=org.apache.iceberg.spark.extensions
+    .IcebergSparkSessionExtensions and a configured catalog (e.g.
+    ``spark.sql.catalog.wh=org.apache.iceberg.spark.SparkCatalog``).
+    """
+
+    def __init__(self, spark, table: str) -> None:
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg extension not on the classpath — use "
+                "get_catalog(), which falls back to the local parquet "
+                "CheckpointCatalog with identical semantics"
+            )
+        self.spark = spark
+        self.table = table
+
+    # -- same surface as CheckpointCatalog --------------------------------
+    def committed_urls(self, spark):
+        return spark.read.table(self.table).select("url")
+
+    def results(self, spark):
+        return spark.read.table(self.table)
+
+    def pending(self, pages_df, spark):
+        return pages_df.join(self.committed_urls(spark), "url", "left_anti")
+
+    def write_batch(self, extracted_df, batch_id: str) -> None:
+        """MERGE keyed on url: idempotent re-run of a crashed batch
+        overwrites its own rows; the snapshot commit is the atomic point."""
+        extracted_df.createOrReplaceTempView(f"_batch_{batch_id}")
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.table} r
+            USING _batch_{batch_id} b ON r.url = b.url
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+
+
+def get_catalog(spark, root_or_table: str, prefer: str = "auto"):
+    """Factory: Iceberg when available (or forced), else local parquet."""
+    if prefer == "iceberg" or (prefer == "auto" and iceberg_available(spark)):
+        return IcebergCatalog(spark, root_or_table)
+    return CheckpointCatalog(root_or_table)

@@ -36,6 +36,11 @@ class JobConfig:
     diagnose_skew: bool = False  # host-freq pre-pass (off: uniform url hash)
     rows_per_task: int = 50_000
     encrypt_phi: bool = False  # F9: deterministic AES on patient fields
+    # Extraction is per-url independent, so when the input layout is already
+    # balanced (equal-size files / splits) the fastest plan is NO shuffle at
+    # all — extract on scan partitions.  Repartition=True moves the bytes
+    # once to fix skewed layouts (tiny files, giant files, hot hosts).
+    repartition: bool = True
 
 
 def run_extraction_job(spark, pages_df, cfg: JobConfig):
@@ -50,10 +55,13 @@ def run_extraction_job(spark, pages_df, cfg: JobConfig):
     catalog = CheckpointCatalog(cfg.checkpoint_root)
 
     pending = catalog.pending(pages_df.select("url", "warc_ts", "html"), spark)
-    plan = (
-        salt_plan(pending, cfg.rows_per_task) if cfg.diagnose_skew else None
-    )
-    distributed = salted_repartition(pending, cfg.num_partitions, plan)
+    if cfg.repartition:
+        plan = (
+            salt_plan(pending, cfg.rows_per_task) if cfg.diagnose_skew else None
+        )
+        distributed = salted_repartition(pending, cfg.num_partitions, plan)
+    else:
+        distributed = pending
 
     extracted = extract_pages(distributed, encrypt_phi=cfg.encrypt_phi).select(
         "*",
