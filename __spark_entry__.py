@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from textextraction_spark.operators import dedup as D
     from textextraction_spark.operators import multimodal as M
     from textextraction_spark.operators import simsearch as S
+    from textextraction_spark.operators import templates as TP
     from textextraction_spark.operators import textstats as T
     from textextraction_spark.plans import queries as X
 
@@ -63,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": T.quality_score,
         "lang_id": T.lang_id,
         "fingerprint": T.fingerprint,
+        "site_template_lines": TP.site_template_lines,
         # --- dedup ---
         "dedup_exact": D.exact_dedup,
         "dedup_ngram_jaccard": D.ngram_jaccard,
@@ -94,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
     from textextraction_spark.operators import dedup as D
     from textextraction_spark.operators import multimodal as M
     from textextraction_spark.operators import simsearch as S
+    from textextraction_spark.operators import templates as TP
     from textextraction_spark.operators import textstats as T
     from textextraction_spark.plans import queries as X
 
@@ -111,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": T.QUALITY_ORACLE,
         "lang_id": T.LANG_ID_ORACLE,
         "fingerprint": T.FINGERPRINT_ORACLE,
+        "site_template_lines": TP.SITE_TEMPLATE_ORACLE,
         "dedup_exact": D.EXACT_DEDUP_ORACLE,
         "dedup_ngram_jaccard": D.NGRAM_JACCARD_ORACLE,
         "dedup_minhash_lsh": D.MINHASH_LSH_ORACLE,
