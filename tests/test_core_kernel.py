@@ -294,3 +294,20 @@ class TestParserParity:
         assert _blockkey(parse_blocks(html, "fast")) == _blockkey(
             parse_blocks(html, "stdlib")
         )
+
+
+class TestExtendedDateGrammar:
+    """D3 (ISO) and D4 (day-first) additions to the frozen grammar."""
+
+    @pytest.mark.parametrize(
+        "text,expect",
+        [
+            ("invoice date 2020-09-23 net", "2020-09-23"),
+            ("born 5 March 1975 in", "5 March 1975"),
+            ("on 23rd Sep, 2020 we", "23rd Sep, 2020"),
+            ("v2020-13-01 not a date", ""),
+            ("meeting 2020-09-23 then 01/01/2001", "2020-09-23"),
+        ],
+    )
+    def test_cases(self, text, expect):
+        assert recognize_date(text) == expect

@@ -14,6 +14,8 @@ recognizer's "first result" choice at ``EntityRecognizer.cs:20-25``):
   D2  month-name      ``March 5, 1975`` ``MAR 5 1975`` ``January 02, 2020``
                       (full or 3-letter month, optional comma, optional
                       ordinal suffix on the day)
+  D3  ISO-8601 date   ``2020-09-23``
+  D4  day-first       ``5 March 1975`` ``23rd Sep, 2020``
 
 The surface text of the match is returned verbatim (the caller uppercases
 for the invoice path, matching ``Model/InvoiceDate.cs:20`` ``.ToUpper()``).
@@ -33,11 +35,17 @@ D2_MONTHNAME = (
     r"\b(" + _MONTHS + r")\.?\s+(0?[1-9]|[12][0-9]|3[01])(?:ST|ND|RD|TH)?,?\s+((19|20)[0-9]{2})\b"
 )
 
-DATE_RE = re.compile("(?:" + D1_NUMERIC + ")|(?:" + D2_MONTHNAME + ")", re.IGNORECASE)
+D3_ISO = r"\b((19|20)[0-9]{2})-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])\b"
+D4_DAYFIRST = (
+    r"\b(0?[1-9]|[12][0-9]|3[01])(?:ST|ND|RD|TH)?\s+(" + _MONTHS + r")\.?,?\s+((19|20)[0-9]{2})\b"
+)
+
+_ALL = [D1_NUMERIC, D2_MONTHNAME, D3_ISO, D4_DAYFIRST]
+DATE_RE = re.compile("|".join(f"(?:{p})" for p in _ALL), re.IGNORECASE)
 
 # Same grammar as a single RE2/Java-safe pattern for SQL engines (Spark
 # `regexp_extract` group 0 / DuckDB `regexp_extract`). No lookarounds.
-DATE_RE_SQL = "(?:" + D1_NUMERIC + ")|(?:" + D2_MONTHNAME + ")"
+DATE_RE_SQL = "|".join(f"(?:{p})" for p in _ALL)
 
 
 def find_first_date(text: str) -> tuple[str, int, int] | None:

@@ -27,7 +27,10 @@ from textextraction_spark.io.checkpoint import CheckpointCatalog
 def iceberg_available(spark) -> bool:
     """True iff the Iceberg Spark extension is on the classpath."""
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        # NB: plain `spark._jvm.org...` attribute access returns a lazy
+        # JavaPackage even for missing classes — Class.forName actually
+        # probes the classpath.
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
         return True
     except Exception:
         return False
