@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "ann_brute_force_topk": S.brute_force_topk,
         "ann_lsh_bucket": S.lsh_bucket_ann,
+        "ann_ivf_probe": S.ivf_probe_ann,
         "embedding_near_dup": S.embedding_near_dup,
         # --- multimodal plumbing ---
         "media_metadata": M.media_metadata,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": D.SIMHASH_ORACLE,
         "ann_brute_force_topk": S.BRUTE_FORCE_ORACLE,
         "ann_lsh_bucket": S.LSH_ANN_ORACLE,
+        "ann_ivf_probe": S.IVF_ANN_ORACLE,
         "embedding_near_dup": S.EMBEDDING_NEAR_DUP_ORACLE,
         "media_metadata": M.MEDIA_METADATA_ORACLE,
         "p1_strip_special": R.P1_ORACLE,

@@ -139,6 +139,65 @@ LIMIT {TOP_K}
 """
 
 
+def ivf_probe_ann(spark, sf_dir: str):
+    """IVF-style ANN: coarse quantization assigns each vector to the
+    nearest of k "centroids" (inner product argmax; centroids here are
+    stored vectors 1..4 — production would broadcast k-means centroids);
+    search = exact cosine restricted to the query's cell (nprobe=1).
+
+    At scale the cell id is the partitioning key: each query touches
+    1/k-th of the corpus, and cells are balanced by construction of the
+    centroids."""
+    cents = [_query_vec_expr(spark, sf_dir, pid) for pid in PLANE_IDS]
+    dots = [f"({_dot('embedding', c)})" for c in cents]
+    g = f"greatest({', '.join(dots)})"
+    cell = "case " + " ".join(
+        f"when {d} = {g} then {i}" for i, d in enumerate(dots)
+    ) + " end"
+    e = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "embedding",
+        F.expr(cell).cast("bigint").alias("cell"),
+    )
+    qc = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("cell").alias("qcell"))
+    q = _query_vec_expr(spark, sf_dir, QUERY_VEC_ID)
+    cos = F.expr(f"{_dot('embedding', q)} / ({_norm('embedding')} * {_norm(q)})")
+    return (
+        e.join(F.broadcast(qc), e.cell == qc.qcell)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "cell", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_DUCK_DOTS = [
+    f"list_dot_product(e.embedding::DOUBLE[], p{i}.embedding::DOUBLE[])"
+    for i in range(N_PLANES)
+]
+_DUCK_G = f"greatest({', '.join(_DUCK_DOTS)})"
+_DUCK_CELL = (
+    "CASE "
+    + " ".join(f"WHEN {d} = {_DUCK_G} THEN {i}" for i, d in enumerate(_DUCK_DOTS))
+    + " END"
+)
+IVF_ANN_ORACLE = f"""
+WITH c AS (
+  SELECT e.vec_id::BIGINT AS vec_id, e.embedding, ({_DUCK_CELL})::BIGINT AS cell
+  FROM embeddings e {_DUCK_PLANES}
+),
+q AS (SELECT cell AS qcell, embedding AS qe FROM c WHERE vec_id = {QUERY_VEC_ID})
+SELECT c.vec_id, c.cell,
+       round({_duck_dot('c.embedding', 'q.qe')} /
+             (sqrt({_duck_dot('c.embedding', 'c.embedding')}) * sqrt({_duck_dot('q.qe', 'q.qe')})), 6)
+           AS cosine
+FROM c, q
+WHERE c.cell = q.qcell AND c.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def embedding_near_dup(spark, sf_dir: str):
     """Embedding-cosine near-dup: vectors with cosine >= 0.999999 among the
     corpus + identity copies (vec_id + 10000) of the first 200 vectors.
