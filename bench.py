@@ -156,7 +156,7 @@ def run_extract(spark, pages_dir: str, partitions: int):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "200"))
+    rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "120"))
     do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 

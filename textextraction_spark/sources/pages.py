@@ -207,17 +207,26 @@ def total_amount_str(doc_id: int) -> str:
 def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
     """Text blocks emitted OUT of reading order (remainder first at y=300,
     head at y=700) so the extractor's sort is load-bearing; doc_id % 40 = 0
-    adds a bottom TOTAL block (field + rect on the PDF path)."""
+    adds a bottom TOTAL block (field + rect on the PDF path); doc_id % 40 =
+    20 splits head/tail across TWO pages (same expected text — page joins
+    and block joins both contribute a single newline)."""
     words = text.split(" ")
     if len(words) <= 10:
         blocks = [(72, 700, text)]
+        head = tail = None
     else:
         head = " ".join(words[:10])
         tail = " ".join(words[10:])
         blocks = [(72, 300, tail), (72, 700, head)]  # stream order != reading order
     if doc_id % 40 == 0:
         blocks.insert(0, (72, TOTAL_BLOCK_Y, f"TOTAL {total_amount_str(doc_id)}"))
-    body = "".join(f"BT {x} {y} Td ({t}) Tj ET\n" for x, y, t in blocks)
+    if doc_id % 40 == 20 and head is not None:
+        body = (
+            f"BT 72 700 Td ({head}) Tj ET\n%%PageBreak\n"
+            f"BT 72 700 Td ({tail}) Tj ET\n"
+        )
+    else:
+        body = "".join(f"BT {x} {y} Td ({t}) Tj ET\n" for x, y, t in blocks)
     return f"%PDF-1.4\nstream\n{body}endstream\n%%EOF".encode("latin-1")
 
 
