@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from textextraction_spark.functions import analytics as A
     from textextraction_spark.functions import relational as R
     from textextraction_spark.operators import dedup as D
     from textextraction_spark.operators import multimodal as M
@@ -89,10 +90,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_top_orders": R.s1_top_orders,
         "set_except_types": R.set_except_types,
         "q1_pricing_summary": R.q1_pricing_summary,
+        # --- analytic suite (window frames, grouping sets, as-of/band joins) ---
+        "w2_lag_moving_avg": A.w2_lag_moving_avg,
+        "rollup_daily_counts": A.rollup_daily_counts,
+        "cube_type_bucket": A.cube_type_bucket,
+        "asof_last_click": A.asof_last_click,
+        "pivot_user_type_counts": A.pivot_user_type_counts,
+        "pctl_value_by_type": A.pctl_value_by_type,
+        "sessionize_batch": A.sessionize_batch,
+        "band_range_join": A.band_range_join,
+        "intersect_types": A.intersect_types,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from textextraction_spark.functions import analytics as A
     from textextraction_spark.functions import relational as R
     from textextraction_spark.operators import dedup as D
     from textextraction_spark.operators import multimodal as M
@@ -136,4 +148,13 @@ def oracle_sql() -> dict[str, str]:
         "s1_top_orders": R.S1_ORACLE,
         "set_except_types": R.SET_ORACLE,
         "q1_pricing_summary": R.Q1_ORACLE,
+        "w2_lag_moving_avg": A.W2_LAG_ORACLE,
+        "rollup_daily_counts": A.ROLLUP_ORACLE,
+        "cube_type_bucket": A.CUBE_ORACLE,
+        "asof_last_click": A.ASOF_ORACLE,
+        "pivot_user_type_counts": A.PIVOT_ORACLE,
+        "pctl_value_by_type": A.PCTL_ORACLE,
+        "sessionize_batch": A.SESSIONIZE_ORACLE,
+        "band_range_join": A.BAND_ORACLE,
+        "intersect_types": A.INTERSECT_ORACLE,
     }

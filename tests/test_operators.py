@@ -35,6 +35,15 @@ FAST_SUBSET = [
     "j1_broadcast_join",
     "w1_topk_per_group",
     "q1_pricing_summary",
+    "w2_lag_moving_avg",
+    "rollup_daily_counts",
+    "cube_type_bucket",
+    "asof_last_click",
+    "pivot_user_type_counts",
+    "pctl_value_by_type",
+    "sessionize_batch",
+    "band_range_join",
+    "intersect_types",
 ]
 
 

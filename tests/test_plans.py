@@ -72,3 +72,23 @@ class TestJoinStrategies:
         plan = plan_of(j2_anti_join_resume(spark, "/root/testdata/sf0.001"))
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
+
+    def test_band_join_is_broadcast_nested_loop(self, spark):
+        """Interval join: 5-row build side must broadcast — a shuffled
+        theta join here would be quadratic at scale."""
+        from textextraction_spark.functions.analytics import band_range_join
+
+        plan = plan_of(band_range_join(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_asof_join_single_shuffle(self, spark):
+        """The union+window as-of join shuffles ONCE on user_id (plus the
+        final-select exchanges AQE may add reading shuffle output) — and
+        contains no join node at all: the as-of is pure window."""
+        from textextraction_spark.functions.analytics import asof_last_click
+
+        plan = plan_of(asof_last_click(spark, "/root/testdata/sf0.001"))
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning(user_id") <= 2  # node + Input line

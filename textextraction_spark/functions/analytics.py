@@ -1,0 +1,321 @@
+"""Analytic operator suite over the driver's ``events`` table — the window
+frames, multi-level aggregations, and join shapes SURVEY.md §2.5-2.7 lists
+as "absent in reference; Spark built-ins if needed".  A production
+crawl/training-data pipeline needs every one of these (per-host cadence
+windows, daily rollup dashboards, as-of joins of fetches to robots-policy
+changes, band joins of doc quality to routing tiers), so the engine pins
+each against an exact DuckDB oracle.
+
+Scale notes (100 TB framing):
+- every query is a single hash-shuffle on its natural key (user_id /
+  event_type) — no driver collect, no cartesian products;
+- the as-of join uses the union+last(ignorenulls) window pattern: one
+  shuffle on the key, linear scan per partition — the scalable alternative
+  to a per-key ``merge_asof`` loop or a range self-join;
+- the band join broadcasts the (tiny) band dimension: BroadcastNestedLoop
+  with 5 rows on the build side, never a shuffled theta join;
+- rollup/cube reuse one shuffle for all grouping sets (Spark Expand).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---- W2+: analytic frames — lag delta + bounded moving average -----------
+def w2_lag_moving_avg(spark, sf_dir: str):
+    """Per-user ordered stream: delta from previous event's value and a
+    3-row trailing moving average (ROWS BETWEEN 2 PRECEDING AND CURRENT)."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wf = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.round(F.avg("value").over(wf), 4).alias("mavg3"),
+    )
+
+
+W2_LAG_ORACLE = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER w, 4) AS delta_prev,
+       round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---- ROLLUP: multi-level aggregation in one shuffle ----------------------
+def rollup_daily_counts(spark, sf_dir: str):
+    """(event_type, day) -> day-level -> grand total via ROLLUP; null
+    grouping levels surfaced as 'ALL' sentinels so the oracle hash is
+    unambiguous."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, 'ALL') AS day,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
+# ---- CUBE: all grouping-set combinations ---------------------------------
+def cube_type_bucket(spark, sf_dir: str):
+    """CUBE over (event_type, value_bucket): every marginal in one pass."""
+    ev = _events(spark, sf_dir).withColumn(
+        "value_bucket", F.floor(F.col("value") / 100).cast("bigint")
+    )
+    return (
+        ev.cube("event_type", "value_bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("value_bucket", F.lit(-1)).cast("bigint").alias("value_bucket"),
+            "n",
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(value_bucket, -1)::BIGINT AS value_bucket,
+       count(*)::BIGINT AS n
+FROM (SELECT event_type, floor(value / 100)::BIGINT AS value_bucket FROM events)
+GROUP BY CUBE (event_type, value_bucket)
+"""
+
+
+# ---- AS-OF join: most recent click at-or-before each error ---------------
+def asof_last_click(spark, sf_dir: str):
+    """As-of (backward) join: for every error event, the latest click by
+    the same user with click.ts <= error.ts.
+
+    Spark has no ASOF JOIN operator; the scalable composition is the
+    union-marker + last(ignorenulls) running window: one shuffle on
+    user_id, one linear pass — no range self-join, no per-key python."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("marker"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("marker"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        "event_id",
+    )
+    u = clicks.unionByName(errors)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("marker"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("marker") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT max(c.ts) FROM events c
+        WHERE c.user_id = e.user_id AND c.event_type = 'click'
+          AND c.ts <= e.ts) AS last_click_ts
+FROM events e WHERE e.event_type = 'error'
+"""
+
+
+# ---- PIVOT: wide per-user type counts ------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_user_type_counts(spark, sf_dir: str):
+    """groupBy(user).pivot(event_type) with a FIXED value list (never let
+    Spark scan for distinct pivot values at 100 TB) -> one wide row per
+    user, absent combinations zero-filled."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+
+
+PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+# ---- Exact percentiles (distribution profiling) --------------------------
+def pctl_value_by_type(spark, sf_dir: str):
+    """Exact p25/p50/p75 of value per event_type (linear interpolation) —
+    Spark `percentile`, matched by DuckDB `quantile_cont`.  At 100 TB the
+    drop-in scale path is `percentile_approx` (t-digest) at the same call
+    site; the exact form is kept here because the oracle gate demands
+    bit-stable values."""
+    ev = _events(spark, sf_dir)
+    p = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    return ev.groupBy("event_type").agg(
+        F.round(p[0], 4).alias("p25"),
+        F.round(p[1], 4).alias("p50"),
+        F.round(p[2], 4).alias("p75"),
+    )
+
+
+PCTL_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+# ---- Batch sessionization (gaps-and-islands) -----------------------------
+SESSION_GAP_S = 1800
+
+
+def sessionize_batch(spark, sf_dir: str):
+    """Per-user 30-min-gap sessions via lag + running sum (the batch twin
+    of streaming/stateful.py's applyInPandasWithState operator): one
+    shuffle on user_id, two window passes, then the session rollup."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # parquet ts is TIMESTAMP_NTZ; cast through session-tz (UTC) for unix_micros
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_sess = (
+        (us - F.lag(us).over(w)) > SESSION_GAP_S * 1_000_000
+    ).cast("int")
+    sess_id = F.sum(F.coalesce(new_sess, F.lit(0))).over(
+        w.rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn("session_id", sess_id)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("bigint").alias("session_id"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_S * 1_000_000} THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+# ---- Band (interval) join ------------------------------------------------
+BANDS = [
+    (0.0, 50.0, "xs"),
+    (50.0, 100.0, "s"),
+    (100.0, 200.0, "m"),
+    (200.0, 350.0, "l"),
+    (350.0, 1000.0, "xl"),
+]
+
+
+def band_range_join(spark, sf_dir: str):
+    """Interval join of events against a tiny band dimension — explicitly
+    broadcast so the physical plan is BroadcastNestedLoopJoin with a 5-row
+    build side (a shuffled theta join here would be a 100 TB disaster)."""
+    ev = _events(spark, sf_dir)
+    bands = spark.createDataFrame(BANDS, "lo double, hi double, band string")
+    joined = ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        "inner",
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+BAND_VALUES = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in BANDS)
+BAND_ORACLE = f"""
+SELECT band, count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events JOIN (VALUES {BAND_VALUES}) AS bands(lo, hi, band)
+  ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+# ---- INTERSECT (set op, complements relational.set_except_types) ---------
+def intersect_types(spark, sf_dir: str):
+    """(user, type) combos active in BOTH halves of the stream — INTERSECT
+    (distinct semantics on both engines)."""
+    ev = _events(spark, sf_dir)
+    mid = "2024-01-04"
+    early = ev.filter(F.col("ts") < mid).select("user_id", "event_type")
+    late = ev.filter(F.col("ts") >= mid).select("user_id", "event_type")
+    return early.intersect(late)
+
+
+INTERSECT_ORACLE = """
+SELECT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-04'
+INTERSECT
+SELECT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-04'
+"""
