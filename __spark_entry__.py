@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": S.embedding_near_dup,
         # --- multimodal plumbing ---
         "media_metadata": M.media_metadata,
+        "media_frame_sample": M.media_frame_sample,
         # --- relational operator suite (SURVEY.md §2.3-2.7) ---
         "p1_strip_special": R.p1_strip_special,
         "p3_keyword_gate": R.p3_keyword_gate,
@@ -137,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_probe": S.IVF_ANN_ORACLE,
         "embedding_near_dup": S.EMBEDDING_NEAR_DUP_ORACLE,
         "media_metadata": M.MEDIA_METADATA_ORACLE,
+        "media_frame_sample": M.MEDIA_FRAME_SAMPLE_ORACLE,
         "p1_strip_special": R.P1_ORACLE,
         "p3_keyword_gate": R.P3_ORACLE,
         "a1_avg_by_group": R.A1_ORACLE,

@@ -311,3 +311,35 @@ class TestExtendedDateGrammar:
     )
     def test_cases(self, text, expect):
         assert recognize_date(text) == expect
+
+
+# ------------------------------------------------- transport normalization
+class TestNormalizeBytes:
+    HTML = b"<body><p>hello main content words here</p></body>"
+
+    def test_gzip_payload_extracts_identically(self):
+        import gzip
+
+        from textextraction_spark.core.extract import normalize_bytes
+
+        plain = extract_document(self.HTML)
+        gz = extract_document(gzip.compress(self.HTML, mtime=0))
+        assert gz.extracted_text == plain.extracted_text
+        assert normalize_bytes(gzip.compress(b"x", mtime=0)) == b"x"
+
+    def test_bom_stripped(self):
+        plain = extract_document(self.HTML)
+        bom = extract_document(b"\xef\xbb\xbf" + self.HTML)
+        assert bom.extracted_text == plain.extracted_text
+        assert not bom.extracted_text.startswith("﻿")
+
+    def test_gzipped_pdf_routes_to_pdf_path(self):
+        import gzip
+
+        pdf = b"%PDF-1.4\nstream\nBT 72 700 Td (alpha beta) Tj ET\nendstream\n%%EOF"
+        r = extract_document(gzip.compress(pdf, mtime=0))
+        assert r.is_pdf and r.extracted_text == "alpha beta"
+
+    def test_corrupt_gzip_passes_through(self):
+        r = extract_document(b"\x1f\x8bnot really gzip")
+        assert r.error == ""  # DOM path treats it as text, never raises

@@ -30,6 +30,7 @@ FAST_SUBSET = [
     "ann_brute_force_topk",
     "ann_lsh_bucket",
     "media_metadata",
+    "media_frame_sample",
     "a1_avg_by_group",
     "a2_first_event_per_user",
     "j1_broadcast_join",

@@ -9,6 +9,7 @@ block path, everything else the HTML DOM path.
 
 from __future__ import annotations
 
+import gzip
 import json
 from dataclasses import dataclass, field
 
@@ -54,6 +55,27 @@ class ExtractResult:
 
 PHI_FIELDS = ("patient.name", "patient.birth_date")
 
+_GZIP_MAGIC = b"\x1f\x8b"
+_UTF8_BOM = b"\xef\xbb\xbf"
+
+
+def normalize_bytes(data: bytes) -> bytes:
+    """Common-Crawl payload normalization, applied before routing: WARC
+    payloads are frequently stored gzip-compressed, and real-world HTML
+    often leads with a UTF-8 BOM.  Both are transport artifacts — the
+    extraction contract is over the underlying document, so they are
+    stripped here (gzip first: a BOM can only appear on decompressed
+    bytes).  A payload that merely *starts* like gzip but fails to inflate
+    is passed through untouched (the DOM path treats it as text)."""
+    if data[:2] == _GZIP_MAGIC:
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            pass
+    if data[:3] == _UTF8_BOM:
+        data = data[3:]
+    return data
+
 
 def extract_document(data: bytes, encrypt_phi: bool = False) -> ExtractResult:
     """Pure function of the document bytes (north_rule determinism).
@@ -62,6 +84,7 @@ def extract_document(data: bytes, encrypt_phi: bool = False) -> ExtractResult:
     (``Worker.cs:238-250``): patient fields' span text is replaced by its
     deterministic fixed-IV AES ciphertext (core/crypt.py, F9)."""
     try:
+        data = normalize_bytes(data)
         doc = parse_pdf(data) if is_pdf(data) else extract_html(data)
         spans = extract_spans(doc)
         if encrypt_phi:

@@ -96,6 +96,60 @@ def media_metadata(spark, sf_dir: str):
     return out
 
 
+def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1->N expansion: every 2nd frame index of each video, with a
+    deterministic per-frame content hash standing in for the decoded frame
+    (the UDTF-shaped mapInPandas pattern: output rows != input rows)."""
+    for pdf in batches:
+        ids, idxs, hashes = [], [], []
+        for doc_id, media in zip(pdf["doc_id"].values, pdf["media"].values):
+            data = bytes(media)
+            h = int(hashlib.md5(data).hexdigest()[:8], 16)
+            n_frames = 1 + h % 240
+            text = data.decode("utf-8")
+            for idx in range(0, n_frames, 2):
+                ids.append(doc_id)
+                idxs.append(idx)
+                hashes.append(
+                    hashlib.md5(f"{text}:{idx}".encode()).hexdigest()[:8]
+                )
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes}
+        )
+
+
+def media_frame_sample(spark, sf_dir: str):
+    """Video-routed documents -> sampled frame rows (every 2nd frame).
+
+    Scale notes: the expansion happens executor-side inside Arrow batches
+    (no explode of a materialized frame array through the JVM — frames
+    never exist as a column); output is ~120 small rows per video.  The
+    real frame decoder plugs into ``real_decode``; the hash is its
+    deterministic stand-in."""
+    from textextraction_spark.job.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    videos = d.filter(F.col("doc_id") % 3 == 2).select(
+        "doc_id", F.encode("text", "UTF-8").alias("media")
+    )
+    return videos.mapInPandas(
+        _frame_sample_batch, schema="doc_id long, frame_idx long, frame_hash string"
+    )
+
+
+MEDIA_FRAME_SAMPLE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 = 2
+), f AS (SELECT doc_id, text, 1 + h % 240 AS n_frames FROM t)
+SELECT doc_id, idx::BIGINT AS frame_idx,
+       substr(md5(text || ':' || idx), 1, 8) AS frame_hash
+FROM f, UNNEST(range(0, n_frames, 2)) AS u(idx)
+"""
+
+
 MEDIA_METADATA_ORACLE = """
 WITH t AS (
   SELECT doc_id,

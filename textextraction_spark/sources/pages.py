@@ -236,6 +236,8 @@ def build_pages(spark, sf_dir: str, with_pdf: bool = True):
     Pure narrow transforms (no shuffle): the plan is a parquet scan +
     projections, so Catalyst prunes to (doc_id, text, lang) at the scan.
     """
+    import gzip
+
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -245,6 +247,23 @@ def build_pages(spark, sf_dir: str, with_pdf: bool = True):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     html_col = F.expr(html_str_sql("spark"))
+
+    # Transport-artifact families (Common-Crawl realism; extracted text is
+    # unchanged, so every oracle transitively gates the normalization):
+    #   doc_id % 20 == 13 -> payload stored gzip-compressed (mtime=0)
+    #   doc_id % 20 == 14 -> payload leads with a UTF-8 BOM
+    @F.pandas_udf(T.BinaryType())
+    def gzip_udf(html: pd.Series) -> pd.Series:
+        return html.map(lambda s: gzip.compress(s.encode("utf-8"), mtime=0))
+
+    binary = (
+        F.when(F.col("doc_id") % 20 == 13, gzip_udf(html_col))
+        .when(
+            F.col("doc_id") % 20 == 14,
+            F.encode(F.concat(F.lit("\ufeff"), html_col), "UTF-8"),
+        )
+        .otherwise(F.encode(html_col, "UTF-8"))
+    )
 
     if with_pdf:
 
@@ -256,9 +275,7 @@ def build_pages(spark, sf_dir: str, with_pdf: bool = True):
 
         binary = F.when(
             F.col("doc_id") % 20 == 0, pdf_udf(F.col("text"), F.col("doc_id"))
-        ).otherwise(F.encode(html_col, "UTF-8"))
-    else:
-        binary = F.encode(html_col, "UTF-8")
+        ).otherwise(binary)
 
     return docs.select(
         F.expr(URL_SQL).alias("url"),
