@@ -49,7 +49,6 @@ RAWTEXT_TAGS = frozenset("script style".split())
 # its link density (tag-path classification per the north_star).
 BOILER_ANCESTORS = frozenset("nav footer header aside form select option".split())
 
-_WS = re.compile(r"\s+")
 
 
 @dataclass
@@ -87,14 +86,16 @@ class BlockSink:
         if not self._parts:
             return
         raw = "".join(t for t, _ in self._parts)
-        text = _WS.sub(" ", raw).strip()
-        if text:
+        # whitespace-normalize via split/join (one pass; str.split and
+        # regex \s agree on the Unicode whitespace set we care about)
+        words = raw.split()
+        if words:
+            text = " ".join(words)
             n_link = 0
-            if self._parts and any(in_link for _, in_link in self._parts):
-                for t, in_link in self._parts:
-                    if in_link:
-                        n_link += len(t.split())
-            n_words = len(text.split())
+            for t, in_link in self._parts:
+                if in_link:
+                    n_link += len(t.split())
+            n_words = len(words)
             self.blocks.append(
                 RawBlock(
                     index=len(self.blocks),
@@ -182,6 +183,27 @@ _TAG_RE = re.compile(
 )
 
 
+# tag-name bytes -> lowercase str, memoized (tag vocabulary is tiny; the
+# cache turns a decode+lower per tag into one dict hit)
+_NAME_CACHE: dict[bytes, str] = {}
+
+
+def _tag_name(tag: bytes) -> str:
+    name = _NAME_CACHE.get(tag)
+    if name is None:
+        name = tag.decode("ascii", "replace").lower()
+        if len(_NAME_CACHE) < 4096:  # bound growth on adversarial input
+            _NAME_CACHE[tag] = name
+    return name
+
+
+# rawtext close-tag scanners, precompiled per rawtext element
+_RAWTEXT_CLOSE = {
+    t: re.compile(rb"</" + t.encode() + rb"\s*>", re.IGNORECASE)
+    for t in RAWTEXT_TAGS
+}
+
+
 def _scan_fast(data: bytes, sink: BlockSink) -> None:
     pos = 0
     n = len(data)
@@ -197,7 +219,7 @@ def _scan_fast(data: bytes, sink: BlockSink) -> None:
         tag = m.group(2)
         if tag is None:  # comment / CDATA / doctype
             continue
-        name = tag.decode("ascii", "replace").lower()
+        name = _tag_name(tag)
         if m.group(1):  # end tag
             sink.end(name)
         else:
@@ -212,8 +234,7 @@ def _scan_fast(data: bytes, sink: BlockSink) -> None:
                 sink.end(name)
             elif name in RAWTEXT_TAGS:
                 # rawtext: skip to the matching close tag (browser behavior)
-                close = re.compile(rb"</" + tag + rb"\s*>", re.IGNORECASE)
-                cm = close.search(data, pos)
+                cm = _RAWTEXT_CLOSE[name].search(data, pos)
                 if cm is None:
                     sink.end(name)  # unterminated: drop rest like stdlib
                     pos = n

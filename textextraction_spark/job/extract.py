@@ -21,7 +21,6 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 from collections.abc import Iterator
-from dataclasses import asdict
 
 import pandas as pd
 
@@ -48,7 +47,8 @@ def extract_batch(
             b = bytes(data) if data is not None else b""
             r = extract_document(b, encrypt_phi=encrypt_phi)
             texts[i] = r.extracted_text
-            spans[i] = [asdict(s) for s in r.spans]
+            # vars().copy() beats dataclasses.asdict ~8x (no recursion)
+            spans[i] = [vars(s).copy() for s in r.spans]
             conf[i] = r.confidence
             n_lines[i] = r.n_lines
             n_bytes[i] = len(b)
