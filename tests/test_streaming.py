@@ -61,3 +61,46 @@ class TestStreaming:
         m = got.merge(want, on="url", suffixes=("_g", "_w"))
         assert len(m) == 300
         assert (m.extracted_text_g == m.extracted_text_w).all()
+
+
+class TestWindowedAggregation:
+    def test_watermarked_window_matches_batch(self, spark, tmp_path):
+        """Streaming watermark + tumbling window == batch twin on a drained
+        bounded stream; the plan carries the EventTimeWatermark node (state
+        eviction is live, not decorative)."""
+        from textextraction_spark.job.schemas import PAGES_SCHEMA
+        from textextraction_spark.streaming.windows import (
+            windowed_host_counts,
+            windowed_host_counts_batch,
+        )
+
+        pages_dir = str(tmp_path / "wpages")
+        _write_pages(spark, pages_dir, limit=300)
+
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+        agg = windowed_host_counts(stream, "10 minutes", "30 minutes")
+        assert "eventTime" in agg._jdf.queryExecution().analyzed().toString() or \
+            "EventTimeWatermark" in agg._jdf.queryExecution().analyzed().toString()
+
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = (
+            spark.table("win_counts")
+            .orderBy("win_start", "host")
+            .toPandas()
+        )
+        batch = spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
+        want = (
+            windowed_host_counts_batch(batch, "10 minutes")
+            .orderBy("win_start", "host")
+            .toPandas()
+        )
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+        assert got["n_pages"].sum() == 300

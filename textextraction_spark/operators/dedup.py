@@ -327,3 +327,59 @@ SELECT a.vid AS vid_a, b.vid AS vid_b,
 FROM sig a JOIN sig b ON a.vid < b.vid
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
+
+
+# ----------------------------------------------------- URL canonicalization
+# Standard web-corpus pre-dedup pass: many crawled urls differ only by
+# tracking query params, fragments, or a trailing slash.  Pure JVM
+# expressions (regexp chain inside whole-stage codegen) — at 10^12 urls
+# this is a narrow projection + one hash agg on the canonical key.
+def url_normalize_dedup(spark, sf_dir: str):
+    """Explode each page url into its crawl-variant forms (utm query,
+    trailing slash, fragment), canonicalize, and group: one survivor per
+    canonical url with the variant count."""
+    from textextraction_spark.sources.pages import URL_SQL
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr(URL_SQL).alias("base")
+    )
+    b = F.col("base")
+    urls = d.select(
+        F.explode(
+            F.array(
+                b,
+                F.concat(b, F.lit("?utm_source=feed")),
+                F.concat(b, F.lit("/")),
+                F.concat(b, F.lit("#frag")),
+            )
+        ).alias("url")
+    )
+    canonical = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("url"), r"#.*$", ""), r"\?utm_[^#]*$", ""
+            ),
+            r"/$",
+            "",
+        )
+    )
+    return urls.groupBy(canonical.alias("canonical_url")).agg(
+        F.count("*").cast("bigint").alias("n_variants"),
+        F.min("url").alias("representative"),
+    )
+
+
+from textextraction_spark.sources.pages import URL_SQL as _URL_SQL
+
+URL_NORMALIZE_ORACLE = f"""
+WITH v AS (
+  SELECT unnest([base, base || '?utm_source=feed', base || '/', base || '#frag']) AS url
+  FROM (SELECT {_URL_SQL} AS base FROM documents)
+)
+SELECT lower(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                                           '\\?utm_[^#]*$', ''), '/$', ''))
+           AS canonical_url,
+       count(*)::BIGINT AS n_variants,
+       min(url) AS representative
+FROM v GROUP BY 1
+"""

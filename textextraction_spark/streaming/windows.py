@@ -1,0 +1,47 @@
+"""Event-time windowed aggregation over the crawl stream (task brief
+§streaming: "watermarks + windowed aggs for late data").
+
+The reference has no event-time logic (SURVEY.md §2.9) — its poll loop is
+pure processing time — but a production crawl pipeline needs per-host
+cadence metrics keyed by *capture* time (``warc_ts``), tolerant of WARC
+segments arriving hours late.  This operator is the canonical Spark shape:
+
+    withWatermark(warc_ts, <late bound>)
+      -> groupBy(window(warc_ts, <tumble>), host)
+      -> count
+
+Scale notes: state is bounded by the watermark (windows older than the
+late bound are finalized and evicted); the aggregation is a standard
+partial+final hash agg keyed on (window, host) — one shuffle.  The batch
+twin (``windowed_host_counts_batch``) runs the same grouping over a bounded
+DataFrame; tests assert stream (complete mode, drained) == batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+HOST_RE = r"https?://([^/]+)/"
+
+
+def _agg(df, window_dur: str):
+    return (
+        df.groupBy(
+            F.window("warc_ts", window_dur).alias("win"),
+            F.regexp_extract("url", HOST_RE, 1).alias("host"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pages"))
+        .select(F.col("win.start").alias("win_start"), "host", "n_pages")
+    )
+
+
+def windowed_host_counts(
+    stream_df, window_dur: str = "10 minutes", watermark: str = "30 minutes"
+):
+    """Streaming: watermarked tumbling-window page counts per host."""
+    return _agg(stream_df.withWatermark("warc_ts", watermark), window_dur)
+
+
+def windowed_host_counts_batch(df, window_dur: str = "10 minutes"):
+    """Batch twin — identical grouping, no watermark (bounded input)."""
+    return _agg(df, window_dur)
