@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_topk_per_group": R.w1_topk_per_group,
         "j1_broadcast_join": R.j1_broadcast_join,
         "j2_anti_join_resume": R.j2_anti_join_resume,
+        "j3_large_join_smj": R.j3_large_join_smj,
         "s1_top_orders": R.s1_top_orders,
         "set_except_types": R.set_except_types,
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "w1_topk_per_group": R.W1_ORACLE,
         "j1_broadcast_join": R.J1_ORACLE,
         "j2_anti_join_resume": R.J2_ORACLE,
+        "j3_large_join_smj": R.J3_ORACLE,
         "s1_top_orders": R.S1_ORACLE,
         "set_except_types": R.SET_ORACLE,
         "q1_pricing_summary": R.Q1_ORACLE,

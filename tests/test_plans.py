@@ -92,3 +92,44 @@ class TestJoinStrategies:
         plan = plan_of(asof_last_click(spark, "/root/testdata/sf0.001"))
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning(user_id") <= 2  # node + Input line
+
+
+class TestBucketing:
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path_factory):
+        """Co-located join via bucketBy: both sides bucketed on the join
+        key -> SortMergeJoin with ZERO Exchange.  This is the 100 TB
+        pattern for repeated joins on a stable key (e.g. url-keyed result
+        tables joined across runs): pay the shuffle once at write time,
+        never again at read time."""
+        wh = str(tmp_path_factory.mktemp("warehouse"))
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        left = docs.select("doc_id", "lang")
+        right = docs.select("doc_id", "n_chars")
+        for name, df in (("b_left", left), ("b_right", right)):
+            df.write.bucketBy(8, "doc_id").sortBy("doc_id").option(
+                "path", f"{wh}/{name}"
+            ).mode("overwrite").saveAsTable(name)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = (
+                spark.table("b_left")
+                .join(spark.table("b_right"), "doc_id")
+                .select("doc_id", "lang", "n_chars")
+            )
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 500
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS b_left")
+            spark.sql("DROP TABLE IF EXISTS b_right")
+
+    def test_smj_join_strategy(self, spark):
+        """j3 pins the large-large shape: SortMergeJoin, no broadcast of
+        either fact side."""
+        from textextraction_spark.functions.relational import j3_large_join_smj
+
+        plan = plan_of(j3_large_join_smj(spark, "/root/testdata/sf0.001"))
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan

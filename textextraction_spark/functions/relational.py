@@ -241,3 +241,31 @@ FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ---- J3: large-large shuffle join (sort-merge) ---------------------------
+def j3_large_join_smj(spark, sf_dir: str):
+    """orders |><| lineitem as an explicit sort-merge join (`hint("merge")`)
+    — the shape a large-large join MUST take at 100 TB where neither side
+    broadcasts.  Both sides shuffle once on the join key; the revenue agg
+    reuses the join's partitioning (no extra Exchange before the partial
+    agg when AQE coalesces)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+J3_ORACLE = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
