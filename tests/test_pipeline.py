@@ -163,3 +163,35 @@ class TestCheckpointResume:
         assert metrics["n_docs"].sum() == 100
         assert (metrics["n_err"] == 0).all()
         assert metrics["bytes_in"].sum() > 0
+
+
+class TestKernelPathParity:
+    def test_arrow_and_pandas_kernels_identical(self, spark):
+        """mapInArrow (default) and mapInPandas twin produce identical
+        results — full-column comparison at sf0.001."""
+        from textextraction_spark.job.extract import extract_pages
+        from textextraction_spark.sources.pages import build_pages
+
+        pages = build_pages(spark, "/root/testdata/sf0.001")
+        cols = ["url", "extracted_text", "confidence", "n_lines", "is_pdf", "error"]
+        a = extract_pages(pages, use_arrow=True).select(*cols).orderBy("url").toPandas()
+        b = extract_pages(pages, use_arrow=False).select(*cols).orderBy("url").toPandas()
+        assert a.equals(b)
+
+        import pyspark.sql.functions as F
+
+        sa = (
+            extract_pages(pages, use_arrow=True)
+            .select(F.explode("spans").alias("s"))
+            .select("s.*")
+            .orderBy("s.text", "s.start")
+            .toPandas()
+        )
+        sb = (
+            extract_pages(pages, use_arrow=False)
+            .select(F.explode("spans").alias("s"))
+            .select("s.*")
+            .orderBy("s.text", "s.start")
+            .toPandas()
+        )
+        assert sa.equals(sb)
