@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_highlight_rects": X.pdf_highlight_rects,
         "audit_row": X.audit_row,
         "host_distribution": X.host_distribution,
+        "corpus_prep_pipeline": X.corpus_prep_pipeline,
         # --- text analysis ---
         "token_stats": T.token_stats,
         "quality_score": T.quality_score,
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_highlight_rects": X.pdf_highlight_rects_oracle(),
         "audit_row": X.audit_row_oracle(),
         "host_distribution": X.host_distribution_oracle(),
+        "corpus_prep_pipeline": X.corpus_prep_pipeline_oracle(),
         "token_stats": T.TOKEN_STATS_ORACLE,
         "quality_score": T.QUALITY_ORACLE,
         "lang_id": T.LANG_ID_ORACLE,

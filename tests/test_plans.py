@@ -133,3 +133,15 @@ class TestBucketing:
         plan = plan_of(j3_large_join_smj(spark, "/root/testdata/sf0.001"))
         assert "SortMergeJoin" in plan
         assert "BroadcastHashJoin" not in plan
+
+
+class TestCorpusPrepPlan:
+    def test_single_shuffle_with_partial_agg(self, spark):
+        """The e2e corpus-prep DAG shuffles exactly once (the dedup
+        groupBy on content hash), with map-side partial aggregation and
+        the quality filter placed BELOW the shuffle."""
+        from textextraction_spark.plans.queries import corpus_prep_pipeline
+
+        plan = plan_of(corpus_prep_pipeline(spark, "/root/testdata/sf0.001"))
+        assert plan.count("Exchange hashpartitioning") <= 2  # node + Input line
+        assert "partial" in plan.lower()  # map-side combine before the wire

@@ -287,3 +287,61 @@ def host_distribution_oracle() -> str:
            count(*)::BIGINT AS count
     FROM documents GROUP BY 1
     """
+
+
+# ------------------------------------------------ corpus-prep pipeline (e2e)
+def corpus_prep_pipeline(spark, sf_dir: str):
+    """The full training-data prep shape as ONE dataflow: crawl (with a
+    mirror host duplicating every page) -> extraction kernel -> quality
+    gate (non-empty, confidence >= 0.5) -> exact dedup by content hash
+    (survivor = lexicographic-min url) -> per-survivor token count.
+
+    Scale notes: extraction is the narrow Arrow stage; the only shuffle
+    is the dedup groupBy on the 32-hex content hash (uniform key — no
+    skew); the quality filter runs BEFORE the shuffle so boilerplate-only
+    pages never pay network.  This is the composition a 100 TB corpus
+    build runs nightly."""
+    pages = build_pages(spark, sf_dir, with_pdf=False)
+    mirror = pages.withColumn(
+        "url", F.regexp_replace("url", r"^https://", "https://mirror.")
+    )
+    ex = extract_pages(pages.unionByName(mirror))
+    quality = ex.filter(
+        (F.col("error") == "")
+        & (F.length("extracted_text") > 0)
+        & (F.col("confidence") >= 0.5)
+    )
+    n_tokens = F.size(
+        F.split(F.regexp_replace("extracted_text", "\n", " "), " ")
+    ).cast("bigint")
+    return quality.groupBy(F.md5("extracted_text").alias("content_hash")).agg(
+        F.min("url").alias("url"),
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.round(F.min("confidence"), 6).alias("confidence"),
+        F.min(n_tokens).alias("n_tokens"),
+    )
+
+
+def corpus_prep_pipeline_oracle() -> str:
+    expected = expected_text_sql("duckdb")
+    kept = (
+        f"(CASE WHEN ({expected}) = '' THEN 0 ELSE "
+        f"len(str_split(replace(({expected}), chr(10), ' '), ' ')) END)"
+    )
+    shell = "(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 11 END)"
+    return f"""
+    WITH ex AS (
+      SELECT {URL_SQL} AS url,
+             ({expected}) AS text_,
+             ({kept} / ({kept} + {shell})) AS conf
+      FROM documents
+    ), quality AS (
+      SELECT * FROM ex WHERE text_ != '' AND conf >= 0.5
+    )
+    SELECT md5(text_) AS content_hash,
+           min(url) AS url,
+           (count(*) * 2)::BIGINT AS n_copies,
+           round(min(conf), 6) AS confidence,
+           len(str_split(replace(text_, chr(10), ' '), ' '))::BIGINT AS n_tokens
+    FROM quality GROUP BY text_
+    """
