@@ -246,6 +246,20 @@ class TestProperties:
 
     @given(WORDS)
     @settings(max_examples=30, deadline=None)
+    def test_transport_invariance(self, words):
+        """gzip / BOM transport wrapping never changes extraction output
+        (north_rule: pure function of the underlying document)."""
+        import gzip
+
+        html = ("<p>" + " ".join(words) + "</p>").encode()
+        base = extract_document(html)
+        for payload in (gzip.compress(html, mtime=0), b"\xef\xbb\xbf" + html):
+            r = extract_document(payload)
+            assert r.extracted_text == base.extracted_text
+            assert [vars(s) for s in r.spans] == [vars(s) for s in base.spans]
+
+    @given(WORDS)
+    @settings(max_examples=30, deadline=None)
     def test_offsets_always_valid(self, words):
         main = "".join(f"<p>{w}</p>" for w in words)
         doc = extract_html(main.encode())
