@@ -94,7 +94,8 @@ def make_session(cores: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 << 20))
         .config("spark.driver.memory", "48g")
         # shuffle spill to RAM-backed tmpfs: the extraction shuffle moves
         # the html bytes once; on shared disks its IO otherwise caps the

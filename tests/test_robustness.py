@@ -33,6 +33,32 @@ class TestLargeDocs:
         finally:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
 
+    def test_byte_cap_splits_batches(self, spark):
+        """spark.sql.execution.arrow.maxBytesPerBatch is the real OOM
+        guard (JobConfig.arrow_max_bytes): with a 64 KB cap, 10 KB rows
+        must arrive in small batches regardless of the record cap."""
+        import pyarrow as pa
+
+        spark.conf.set("spark.sql.execution.arrow.maxBytesPerBatch", "65536")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        try:
+            df = spark.range(200).repartition(1).selectExpr(
+                "cast(id as string) id", "repeat('x', 10000) as payload"
+            )
+
+            def count_batches(batches):
+                for b in batches:
+                    yield pa.RecordBatch.from_pydict({"n": [len(b)]})
+
+            sizes = [r["n"] for r in df.mapInArrow(count_batches, "n long").collect()]
+            assert sum(sizes) == 200
+            assert max(sizes) <= 8  # 64 KB / 10 KB rows
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxBytesPerBatch", str(64 << 20)
+            )
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+
     def test_null_and_empty_html(self, spark):
         pages = spark.createDataFrame(
             [("u1", None, None), ("u2", None, b"")],

@@ -32,7 +32,12 @@ class JobConfig:
     checkpoint_root: str
     batch_id: str
     num_partitions: int = 32
-    arrow_max_records: int = 512  # html rows can be MBs — cap batch size
+    # Arrow batch sizing: the BYTE cap is the real OOM guard (html rows can
+    # be MBs — 32 MB bounds executor-side batch memory no matter the row
+    # mix); the record cap is a secondary bound for tiny-row tables
+    # (bigger batches amortize per-batch overhead, ~10% at 8k records).
+    arrow_max_records: int = 8192
+    arrow_max_bytes: int = 32 << 20
     diagnose_skew: bool = False  # host-freq pre-pass (off: uniform url hash)
     rows_per_task: int = 50_000
     encrypt_phi: bool = False  # F9: deterministic AES on patient fields
@@ -51,6 +56,9 @@ def run_extraction_job(spark, pages_df, cfg: JobConfig):
     """
     spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(cfg.arrow_max_records)
+    )
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxBytesPerBatch", str(cfg.arrow_max_bytes)
     )
     catalog = CheckpointCatalog(cfg.checkpoint_root)
 
