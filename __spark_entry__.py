@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from textextraction_spark.functions import relational as R
     from textextraction_spark.operators import dedup as D
     from textextraction_spark.operators import multimodal as M
+    from textextraction_spark.operators import scheduling as SCH
     from textextraction_spark.operators import simsearch as S
     from textextraction_spark.operators import templates as TP
     from textextraction_spark.operators import textstats as T
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal plumbing ---
         "media_metadata": M.media_metadata,
         "media_frame_sample": M.media_frame_sample,
+        "politeness_schedule": SCH.politeness_schedule,
         # --- relational operator suite (SURVEY.md §2.3-2.7) ---
         "p1_strip_special": R.p1_strip_special,
         "p3_keyword_gate": R.p3_keyword_gate,
@@ -112,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
     from textextraction_spark.functions import relational as R
     from textextraction_spark.operators import dedup as D
     from textextraction_spark.operators import multimodal as M
+    from textextraction_spark.operators import scheduling as SCH
     from textextraction_spark.operators import simsearch as S
     from textextraction_spark.operators import templates as TP
     from textextraction_spark.operators import textstats as T
@@ -144,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": S.EMBEDDING_NEAR_DUP_ORACLE,
         "media_metadata": M.MEDIA_METADATA_ORACLE,
         "media_frame_sample": M.MEDIA_FRAME_SAMPLE_ORACLE,
+        "politeness_schedule": SCH.POLITENESS_ORACLE,
         "p1_strip_special": R.P1_ORACLE,
         "p3_keyword_gate": R.P3_ORACLE,
         "a1_avg_by_group": R.A1_ORACLE,

@@ -31,6 +31,7 @@ FAST_SUBSET = [
     "ann_lsh_bucket",
     "media_metadata",
     "media_frame_sample",
+    "politeness_schedule",
     "a1_avg_by_group",
     "a2_first_event_per_user",
     "j1_broadcast_join",
