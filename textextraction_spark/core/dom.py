@@ -51,7 +51,7 @@ BOILER_ANCESTORS = frozenset("nav footer header aside form select option".split(
 
 
 
-@dataclass
+@dataclass(slots=True)
 class RawBlock:
     """One block-level run of inline text, pre-classification."""
 
@@ -214,7 +214,13 @@ def _scan_fast(data: bytes, sink: BlockSink) -> None:
             sink.text(_decode_text(data[pos:]))
             break
         if m.start() > pos:
-            sink.text(_decode_text(data[pos : m.start()]))
+            chunk = data[pos : m.start()]
+            # fast path: inter-tag whitespace (very common) — a single
+            # space is equivalent after block-level normalization
+            if chunk.isspace():
+                sink.text(" ")
+            else:
+                sink.text(_decode_text(chunk))
         pos = m.end()
         tag = m.group(2)
         if tag is None:  # comment / CDATA / doctype
