@@ -357,3 +357,18 @@ class TestNormalizeBytes:
     def test_corrupt_gzip_passes_through(self):
         r = extract_document(b"\x1f\x8bnot really gzip")
         assert r.error == ""  # DOM path treats it as text, never raises
+
+
+class TestParserRealismFamilies:
+    def test_indented_html_folds_whitespace(self):
+        pretty = b"<body>\n  <p>alpha beta</p>\n  <p>gamma</p>\n</body>\n"
+        dense = b"<body><p>alpha beta</p><p>gamma</p></body>"
+        assert (
+            extract_document(pretty).extracted_text
+            == extract_document(dense).extracted_text
+            == "alpha beta\ngamma"
+        )
+
+    def test_entity_unescape(self):
+        html = b"<body><p>COPYRIGHT &amp; TRADEMARK &#169; now</p></body>"
+        assert extract_document(html).extracted_text == "COPYRIGHT & TRADEMARK \xa9 now"

@@ -142,6 +142,7 @@ def expected_text_sql(engine: str) -> str:
         text || chr(10) || 'CONTACT ' || {decoy} || ' TODAY'
         || chr(10) || 'PATIENT NAME: ' || {person}
         || chr(10) || 'DOB ' || {MED_DATE_SQL}
+    WHEN doc_id % 20 = 16 THEN text || chr(10) || 'COPYRIGHT & TRADEMARK'
     WHEN doc_id % 20 = 19 THEN ''
     ELSE text
     END"""
@@ -175,13 +176,31 @@ SHELL_B_POST = (
 
 def html_str_sql(engine: str) -> str:
     """Content html = shell(<p>-joined expected text).  Spark-side only
-    (the oracle never needs the html), but kept dialect-clean anyway."""
+    (the oracle never needs the html), but kept dialect-clean anyway.
+
+    Parser-realism sub-families (extracted text unchanged vs the plain
+    formula, so the SAME oracles gate the parser paths):
+      doc_id % 20 == 15 -> pretty-printed html (newline+indent between
+                           blocks; exercises inter-tag-whitespace fold)
+      doc_id % 20 == 16 -> '&' served as '&amp;' (exercises entity
+                           unescape; expected text carries the raw '&')
+    """
     expected = expected_text_sql(engine)
-    body = f"'<p>' || replace(({expected}), chr(10), '</p><p>') || '</p>'"
+    plain = f"'<p>' || replace(({expected}), chr(10), '</p><p>') || '</p>'"
+    indented = (
+        f"'<p>' || replace(({expected}), chr(10), "
+        f"'</p>' || chr(10) || '  <p>') || '</p>' || chr(10)"
+    )
+    escaped = f"replace(({plain}), ' & ', ' &amp; ')"
+    body = (
+        f"CASE WHEN doc_id % 20 = 15 THEN {indented} "
+        f"WHEN doc_id % 20 = 16 THEN {escaped} "
+        f"ELSE {plain} END"
+    )
     return (
         f"CASE WHEN doc_id % 2 = 0 "
-        f"THEN '{SHELL_A_PRE}' || {body} || '{SHELL_A_POST}' "
-        f"ELSE '{SHELL_B_PRE}' || {body} || '{SHELL_B_POST}' END"
+        f"THEN '{SHELL_A_PRE}' || ({body}) || '{SHELL_A_POST}' "
+        f"ELSE '{SHELL_B_PRE}' || ({body}) || '{SHELL_B_POST}' END"
     )
 
 
