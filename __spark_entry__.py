@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_top_orders": R.s1_top_orders,
         "set_except_types": R.set_except_types,
         "q1_pricing_summary": R.q1_pricing_summary,
+        "f_json_extract": R.f_json_extract,
         # --- analytic suite (window frames, grouping sets, as-of/band joins) ---
         "w2_lag_moving_avg": A.w2_lag_moving_avg,
         "rollup_daily_counts": A.rollup_daily_counts,
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "s1_top_orders": R.S1_ORACLE,
         "set_except_types": R.SET_ORACLE,
         "q1_pricing_summary": R.Q1_ORACLE,
+        "f_json_extract": R.F_JSON_ORACLE,
         "w2_lag_moving_avg": A.W2_LAG_ORACLE,
         "rollup_daily_counts": A.ROLLUP_ORACLE,
         "cube_type_bucket": A.CUBE_ORACLE,

@@ -269,3 +269,21 @@ SELECT o_orderpriority, count(*)::BIGINT AS n_items,
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 """
+
+
+# ---- F-JSON: JSON path query over the props column -----------------------
+def f_json_extract(spark, sf_dir: str):
+    """get_json_object over the events ``props`` JSON column (§2.8 lists
+    JSON query functions as absent in the reference; the engine's sink
+    uses to_json — this pins the read side too)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+F_JSON_ORACLE = """
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_value
+FROM events
+"""
