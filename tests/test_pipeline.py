@@ -195,3 +195,33 @@ class TestKernelPathParity:
             .toPandas()
         )
         assert sa.equals(sb)
+
+
+class TestInputDedup:
+    def test_latest_capture_wins(self, spark, tmp_path):
+        """dedup_input: duplicate urls (crawl re-captures) collapse to the
+        LATEST warc_ts row, in one shuffle, before extraction."""
+        from textextraction_spark.plans.pipeline import JobConfig, run_extraction_job
+        from textextraction_spark.io.checkpoint import CheckpointCatalog
+
+        rows = [
+            ("https://a.example.com/d/1", "2026-01-01 00:00:00", b"<p>old version</p>"),
+            ("https://a.example.com/d/1", "2026-01-02 00:00:00", b"<p>new version</p>"),
+            ("https://a.example.com/d/2", "2026-01-01 00:00:00", b"<p>only version</p>"),
+        ]
+        pages = spark.createDataFrame(
+            [(u, __import__("datetime").datetime.fromisoformat(t), h) for u, t, h in rows],
+            "url string, warc_ts timestamp, html binary",
+        )
+        cfg = JobConfig(
+            checkpoint_root=str(tmp_path / "ckpt"),
+            batch_id="b-dedup",
+            num_partitions=4,
+            dedup_input=True,
+        )
+        run_extraction_job(spark, pages, cfg)
+        res = CheckpointCatalog(cfg.checkpoint_root).results(spark).toPandas()
+        assert len(res) == 2
+        by_url = dict(zip(res["url"], res["extracted_text"]))
+        assert by_url["https://a.example.com/d/1"] == "new version"
+        assert by_url["https://a.example.com/d/2"] == "only version"

@@ -46,6 +46,12 @@ class JobConfig:
     # all — extract on scan partitions.  Repartition=True moves the bytes
     # once to fix skewed layouts (tiny files, giant files, hot hosts).
     repartition: bool = True
+    # Crawl re-captures: the same url can appear with several warc_ts.
+    # dedup_input=True keeps the LATEST capture per url via one max_by
+    # groupBy on url — which IS a hash shuffle on url, so it REPLACES the
+    # salted repartition (never pay two shuffles for the guard).  Off by
+    # default: a url-keyed Iceberg table is already unique.
+    dedup_input: bool = False
 
 
 def run_extraction_job(spark, pages_df, cfg: JobConfig):
@@ -63,7 +69,15 @@ def run_extraction_job(spark, pages_df, cfg: JobConfig):
     catalog = CheckpointCatalog(cfg.checkpoint_root)
 
     pending = catalog.pending(pages_df.select("url", "warc_ts", "html"), spark)
-    if cfg.repartition:
+    if cfg.dedup_input:
+        latest = F.max_by(F.struct("warc_ts", "html"), "warc_ts").alias("s")
+        pending = (
+            pending.groupBy("url")
+            .agg(latest)
+            .select("url", F.col("s.warc_ts").alias("warc_ts"), F.col("s.html").alias("html"))
+        )
+        distributed = pending  # the groupBy already hash-partitioned by url
+    elif cfg.repartition:
         plan = (
             salt_plan(pending, cfg.rows_per_task) if cfg.diagnose_skew else None
         )
