@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--encrypt-phi", action="store_true")
     ap.add_argument("--diagnose-skew", action="store_true")
+    ap.add_argument(
+        "--dedup-input", action="store_true",
+        help="crawl re-captures: keep latest warc_ts per url (one shuffle)",
+    )
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--stream-checkpoint", help="streaming offsets dir")
     args = ap.parse_args(argv)
@@ -82,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         batch_id=args.batch_id,
         num_partitions=args.partitions,
         diagnose_skew=args.diagnose_skew,
+        dedup_input=args.dedup_input,
         encrypt_phi=args.encrypt_phi,
     )
     metrics = run_extraction_job(spark, pages, cfg)
