@@ -67,11 +67,13 @@ class IcebergCatalog:
     def write_batch(self, extracted_df, batch_id: str) -> None:
         """MERGE keyed on url: idempotent re-run of a crashed batch
         overwrites its own rows; the snapshot commit is the atomic point."""
-        extracted_df.createOrReplaceTempView(f"_batch_{batch_id}")
+        # batch ids like "epoch-3" are not valid SQL identifiers — sanitize
+        view = "_batch_" + "".join(c if c.isalnum() else "_" for c in batch_id)
+        extracted_df.createOrReplaceTempView(view)
         self.spark.sql(
             f"""
             MERGE INTO {self.table} r
-            USING _batch_{batch_id} b ON r.url = b.url
+            USING {view} b ON r.url = b.url
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED THEN INSERT *
             """
