@@ -150,28 +150,31 @@ FROM t
 # ------------------------------------------------------- doc fingerprints
 def fingerprint(spark, sf_dir: str):
     """Content fingerprint: md5-derived 32-bit id, a band for sharding, and
-    a winnowing-style min-hash over 5-word shingles (rolling-window
-    fingerprint, computed relationally — explode + min, partial agg)."""
+    a winnowing-style min-hash over 5-word shingles.
+
+    Fully NARROW: the shingle set never leaves its row —
+    ``array_min(transform(...))`` computes the rolling-window minimum
+    inside one projection, so the whole operator is scan -> project with
+    zero shuffle (the earlier explode+groupBy formulation paid a full
+    shuffle of every shingle for the same answer)."""
     d = _docs(spark, sf_dir)
     fp_int = F.expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)")
-    base = d.select("doc_id", fp_int.alias("fp_int"), (fp_int % 1024).alias("fp_band"), "text")
-    shingles = base.select(
+    shingles = (
+        "case when size(words) < 5 then array(text) "
+        "else transform(sequence(1, size(words) - 4), "
+        "i -> array_join(slice(words, i, 5), ' ')) end"
+    )
+    winnow = (
+        f"array_min(transform({shingles}, "
+        "s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)))"
+    )
+    return d.select(
         "doc_id",
-        "fp_int",
-        "fp_band",
-        F.explode(
-            F.expr(
-                "case when size(split(text,' ')) < 5 then array(text) "
-                "else transform(sequence(1, size(split(text,' ')) - 4), "
-                "i -> array_join(slice(split(text,' '), i, 5), ' ')) end"
-            )
-        ).alias("shingle"),
-    )
-    return shingles.groupBy("doc_id", "fp_int", "fp_band").agg(
-        F.min(
-            F.expr("cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)")
-        ).alias("winnow_min")
-    )
+        fp_int.alias("fp_int"),
+        (fp_int % 1024).alias("fp_band"),
+        "text",
+        F.split("text", " ").alias("words"),
+    ).select("doc_id", "fp_int", "fp_band", F.expr(winnow).alias("winnow_min"))
 
 
 FINGERPRINT_ORACLE = """
