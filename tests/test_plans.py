@@ -145,3 +145,85 @@ class TestCorpusPrepPlan:
         plan = plan_of(corpus_prep_pipeline(spark, "/root/testdata/sf0.001"))
         assert plan.count("Exchange hashpartitioning") <= 2  # node + Input line
         assert "partial" in plan.lower()  # map-side combine before the wire
+
+
+# Per-query shuffle budgets (measured ceilings; a regression above the
+# ceiling means an operator grew an accidental extra Exchange — a 100 TB
+# perf bug even while results stay correct).  Narrow ops MUST stay 0.
+SHUFFLE_BUDGETS = {
+    "extract_html_text": 0,
+    "extract_pdf_text": 0,
+    "extract_confidence": 0,
+    "extract_span_offsets": 0,
+    "pdf_highlight_rects": 0,
+    "token_stats": 0,
+    "quality_score": 0,
+    "lang_id": 0,
+    "fingerprint": 0,
+    "ann_brute_force_topk": 0,
+    "ann_lsh_bucket": 0,
+    "ann_ivf_probe": 0,
+    "embedding_near_dup": 0,
+    "media_metadata": 0,
+    "media_frame_sample": 0,
+    "p1_strip_special": 0,
+    "p3_keyword_gate": 0,
+    "s1_top_orders": 0,
+    "f_json_extract": 0,
+    "extract_invoice_fields": 1,
+    "extract_medical_fields": 1,
+    "audit_row": 1,
+    "corpus_prep_pipeline": 1,
+    "dedup_exact": 1,
+    "dedup_url_normalize": 1,
+    "politeness_schedule": 1,
+    "a1_avg_by_group": 1,
+    "a2_first_event_per_user": 1,
+    "a4_collect_per_group": 1,
+    "w1_topk_per_group": 1,
+    "j1_broadcast_join": 1,
+    "j2_anti_join_resume": 1,
+    "w2_lag_moving_avg": 1,
+    "rollup_daily_counts": 1,
+    "cube_type_bucket": 1,
+    "asof_last_click": 1,
+    "pctl_value_by_type": 1,
+    "sessionize_batch": 1,
+    "band_range_join": 1,
+    "intersect_types": 1,
+    "host_distribution": 2,
+    "set_except_types": 2,
+    "q1_pricing_summary": 2,
+    "pivot_user_type_counts": 2,
+    "j3_large_join_smj": 3,
+    "site_template_lines": 4,
+    "dedup_simhash": 4,
+    "dedup_ngram_jaccard": 7,
+    "dedup_minhash_lsh": 12,
+}
+
+
+class TestShuffleBudgets:
+    def test_every_query_has_a_budget(self):
+        import __spark_entry__ as E
+
+        assert set(SHUFFLE_BUDGETS) == set(E.queries())
+
+    def test_no_query_exceeds_its_shuffle_budget(self, spark):
+        import __spark_entry__ as E
+
+        over = {}
+        for name, fn in E.queries().items():
+            plan = (
+                fn(spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            n = sum(
+                plan.count(f"Exchange {kind}")
+                for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+            )
+            if n > SHUFFLE_BUDGETS[name]:
+                over[name] = (n, SHUFFLE_BUDGETS[name])
+        assert not over, f"shuffle budget exceeded: {over}"
