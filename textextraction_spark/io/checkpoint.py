@@ -75,7 +75,12 @@ class CheckpointCatalog:
         """Write results, then the url state, then the atomic marker.
         Crash at any point before the marker => batch invisible, re-run."""
         out = self.results_dir / batch_id
-        extracted_df.write.mode("overwrite").parquet(str(out))
+        # zstd + url-sorted row groups: smaller files and dictionary/RLE-
+        # friendly pages for the downstream url-keyed readers (results
+        # scans, resume anti-join) — costs one in-partition sort, no shuffle
+        extracted_df.sortWithinPartitions("url").write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(str(out))
 
         staging = self.state_dir / f".staging-{batch_id}"
         final = self.state_dir / batch_id
