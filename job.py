@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
         "--dedup-input", action="store_true",
         help="crawl re-captures: keep latest warc_ts per url (one shuffle)",
     )
+    ap.add_argument(
+        "--export-jsonl", metavar="DIR",
+        help="after the batch commits, export the corpus as gzip JSONL shards",
+    )
+    ap.add_argument("--export-shards", type=int, default=8)
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--stream-checkpoint", help="streaming offsets dir")
     args = ap.parse_args(argv)
@@ -91,6 +96,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     metrics = run_extraction_job(spark, pages, cfg)
     metrics.show(100, truncate=False)
+
+    if args.export_jsonl:
+        from textextraction_spark.io.checkpoint import CheckpointCatalog
+        from textextraction_spark.io.export import export_jsonl
+
+        results = CheckpointCatalog(args.checkpoint).results(spark)
+        export_jsonl(
+            results.select("url", "extracted_text", "confidence"),
+            args.export_jsonl,
+            n_shards=args.export_shards,
+        )
     return 0
 
 

@@ -225,3 +225,29 @@ class TestInputDedup:
         by_url = dict(zip(res["url"], res["extracted_text"]))
         assert by_url["https://a.example.com/d/1"] == "new version"
         assert by_url["https://a.example.com/d/2"] == "only version"
+
+
+class TestCorpusExport:
+    def test_jsonl_roundtrip_gzip_shards(self, spark, tmp_path):
+        """export_jsonl writes n gzip shards; reading them back recovers
+        every (url, text, confidence) triple exactly."""
+        from textextraction_spark.io.export import export_jsonl, read_jsonl
+        from textextraction_spark.job.extract import extract_pages
+        from textextraction_spark.sources.pages import build_pages
+
+        ex = extract_pages(build_pages(spark, "/root/testdata/sf0.001")).select(
+            "url", "extracted_text", "confidence"
+        )
+        out = str(tmp_path / "corpus")
+        export_jsonl(ex, out, n_shards=4, gzip=True)
+
+        import glob
+
+        shards = glob.glob(out + "/part-*.gz")
+        assert len(shards) == 4
+
+        back = read_jsonl(spark, out).orderBy("url").toPandas()
+        want = ex.orderBy("url").toPandas()
+        assert back["url"].tolist() == want["url"].tolist()
+        assert back["extracted_text"].tolist() == want["extracted_text"].tolist()
+        assert (back["confidence"] - want["confidence"]).abs().max() < 1e-12
