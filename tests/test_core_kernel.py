@@ -372,3 +372,27 @@ class TestParserRealismFamilies:
     def test_entity_unescape(self):
         html = b"<body><p>COPYRIGHT &amp; TRADEMARK &#169; now</p></body>"
         assert extract_document(html).extracted_text == "COPYRIGHT & TRADEMARK \xa9 now"
+
+
+class TestGzipBombGuard:
+    def test_bomb_over_limit_rejected(self, monkeypatch):
+        import gzip
+
+        from textextraction_spark.core import extract as X
+
+        html = b"<p>" + b"a" * 10_000 + b"</p>"
+        payload = gzip.compress(html, mtime=0)
+        monkeypatch.setattr(X, "MAX_INFLATE_BYTES", 1024)
+        r = X.extract_document(payload)
+        # over-limit: payload treated as opaque bytes, never inflated
+        assert "aaaa" not in r.extracted_text
+        assert r.error == ""
+
+    def test_under_limit_inflates(self):
+        import gzip
+
+        from textextraction_spark.core import extract as X
+
+        html = b"<p>" + b"b" * 10_000 + b"</p>"
+        r = X.extract_document(gzip.compress(html, mtime=0))
+        assert r.extracted_text == "b" * 10_000

@@ -9,7 +9,6 @@ block path, everything else the HTML DOM path.
 
 from __future__ import annotations
 
-import gzip
 import json
 from dataclasses import dataclass, field
 
@@ -58,6 +57,26 @@ PHI_FIELDS = ("patient.name", "patient.birth_date")
 _GZIP_MAGIC = b"\x1f\x8b"
 _UTF8_BOM = b"\xef\xbb\xbf"
 
+# Bounded inflate: a crawled payload claiming gzip may be a decompression
+# bomb; cap the inflated size so one row can never OOM an executor.  A
+# payload inflating past the cap is rejected wholesale (treated as opaque
+# bytes — no partial text, keeping extraction a pure total function).
+MAX_INFLATE_BYTES = 64 << 20
+
+
+def _bounded_gunzip(data: bytes, limit: int) -> bytes | None:
+    """Inflate at most ``limit`` bytes; None if corrupt or over-limit."""
+    import zlib
+
+    try:
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip container
+        out = d.decompress(data, limit)
+        if d.unconsumed_tail or (not d.eof and d.decompress(b"", 1)):
+            return None  # more payload remained -> bomb or truncated
+        return out
+    except zlib.error:
+        return None
+
 
 def normalize_bytes(data: bytes) -> bytes:
     """Common-Crawl payload normalization, applied before routing: WARC
@@ -65,13 +84,13 @@ def normalize_bytes(data: bytes) -> bytes:
     often leads with a UTF-8 BOM.  Both are transport artifacts — the
     extraction contract is over the underlying document, so they are
     stripped here (gzip first: a BOM can only appear on decompressed
-    bytes).  A payload that merely *starts* like gzip but fails to inflate
-    is passed through untouched (the DOM path treats it as text)."""
+    bytes).  A payload that merely *starts* like gzip but fails to
+    inflate — or inflates past MAX_INFLATE_BYTES (bomb guard) — is passed
+    through untouched (the DOM path treats it as text)."""
     if data[:2] == _GZIP_MAGIC:
-        try:
-            data = gzip.decompress(data)
-        except OSError:
-            pass
+        inflated = _bounded_gunzip(data, MAX_INFLATE_BYTES)
+        if inflated is not None:
+            data = inflated
     if data[:3] == _UTF8_BOM:
         data = data[3:]
     return data
