@@ -251,3 +251,45 @@ class TestCorpusExport:
         assert back["url"].tolist() == want["url"].tolist()
         assert back["extracted_text"].tolist() == want["extracted_text"].tolist()
         assert (back["confidence"] - want["confidence"]).abs().max() < 1e-12
+
+
+class TestGoldenSnapshot:
+    def test_first40_docs_match_frozen_golden(self, spark):
+        """Frozen-snapshot guard against generator+oracle CO-drift: the
+        formula oracles share constants with the pages generator, so a
+        change touching both in tandem would slip through the value gate —
+        but not past this checked-in byte snapshot (all 20 families +
+        both pdf variants)."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.job.extract import extract_pages
+        from textextraction_spark.sources.pages import build_pages
+
+        with open("tests/golden/extraction_first40.json") as f:
+            golden = {g["doc_id"]: g for g in json.load(f)}
+
+        rows = (
+            extract_pages(build_pages(spark, "/root/testdata/sf0.001"))
+            .withColumn(
+                "doc_id",
+                F.expr(r"cast(regexp_extract(url, '/d/(\\d+)$', 1) as bigint)"),
+            )
+            .filter(F.col("doc_id") < 40)
+            .select(
+                "doc_id",
+                "url",
+                "extracted_text",
+                F.round("confidence", 6).alias("confidence"),
+                F.to_json("spans").alias("spans_json"),
+            )
+            .collect()
+        )
+        assert len(rows) == 40
+        for r in rows:
+            g = golden[r["doc_id"]]
+            assert r["url"] == g["url"]
+            assert r["extracted_text"] == g["extracted_text"], r["doc_id"]
+            assert abs(r["confidence"] - g["confidence"]) < 1e-9
+            assert r["spans_json"] == g["spans_json"], r["doc_id"]
