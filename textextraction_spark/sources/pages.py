@@ -186,9 +186,18 @@ def html_str_sql(engine: str) -> str:
                            unescape; expected text carries the raw '&')
     """
     expected = expected_text_sql(engine)
-    plain = f"'<p>' || replace(({expected}), chr(10), '</p><p>') || '</p>'"
+    return html_from_expected_sql(f"({expected})")
+
+
+def html_from_expected_sql(expected: str) -> str:
+    """html CASE over a (column-reference or parenthesized) expected-text
+    expression.  build_pages materializes ``expected`` as an intermediate
+    column first so this expression stays small — inlining the full
+    formula three times blows janino's 64 KB codegen method limit and
+    forces interpreted fallback (log-spamming stack traces)."""
+    plain = f"'<p>' || replace({expected}, chr(10), '</p><p>') || '</p>'"
     indented = (
-        f"'<p>' || replace(({expected}), chr(10), "
+        f"'<p>' || replace({expected}, chr(10), "
         f"'</p>' || chr(10) || '  <p>') || '</p>' || chr(10)"
     )
     escaped = f"replace(({plain}), ' & ', ' &amp; ')"
@@ -265,7 +274,13 @@ def build_pages(spark, sf_dir: str, with_pdf: bool = True):
     ensure_shipped(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    html_col = F.expr(html_str_sql("spark"))
+    # Materialize expected text as an intermediate column so the html CASE
+    # (and its three binary-branch consumers) reference it instead of
+    # inlining the large formula repeatedly (janino 64 KB method limit).
+    docs = docs.withColumn(
+        "_expected", F.expr(f"({expected_text_sql('spark')})")
+    ).withColumn("_html_str", F.expr(html_from_expected_sql("_expected")))
+    html_col = F.col("_html_str")
 
     # Transport-artifact families (Common-Crawl realism; extracted text is
     # unchanged, so every oracle transitively gates the normalization):
