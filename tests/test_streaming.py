@@ -104,3 +104,29 @@ class TestWindowedAggregation:
         )
         assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
         assert got["n_pages"].sum() == 300
+
+
+class TestStreamingDedup:
+    def test_duplicate_urls_collapse_within_watermark(self, spark, tmp_path):
+        from textextraction_spark.job.schemas import PAGES_SCHEMA
+        from textextraction_spark.streaming.windows import dedup_stream
+
+        pages_dir = str(tmp_path / "dpages")
+        # same 100 docs written twice -> every url duplicated
+        _write_pages(spark, pages_dir, limit=100)
+        _write_pages(spark, pages_dir, limit=100)
+
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+        q = (
+            dedup_stream(stream)
+            .select("url")
+            .writeStream.format("memory")
+            .queryName("dedup_urls")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("dedup_urls").toPandas()
+        assert len(got) == 100
+        assert got["url"].nunique() == 100

@@ -45,3 +45,15 @@ def windowed_host_counts(
 def windowed_host_counts_batch(df, window_dur: str = "10 minutes"):
     """Batch twin — identical grouping, no watermark (bounded input)."""
     return _agg(df, window_dur)
+
+
+def dedup_stream(stream_df, watermark: str = "1 hour"):
+    """Streaming url dedup: exactly-once *within* the watermark horizon.
+
+    ``dropDuplicates`` on a streaming DataFrame keeps per-key state; the
+    watermark bounds that state (urls older than the horizon are evicted,
+    so a re-crawl after the horizon passes through — the right semantics
+    for periodic refetch).  Combined with the batch checkpoint anti-join
+    (io/checkpoint.py) this gives layered dedup: in-flight duplicates die
+    here, historical ones at the commit gate."""
+    return stream_df.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
