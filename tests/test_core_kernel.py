@@ -396,3 +396,26 @@ class TestGzipBombGuard:
         html = b"<p>" + b"b" * 10_000 + b"</p>"
         r = X.extract_document(gzip.compress(html, mtime=0))
         assert r.extracted_text == "b" * 10_000
+
+
+class TestPolitenessClosedForm:
+    @given(st.lists(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=60))
+    @settings(max_examples=100, deadline=None)
+    def test_recurrence_equals_prefix_max_form(self, ts_list):
+        """start_n = max(ts_n, start_{n-1}+d)  ==  n*d + max_{i<=n}(ts_i - i*d)
+        (the identity operators/scheduling.py's oracle relies on)."""
+        d = 1000
+        ts = sorted(ts_list)
+        # imperative recurrence
+        starts, prev = [], None
+        for t in ts:
+            s = t if prev is None else max(t, prev + d)
+            starts.append(s)
+            prev = s
+        # closed form
+        closed, m = [], None
+        for n, t in enumerate(ts, start=1):
+            v = t - n * d
+            m = v if m is None else max(m, v)
+            closed.append(m + n * d)
+        assert starts == closed
