@@ -181,13 +181,18 @@ def minhash_lsh(spark, sf_dir: str):
     # by default) — recomputing the cheap shingle scan is faster than losing
     # AQE on every stage built above it.
     sh = _shingles_df(variants(spark, sf_dir))
-    # k minhashes as ONE wide aggregation (single shuffle), then unpivot to
-    # (vid, j, h) band rows — same values as a per-band groupBy, fewer stages.
+    # k minhashes AND the per-doc shingle count as ONE wide aggregation
+    # (single shuffle; the count rides free — a separate sizes groupBy
+    # would recompute the whole shingle scan+distinct), then unpivot to
+    # (vid, j, h) band rows — same values as a per-band groupBy, fewer
+    # stages.  The two consumers of `wide` share one exchange via Spark's
+    # ReuseExchange.
     wide = sh.groupBy("vid").agg(
         *[
             F.min(F.expr(H_SPARK.format(x=f"concat({j}, ':', shingle)"))).alias(f"h{j}")
             for j in range(N_HASHES)
-        ]
+        ],
+        F.count("*").alias("n_sh"),
     )
     stack_expr = ", ".join(f"{j}, h{j}" for j in range(N_HASHES))
     sig = wide.selectExpr(
@@ -200,7 +205,7 @@ def minhash_lsh(spark, sf_dir: str):
         .groupBy(F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b"))
         .agg(F.count("*").cast("bigint").alias("n_bands"))
     )
-    sizes = sh.groupBy("vid").agg(F.count("*").alias("n_sh"))
+    sizes = wide.select("vid", "n_sh")
     # Exact-Jaccard verify ONLY for LSH candidate pairs (broadcast the tiny
     # candidate list) — never an all-pairs shingle self-join.  This is the
     # load-bearing scale property: verify cost is O(|candidates| x shingles
