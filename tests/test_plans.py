@@ -197,9 +197,9 @@ SHUFFLE_BUDGETS = {
     "pivot_user_type_counts": 2,
     "j3_large_join_smj": 3,
     "site_template_lines": 4,
-    "dedup_simhash": 4,
-    "dedup_ngram_jaccard": 7,
-    "dedup_minhash_lsh": 12,
+    "dedup_simhash": 2,
+    "dedup_ngram_jaccard": 1,
+    "dedup_minhash_lsh": 8,
 }
 
 

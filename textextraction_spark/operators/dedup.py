@@ -96,18 +96,24 @@ FROM allv GROUP BY md5(text) HAVING count(*) > 1
 
 
 # --------------------------------------------------- shingles (shared CTE)
+SHINGLE_ARR = (
+    "case when size(split(text,' ')) < 3 then array(text) "
+    "else transform(sequence(1, size(split(text,' ')) - 2), "
+    "i -> array_join(slice(split(text,' '), i, 3), ' ')) end"
+)
+
+
 def _shingles_df(v):
-    """vid -> distinct word-3-gram shingles."""
+    """vid -> distinct word-3-gram shingles.
+
+    Dedup happens per-row via ``array_distinct`` BEFORE the explode — a
+    narrow expression — rather than a relational ``.distinct()``, which
+    is a full (vid, shingle) shuffle that every downstream consumer of
+    the shingle stream would pay again on recompute."""
     return v.select(
         "vid",
-        F.explode(
-            F.expr(
-                "case when size(split(text,' ')) < 3 then array(text) "
-                "else transform(sequence(1, size(split(text,' ')) - 2), "
-                "i -> array_join(slice(split(text,' '), i, 3), ' ')) end"
-            )
-        ).alias("shingle"),
-    ).distinct()
+        F.explode(F.array_distinct(F.expr(SHINGLE_ARR))).alias("shingle"),
+    )
 
 
 SHINGLES_DUCK = f"""
@@ -130,8 +136,13 @@ def ngram_jaccard(spark, sf_dir: str):
     # AQE coalescing downstream (canChangeCachedPlanOutputPartitioning=false
     # by default) — recomputing the cheap shingle scan is faster than losing
     # AQE on every stage built above it.
-    sh = _shingles_df(variants(spark, sf_dir))
-    sizes = sh.groupBy("vid").agg(F.count("*").alias("n_sh"))
+    v = variants(spark, sf_dir)
+    sh = _shingles_df(v)
+    # per-doc shingle-set size as a NARROW projection (size of the
+    # deduped array) — no groupBy, no recompute of the exploded stream
+    sizes = v.select(
+        "vid", F.size(F.array_distinct(F.expr(SHINGLE_ARR))).alias("n_sh")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
