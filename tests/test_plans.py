@@ -196,7 +196,7 @@ SHUFFLE_BUDGETS = {
     "q1_pricing_summary": 2,
     "pivot_user_type_counts": 2,
     "j3_large_join_smj": 3,
-    "site_template_lines": 4,
+    "site_template_lines": 2,
     "dedup_simhash": 2,
     "dedup_ngram_jaccard": 1,
     "dedup_minhash_lsh": 8,

@@ -42,19 +42,21 @@ def site_template_lines(spark, sf_dir: str):
             "extracted_text",
         )
     )
-    host_docs = ex.groupBy("host").agg(F.countDistinct("url").alias("n_host"))
-    doc_lines = (
-        ex.select(
-            "host", "url", F.explode(F.split("extracted_text", "\n")).alias("line")
-        )
-        .filter(F.col("line") != "")
-        .distinct()
-    )
+    # urls are unique pre-explode, so n_host is a plain count; per-doc
+    # line dedup is a NARROW array_distinct before the explode (the
+    # relational distinct here was a full shuffle of every line row)
+    host_docs = ex.groupBy("host").agg(F.count("*").cast("bigint").alias("n_host"))
+    doc_lines = ex.select(
+        "host",
+        F.explode(
+            F.array_distinct(F.split("extracted_text", "\n"))
+        ).alias("line"),
+    ).filter(F.col("line") != "")
     line_counts = doc_lines.groupBy("host", "line").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
     return (
-        line_counts.join(host_docs, "host")
+        line_counts.join(F.broadcast(host_docs), "host")
         .select(
             "host",
             "line",
