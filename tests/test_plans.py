@@ -198,9 +198,84 @@ SHUFFLE_BUDGETS = {
     "j3_large_join_smj": 3,
     "site_template_lines": 2,
     "dedup_simhash": 2,
-    "dedup_ngram_jaccard": 1,
-    "dedup_minhash_lsh": 8,
+    # round 2: both dedup ops grew the hot-key guard stages (df-cap /
+    # bucket-cap pre-agg + anti-join) and dropped every broadcast hint —
+    # more exchanges at toy scale, but the pair space is now bounded at
+    # crawl scale (no quadratic hot bucket, no unbounded broadcast).
+    "dedup_ngram_jaccard": 7,
+    "dedup_minhash_lsh": 16,
 }
+
+
+class TestDedupScaleSafety:
+    """Round-2 hardening (VERDICT r01): the dedup/template join stages must
+    survive a duplicate-heavy 100 TB crawl — no unbounded broadcast, and
+    hot-key guards actually present in the plan."""
+
+    CANDIDATE_QUERIES = (
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "site_template_lines",
+    )
+
+    def test_no_hardcoded_broadcast(self, spark):
+        """With size-based broadcast disabled, NONE of these plans may
+        contain a BroadcastHashJoin: any remaining one would be a
+        hard-coded F.broadcast() hint forcing an unbounded build side
+        (candidate-pair set / per-host table) into executor memory at any
+        scale.  (AQE downgrading small sides to broadcast at runtime is
+        fine — that is size-gated, which is the point.)"""
+        import __spark_entry__ as E
+
+        qs = E.queries()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            for name in self.CANDIDATE_QUERIES:
+                plan = plan_of(qs[name](spark, "/root/testdata/sf0.001"))
+                assert "BroadcastHashJoin" not in plan, f"{name} hints broadcast"
+                assert "BroadcastNestedLoopJoin" not in plan, name
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    def test_hot_key_guards_in_plan(self, spark):
+        """The df-cap (ngram) and bucket-cap (minhash) are left-anti joins
+        against the hot-key lists — they must appear in the physical plan
+        (a silent removal reintroduces the quadratic hot key)."""
+        import __spark_entry__ as E
+
+        qs = E.queries()
+        for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
+            plan = plan_of(qs[name](spark, "/root/testdata/sf0.001"))
+            assert "LeftAnti" in plan, f"{name} lost its hot-key cap"
+
+    def test_caps_actually_drop_hot_keys(self, spark):
+        """Behavioral pin on a synthetic hot corpus: every doc shares one
+        stop-phrase shingle; with the df-cap the shared shingle generates
+        NO pairs (docs are otherwise disjoint), without it the pair join
+        would emit ~n^2/2 candidate rows."""
+        from textextraction_spark.operators import dedup as D
+
+        n = D.SHINGLE_DF_CAP + 8
+        rows = [
+            (i, f"click here to u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(n)
+        ]
+        v = spark.createDataFrame(rows, "vid long, text string")
+        sh0 = D._shingles_df(v)
+        from pyspark.sql import functions as F
+
+        hot = (
+            sh0.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > D.SHINGLE_DF_CAP)
+            .select("shingle")
+        )
+        capped = sh0.join(hot, "shingle", "left_anti")
+        a, b = capped.alias("a"), capped.alias("b")
+        pairs = a.join(b, F.col("a.shingle") == F.col("b.shingle")).filter(
+            F.col("a.vid") < F.col("b.vid")
+        )
+        assert hot.count() == 1  # exactly the stop-phrase shingle
+        assert pairs.count() == 0  # quadratic hot bucket eliminated
 
 
 class TestShuffleBudgets:

@@ -6,14 +6,27 @@ Design for 100 TB:
   shuffle keyed by content hash; survivors via min_by.
 - MinHash+LSH  = shingle -> k minhashes (one wide agg) -> band-bucket
   equi-join for candidates -> exact-Jaccard verify restricted to the
-  (broadcast) candidate list: verify cost is O(|candidates|), independent
-  of corpus size — the classic escape from the O(n^2) pair space.
+  candidate list: verify cost is O(|candidates|), independent of corpus
+  size — the classic escape from the O(n^2) pair space.  Two explicit
+  guards make the candidate stage crawl-safe:
+    * oversized band buckets (> ``LSH_BUCKET_CAP`` members) are SKIPPED
+      before the self-join (Manku/Broder-style oversized-bucket skip):
+      a degenerate minhash value shared by 10^6 docs would otherwise
+      create a quadratic hot bucket;
+    * the candidate pair set joins back to the shingle stream as a plain
+      shuffle hash join — NEVER a broadcast: on a 30%-duplicate crawl the
+      pair set is billions of rows.
 - SimHash      = shingle hashes -> 16 signed bit sums (partial agg) ->
   16-bit signature -> pigeonhole banding (hamming <= 3 forces exact
   agreement on >= 1 of 4 4-bit bands) -> equi-join candidates -> exact
   hamming filter.  Never an all-pairs join.
-- n-gram Jaccard = candidate pairs bounded by a shared-shingle equi-join,
-  never a cross join.
+- n-gram Jaccard = pairs from a shared-shingle equi-join restricted to
+  DISCRIMINATIVE shingles: document frequency <= ``SHINGLE_DF_CAP``
+  (standard MinHashLSH practice).  A stop-phrase shingle ("click here
+  to") present in 10^8 docs would otherwise alone generate 10^16 pairs;
+  hot shingles are removed by a pre-agg + left-anti join (shuffle, never
+  broadcast — the hot list is bounded by instances/cap but can still be
+  large), and the jaccard is over the capped shingle sets.
 
 Every hash is md5-derived (``conv(substr(md5(x),1,8),16,10)``) — identical
 in Spark and DuckDB, so the oracles reproduce exact values, accidental
@@ -34,6 +47,11 @@ N_BASE = 150
 COPY_OFFSET = 1000
 N_HASHES = 4  # minhash band count (1 row per band)
 SIM_BITS = 16
+# Crawl-scale guards (values sized for the test corpus; production runs
+# would use ~10^4 / ~10^3 — both are pure config, the plan shape is what
+# matters).  Mirrored verbatim in the DuckDB oracles.
+SHINGLE_DF_CAP = 32  # drop shingles present in more docs (stop phrases)
+LSH_BUCKET_CAP = 32  # skip band buckets with more members (degenerate hash)
 
 # md5 -> 32-bit int, per dialect (same value!).
 H_SPARK = "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
@@ -130,19 +148,31 @@ SHINGLES_DUCK = f"""
 
 # ------------------------------------------------------ n-gram Jaccard
 def ngram_jaccard(spark, sf_dir: str):
-    """Near-dup pairs by exact 3-gram Jaccard >= 0.5.  Pair space is
-    bounded by the shared-shingle equi-join (never cross-join)."""
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.5 over DISCRIMINATIVE
+    shingles (document frequency <= SHINGLE_DF_CAP).  Pair space is
+    bounded by the capped shared-shingle equi-join: without the cap, ONE
+    stop-phrase shingle in k docs contributes k^2/2 pairs — the cap makes
+    the pair count <= |shingles| * CAP instead of quadratic in the hot
+    key.  The hot-shingle list is removed via left-anti join (a shuffle
+    keyed on shingle; the list is never broadcast — at crawl scale it can
+    hold 10^9 entries).  Both self-join sides read the same anti-joined
+    subtree, so the shingle-keyed exchange is paid once (ReuseExchange)."""
     # No .cache(): a cached subtree pins its 64-way partitioning and disables
     # AQE coalescing downstream (canChangeCachedPlanOutputPartitioning=false
     # by default) — recomputing the cheap shingle scan is faster than losing
     # AQE on every stage built above it.
     v = variants(spark, sf_dir)
-    sh = _shingles_df(v)
-    # per-doc shingle-set size as a NARROW projection (size of the
-    # deduped array) — no groupBy, no recompute of the exploded stream
-    sizes = v.select(
-        "vid", F.size(F.array_distinct(F.expr(SHINGLE_ARR))).alias("n_sh")
+    sh0 = _shingles_df(v)
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
     )
+    sh = sh0.join(hot, "shingle", "left_anti")
+    # sizes over the SAME capped stream (self-consistent capped-set
+    # jaccard); the groupBy is a partial-agg shuffle on vid.
+    sizes = sh.groupBy("vid").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -167,7 +197,9 @@ def ngram_jaccard(spark, sf_dir: str):
 
 NGRAM_JACCARD_ORACLE = f"""
 WITH variants AS ({VARIANTS_DUCK}),
-sh AS ({SHINGLES_DUCK}),
+sh0 AS ({SHINGLES_DUCK}),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {SHINGLE_DF_CAP}),
+sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT vid, count(*) AS n_sh FROM sh GROUP BY vid),
 inter AS (
   SELECT a.vid AS vid_a, b.vid AS vid_b, count(*) AS n_inter
@@ -185,8 +217,10 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
 
 # ---------------------------------------------------------- MinHash + LSH
 def minhash_lsh(spark, sf_dir: str):
-    """shingle -> 4 md5-family minhashes -> 1-row bands -> bucket join ->
-    candidates verified by exact Jaccard >= 0.5."""
+    """shingle -> 4 md5-family minhashes -> 1-row bands -> bucket join
+    (oversized buckets skipped) -> candidates verified by exact
+    Jaccard >= 0.5 via shuffle joins (the candidate set is unbounded on a
+    duplicate-heavy crawl — never broadcast)."""
     # No .cache(): a cached subtree pins its 64-way partitioning and disables
     # AQE coalescing downstream (canChangeCachedPlanOutputPartitioning=false
     # by default) — recomputing the cheap shingle scan is faster than losing
@@ -209,7 +243,22 @@ def minhash_lsh(spark, sf_dir: str):
     sig = wide.selectExpr(
         "vid", f"stack({N_HASHES}, {stack_expr}) as (j, h)"
     )
-    a, b = sig.alias("a"), sig.alias("b")
+    # Oversized-bucket skip: a band value shared by k docs creates k^2/2
+    # candidate pairs — a degenerate minhash (empty docs, boilerplate-only
+    # docs) turns one bucket quadratic at crawl scale.  Buckets past the
+    # cap are dropped via pre-agg + left-anti join on (j, h) — partial
+    # aggregation absorbs the hot key, and the hot-bucket list is joined,
+    # not broadcast.  (Recall loss is bounded: a pair lost here agrees
+    # only on degenerate bands; production pipelines skip such buckets for
+    # exactly this reason.)
+    hotb = (
+        sig.groupBy("j", "h")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > LSH_BUCKET_CAP)
+        .select("j", "h")
+    )
+    sigc = sig.join(hotb, ["j", "h"], "left_anti")
+    a, b = sigc.alias("a"), sigc.alias("b")
     cand = (
         a.join(b, (F.col("a.j") == F.col("b.j")) & (F.col("a.h") == F.col("b.h")))
         .filter(F.col("a.vid") < F.col("b.vid"))
@@ -217,12 +266,14 @@ def minhash_lsh(spark, sf_dir: str):
         .agg(F.count("*").cast("bigint").alias("n_bands"))
     )
     sizes = wide.select("vid", "n_sh")
-    # Exact-Jaccard verify ONLY for LSH candidate pairs (broadcast the tiny
-    # candidate list) — never an all-pairs shingle self-join.  This is the
-    # load-bearing scale property: verify cost is O(|candidates| x shingles
-    # per doc), independent of corpus size.
+    # Exact-Jaccard verify ONLY for LSH candidate pairs — never an
+    # all-pairs shingle self-join.  The candidate set is NOT broadcast:
+    # on a 30%-duplicate crawl it holds billions of pairs, so both verify
+    # joins are plain shuffle joins (AQE picks broadcast only when the
+    # runtime size stats actually allow it).  Verify cost stays
+    # O(|candidates| x shingles per doc), independent of corpus size.
     inter = (
-        sh.join(F.broadcast(cand.select("vid_a", "vid_b")), sh.vid == F.col("vid_a"))
+        sh.join(cand.select("vid_a", "vid_b"), sh.vid == F.col("vid_a"))
         .select("vid_a", "vid_b", "shingle")
         .join(
             sh.select(F.col("vid").alias("vid_b2"), F.col("shingle").alias("sh2")),
@@ -254,9 +305,11 @@ sig AS (
   FROM sh CROSS JOIN (SELECT unnest(range(0, {N_HASHES})) AS j)
   GROUP BY vid, j
 ),
+hotb AS (SELECT j, h FROM sig GROUP BY j, h HAVING count(*) > {LSH_BUCKET_CAP}),
+sigc AS (SELECT sig.* FROM sig ANTI JOIN hotb USING (j, h)),
 cand AS (
   SELECT a.vid AS vid_a, b.vid AS vid_b, count(*)::BIGINT AS n_bands
-  FROM sig a JOIN sig b ON a.j = b.j AND a.h = b.h AND a.vid < b.vid
+  FROM sigc a JOIN sigc b ON a.j = b.j AND a.h = b.h AND a.vid < b.vid
   GROUP BY a.vid, b.vid
 ),
 sizes AS (SELECT vid, count(*) AS n_sh FROM sh GROUP BY vid),

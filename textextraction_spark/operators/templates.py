@@ -42,9 +42,11 @@ def site_template_lines(spark, sf_dir: str):
             "extracted_text",
         )
     )
-    # urls are unique pre-explode, so n_host is a plain count; per-doc
-    # line dedup is a NARROW array_distinct before the explode (the
-    # relational distinct here was a full shuffle of every line row)
+    # PRECONDITION: urls are unique per row here (extraction output is
+    # url-keyed — the pipeline's dedup_input guard enforces it for crawl
+    # re-captures), so n_host is a plain count(*); per-doc line dedup is
+    # a NARROW array_distinct before the explode (the relational distinct
+    # here was a full shuffle of every line row).
     host_docs = ex.groupBy("host").agg(F.count("*").cast("bigint").alias("n_host"))
     doc_lines = ex.select(
         "host",
@@ -55,8 +57,13 @@ def site_template_lines(spark, sf_dir: str):
     line_counts = doc_lines.groupBy("host", "line").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+    # Plain equi-join on host — NOT broadcast: |hosts| on a full crawl is
+    # ~10^8 rows.  host_docs arrives already hash-partitioned by host from
+    # its groupBy; AQE may still downgrade to broadcast when runtime stats
+    # show the side is actually small (correct at any scale, unlike a
+    # hard-coded hint).
     return (
-        line_counts.join(F.broadcast(host_docs), "host")
+        line_counts.join(host_docs, "host")
         .select(
             "host",
             "line",
