@@ -354,9 +354,31 @@ class TestNormalizeBytes:
         r = extract_document(gzip.compress(pdf, mtime=0))
         assert r.is_pdf and r.extracted_text == "alpha beta"
 
-    def test_corrupt_gzip_passes_through(self):
+    def test_corrupt_gzip_surfaces_error(self):
+        """Compressed junk must never be parsed as HTML 'content': corrupt
+        gzip lands in the error column with NO extracted text."""
         r = extract_document(b"\x1f\x8bnot really gzip")
-        assert r.error == ""  # DOM path treats it as text, never raises
+        assert r.extracted_text == ""
+        assert "TransportError" in r.error
+
+    def test_multi_member_gzip_concatenates(self):
+        """WARC payloads may be multiple concatenated gzip members —
+        gzip.decompress semantics, not first-member-only."""
+        import gzip
+
+        m1 = gzip.compress(b"<body><p>alpha beta gamma", mtime=0)
+        m2 = gzip.compress(b" delta epsilon</p></body>", mtime=0)
+        joined = extract_document(m1 + m2)
+        plain = extract_document(b"<body><p>alpha beta gamma delta epsilon</p></body>")
+        assert joined.error == ""
+        assert joined.extracted_text == plain.extracted_text
+
+    def test_gzip_member_plus_trailing_garbage_rejected(self):
+        import gzip
+
+        payload = gzip.compress(b"<p>x</p>", mtime=0) + b"JUNK"
+        r = extract_document(payload)
+        assert r.extracted_text == "" and "TransportError" in r.error
 
 
 class TestParserRealismFamilies:
@@ -384,9 +406,10 @@ class TestGzipBombGuard:
         payload = gzip.compress(html, mtime=0)
         monkeypatch.setattr(X, "MAX_INFLATE_BYTES", 1024)
         r = X.extract_document(payload)
-        # over-limit: payload treated as opaque bytes, never inflated
-        assert "aaaa" not in r.extracted_text
-        assert r.error == ""
+        # over-limit: rejected wholesale — no partial text, no parsing of
+        # compressed bytes; the bomb is visible in the error column
+        assert r.extracted_text == ""
+        assert "TransportError" in r.error and "bomb" in r.error
 
     def test_under_limit_inflates(self):
         import gzip

@@ -59,38 +59,60 @@ _UTF8_BOM = b"\xef\xbb\xbf"
 
 # Bounded inflate: a crawled payload claiming gzip may be a decompression
 # bomb; cap the inflated size so one row can never OOM an executor.  A
-# payload inflating past the cap is rejected wholesale (treated as opaque
-# bytes — no partial text, keeping extraction a pure total function).
+# payload that is corrupt, truncated, or inflates past the cap is rejected
+# wholesale via TransportError -> the row's ``error`` column (no partial
+# text, and compressed junk is never routed through the HTML parser).
 MAX_INFLATE_BYTES = 64 << 20
 
 
-def _bounded_gunzip(data: bytes, limit: int) -> bytes | None:
-    """Inflate at most ``limit`` bytes; None if corrupt or over-limit."""
+class TransportError(ValueError):
+    """Raised for undecodable transport wrapping (corrupt/oversized gzip);
+    caught by extract_document and surfaced in the ``error`` column."""
+
+
+def _bounded_gunzip(data: bytes, limit: int) -> bytes:
+    """Inflate ALL gzip members (WARC payloads are legally multi-member
+    concatenations; stopping at the first member would silently truncate)
+    up to ``limit`` total bytes; raises TransportError on corrupt,
+    truncated, or over-limit payloads."""
     import zlib
 
+    out: list[bytes] = []
+    total = 0
+    remaining = data
     try:
-        d = zlib.decompressobj(wbits=31)  # 31 = gzip container
-        out = d.decompress(data, limit)
-        if d.unconsumed_tail or (not d.eof and d.decompress(b"", 1)):
-            return None  # more payload remained -> bomb or truncated
-        return out
-    except zlib.error:
-        return None
+        while remaining:
+            d = zlib.decompressobj(wbits=31)  # 31 = gzip container
+            chunk = d.decompress(remaining, limit - total + 1)
+            total += len(chunk)
+            if total > limit or d.unconsumed_tail:
+                raise TransportError(
+                    f"gzip payload inflates past {limit} bytes (bomb guard)"
+                )
+            if not d.eof:
+                raise TransportError("truncated gzip member")
+            out.append(chunk)
+            remaining = d.unused_data
+            if remaining and remaining[:2] != _GZIP_MAGIC:
+                raise TransportError("trailing garbage after gzip member")
+    except zlib.error as e:
+        raise TransportError(f"corrupt gzip payload: {e}") from None
+    return b"".join(out)
 
 
 def normalize_bytes(data: bytes) -> bytes:
     """Common-Crawl payload normalization, applied before routing: WARC
-    payloads are frequently stored gzip-compressed, and real-world HTML
-    often leads with a UTF-8 BOM.  Both are transport artifacts — the
-    extraction contract is over the underlying document, so they are
-    stripped here (gzip first: a BOM can only appear on decompressed
-    bytes).  A payload that merely *starts* like gzip but fails to
-    inflate — or inflates past MAX_INFLATE_BYTES (bomb guard) — is passed
-    through untouched (the DOM path treats it as text)."""
+    payloads are frequently stored gzip-compressed (possibly as multiple
+    concatenated members), and real-world HTML often leads with a UTF-8
+    BOM.  Both are transport artifacts — the extraction contract is over
+    the underlying document, so they are stripped here (gzip first: a BOM
+    can only appear on decompressed bytes).  A payload that starts with
+    the gzip magic but fails to inflate — corrupt, truncated, or past the
+    MAX_INFLATE_BYTES bomb guard — raises TransportError: compressed junk
+    must land in the ``error`` column, not flow through the HTML parser
+    as gibberish "content"."""
     if data[:2] == _GZIP_MAGIC:
-        inflated = _bounded_gunzip(data, MAX_INFLATE_BYTES)
-        if inflated is not None:
-            data = inflated
+        data = _bounded_gunzip(data, MAX_INFLATE_BYTES)
     if data[:3] == _UTF8_BOM:
         data = data[3:]
     return data

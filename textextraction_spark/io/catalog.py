@@ -67,8 +67,15 @@ class IcebergCatalog:
     def write_batch(self, extracted_df, batch_id: str) -> None:
         """MERGE keyed on url: idempotent re-run of a crashed batch
         overwrites its own rows; the snapshot commit is the atomic point."""
-        # batch ids like "epoch-3" are not valid SQL identifiers — sanitize
-        view = "_batch_" + "".join(c if c.isalnum() else "_" for c in batch_id)
+        # batch ids like "epoch-3" are not valid SQL identifiers — sanitize,
+        # plus a digest of the RAW id: sanitization alone maps distinct ids
+        # ("epoch-3" / "epoch.3") to one view name, letting two concurrent
+        # merges in one SparkSession clobber each other's temp view.
+        import hashlib
+
+        sanitized = "".join(c if c.isalnum() else "_" for c in batch_id)
+        digest = hashlib.md5(batch_id.encode()).hexdigest()[:8]
+        view = f"_batch_{sanitized}_{digest}"
         extracted_df.createOrReplaceTempView(view)
         self.spark.sql(
             f"""

@@ -70,13 +70,20 @@ def run_extraction_job(spark, pages_df, cfg: JobConfig):
 
     pending = catalog.pending(pages_df.select("url", "warc_ts", "html"), spark)
     if cfg.dedup_input:
+        # Repartition by url at cfg.num_partitions FIRST: AQE folds this
+        # into the groupBy's own url-keyed exchange, so the dedup shuffle
+        # honors the configured parallelism instead of silently landing on
+        # spark.sql.shuffle.partitions.  (Salting never applies here: the
+        # dedup key MUST be the raw url; a hot HOST is many distinct urls,
+        # which the url hash already spreads.)
         latest = F.max_by(F.struct("warc_ts", "html"), "warc_ts").alias("s")
         pending = (
-            pending.groupBy("url")
+            pending.repartition(cfg.num_partitions, "url")
+            .groupBy("url")
             .agg(latest)
             .select("url", F.col("s.warc_ts").alias("warc_ts"), F.col("s.html").alias("html"))
         )
-        distributed = pending  # the groupBy already hash-partitioned by url
+        distributed = pending  # already hash-partitioned by url
     elif cfg.repartition:
         plan = (
             salt_plan(pending, cfg.rows_per_task) if cfg.diagnose_skew else None
