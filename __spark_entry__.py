@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_span_offsets": X.extract_span_offsets,
         "pdf_highlight_rects": X.pdf_highlight_rects,
         "audit_row": X.audit_row,
+        "extract_phi_encrypted": X.extract_phi_encrypted,
         "host_distribution": X.host_distribution,
         "corpus_prep_pipeline": X.corpus_prep_pipeline,
         # --- text analysis ---
@@ -130,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_span_offsets": X.extract_span_offsets_oracle(),
         "pdf_highlight_rects": X.pdf_highlight_rects_oracle(),
         "audit_row": X.audit_row_oracle(),
+        "extract_phi_encrypted": X.extract_phi_encrypted_oracle(),
         "host_distribution": X.host_distribution_oracle(),
         "corpus_prep_pipeline": X.corpus_prep_pipeline_oracle(),
         "token_stats": T.TOKEN_STATS_ORACLE,

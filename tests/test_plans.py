@@ -155,6 +155,7 @@ SHUFFLE_BUDGETS = {
     "extract_pdf_text": 0,
     "extract_confidence": 0,
     "extract_span_offsets": 0,
+    "extract_phi_encrypted": 0,
     "pdf_highlight_rects": 0,
     "token_stats": 0,
     "quality_score": 0,

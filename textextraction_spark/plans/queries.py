@@ -270,6 +270,68 @@ def audit_row_oracle() -> str:
     """
 
 
+def extract_phi_encrypted(spark, sf_dir: str):
+    """F9 end-to-end through the Spark kernel (``Worker.cs:238-250``,
+    ``CryptLib.cs:82-125``): extraction with ``encrypt_phi=True`` replaces
+    each patient span's text with its deterministic fixed-IV AES-256-CBC
+    ciphertext (core/crypt.py).  One row per (url, PHI field).
+
+    This is the driver-gate row for the crypt component: DuckDB cannot run
+    AES, but the ciphertext is a pure function of the plaintext, which is
+    itself a formula of doc_id — the oracle inlines the full ciphertext
+    codebooks (256 names x 2100 dates), precomputed from the same Python
+    constants the generator uses."""
+    from textextraction_spark.core.extract import PHI_FIELDS
+
+    ex = extract_pages(build_pages(spark, sf_dir), encrypt_phi=True).withColumn(
+        "doc_id", F.expr(DOC_ID_FROM_URL)
+    )
+    ex = ex.filter((F.col("doc_id") % 20 >= 7) & (F.col("doc_id") % 20 <= 12))
+    sp = ex.select("url", F.explode("spans").alias("s"))
+    return sp.filter(F.col("s.field").isin(*PHI_FIELDS)).select(
+        "url",
+        F.col("s.field").alias("field"),
+        F.col("s.text").alias("ciphertext"),
+    )
+
+
+def extract_phi_encrypted_oracle() -> str:
+    # Ciphertext codebooks: patient name is periodic in doc_id with period
+    # 256 (16 first x 16 last), the DOB formula with period 2100
+    # (lcm of its 12/28/50 moduli) — see sources/pages.py person_sql /
+    # MED_DATE_SQL.  encrypt_field is deterministic (fixed IV), so the
+    # codebooks are exact.
+    from textextraction_spark.core.crypt import encrypt_field
+    from textextraction_spark.core.gazetteer import FIRST_NAMES, LAST_NAMES
+
+    name_rows = ", ".join(
+        "({}, '{}')".format(
+            k, encrypt_field(f"{FIRST_NAMES[k % 16]} {LAST_NAMES[(k // 16) % 16]}")
+        )
+        for k in range(256)
+    )
+    dob_rows = ", ".join(
+        "({}, '{}')".format(
+            k,
+            encrypt_field(f"{1 + (k + 5) % 12:02d}/{1 + (k + 11) % 28:02d}/{1950 + k % 50}"),
+        )
+        for k in range(2100)
+    )
+    return f"""
+    WITH name_map(k, ct) AS (VALUES {name_rows}),
+    dob_map(k, ct) AS (VALUES {dob_rows}),
+    med AS (
+      SELECT doc_id, {URL_SQL} AS url FROM documents
+      WHERE doc_id % 20 BETWEEN 7 AND 12
+    )
+    SELECT url, 'patient.name' AS field, nm.ct AS ciphertext
+    FROM med JOIN name_map nm ON nm.k = med.doc_id % 256
+    UNION ALL
+    SELECT url, 'patient.birth_date' AS field, dm.ct AS ciphertext
+    FROM med JOIN dob_map dm ON dm.k = med.doc_id % 2100
+    """
+
+
 # -------------------------------------------------------- host distribution
 def host_distribution(spark, sf_dir: str):
     """Skew diagnosis over pages urls (plans/skew.py host_frequencies)."""
