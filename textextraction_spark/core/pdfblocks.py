@@ -8,20 +8,28 @@ streams directly — page -> text block (``BT .. ET``) -> reading-order sort
 (top-to-bottom, then left-to-right), mirroring the reference's
 page -> block -> line traversal order.
 
-Scope: minimal *uncompressed* PDF 1.4 subset (the fixture format per
-FIXTURES.md §2.4): per page one content stream, blocks of the form
+Scope: minimal PDF 1.4 subset (the fixture format per FIXTURES.md §2.4):
+per page one content stream, blocks of the form
 
     BT x y Td (text) Tj ET
 
+stored either raw or as a **FlateDecode** (zlib) compressed stream —
+``<< /Filter /FlateDecode /Length N >> stream ... endstream`` — which is
+how virtually every real-world PDF stores content streams (FlateDecode is
+plain zlib, stdlib-decodable; no external dependency).  Compressed
+streams are inflated in a pre-pass, then parsed identically to raw ones.
+A corrupt flate stream raises (→ the row's ``error`` column).
+
 Coordinates are PDF user-space-ish integer "pixels"; origin bottom-left, so
 reading order = y DESCENDING, then x ascending.  Anything outside this
-subset yields an empty Doc with an error recorded by the caller (real-world
-compressed PDFs would need a decode library not present in this image).
+subset yields an empty Doc with an error recorded by the caller (image-only
+PDFs would additionally need the reference's OCR path).
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
 from textextraction_spark.core.model import Doc, Line, Page
 
@@ -32,9 +40,49 @@ _BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _TD = re.compile(rb"(-?\d+)\s+(-?\d+)\s+Td")
 _TJ = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
 
+# FlateDecode object: dict carrying /Filter /FlateDecode, then the stream
+# keyword; /Length (when present) slices the exact payload — binary zlib
+# bytes may legally contain the "endstream" token, so the length is
+# authoritative and the token search is only the fallback.
+_FLATE_OBJ = re.compile(rb"<<(?P<dict>[^>]*?/FlateDecode[^>]*?)>>\s*stream\r?\n")
+_LENGTH = re.compile(rb"/Length\s+(\d+)")
+_ENDSTREAM = re.compile(rb"\s*endstream")
+
 
 def is_pdf(data: bytes) -> bool:
     return data[:4] == PDF_MAGIC
+
+
+def _inflate_streams(data: bytes) -> bytes:
+    """Replace every FlateDecode stream object with its inflated content
+    (raising ValueError on corrupt zlib — surfaced via the error column).
+    Non-flate bytes pass through untouched, so mixed raw/compressed PDFs
+    parse with one code path."""
+    if b"/FlateDecode" not in data:
+        return data
+    out = bytearray()
+    pos = 0
+    for m in _FLATE_OBJ.finditer(data):
+        if m.start() < pos:  # overlapping match inside a consumed stream
+            continue
+        start = m.end()
+        lm = _LENGTH.search(m.group("dict"))
+        if lm:
+            end = start + int(lm.group(1))
+        else:
+            em = _ENDSTREAM.search(data, start)
+            end = em.start() if em else len(data)
+        try:
+            inflated = zlib.decompress(data[start:end])
+        except zlib.error as e:
+            raise ValueError(f"corrupt FlateDecode stream: {e}") from None
+        em = _ENDSTREAM.search(data, end)
+        tail = em.end() if em else len(data)
+        out += data[pos : m.start()]
+        out += inflated
+        pos = tail
+    out += data[pos:]
+    return bytes(out)
 
 
 def _unescape(raw: bytes) -> str:
@@ -48,6 +96,7 @@ def _unescape(raw: bytes) -> str:
 
 def parse_pdf(data: bytes) -> Doc:
     """PDF bytes -> Doc with reading-order-sorted lines per page."""
+    data = _inflate_streams(data)
     pages: list[Page] = []
     offset = 0
     body_parts = _PAGE_SPLIT.split(data)

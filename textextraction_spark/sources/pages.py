@@ -237,7 +237,13 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
     head at y=700) so the extractor's sort is load-bearing; doc_id % 40 = 0
     adds a bottom TOTAL block (field + rect on the PDF path); doc_id % 40 =
     20 splits head/tail across TWO pages (same expected text — page joins
-    and block joins both contribute a single newline)."""
+    and block joins both contribute a single newline); doc_id % 60 = 40
+    stores the content stream **FlateDecode-compressed** (`<< /Filter
+    /FlateDecode /Length N >>` + zlib payload — the real-world storage
+    form; extracted text is unchanged, so the same oracles transitively
+    gate the inflate path)."""
+    import zlib
+
     words = text.split(" ")
     if len(words) <= 10:
         blocks = [(72, 700, text)]
@@ -255,6 +261,15 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
         )
     else:
         body = "".join(f"BT {x} {y} Td ({t}) Tj ET\n" for x, y, t in blocks)
+    if doc_id % 60 == 40:
+        payload = zlib.compress(body.encode("latin-1"), level=6)
+        return (
+            b"%PDF-1.4\n<< /Filter /FlateDecode /Length "
+            + str(len(payload)).encode()
+            + b" >>\nstream\n"
+            + payload
+            + b"\nendstream\n%%EOF"
+        )
     return f"%PDF-1.4\nstream\n{body}endstream\n%%EOF".encode("latin-1")
 
 
