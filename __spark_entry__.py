@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": M.media_metadata,
         "media_frame_sample": M.media_frame_sample,
         "politeness_schedule": SCH.politeness_schedule,
+        "politeness_schedule_grouped": SCH.politeness_schedule_grouped,
         # --- relational operator suite (SURVEY.md §2.3-2.7) ---
         "p1_strip_special": R.p1_strip_special,
         "p3_keyword_gate": R.p3_keyword_gate,
@@ -151,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": M.MEDIA_METADATA_ORACLE,
         "media_frame_sample": M.MEDIA_FRAME_SAMPLE_ORACLE,
         "politeness_schedule": SCH.POLITENESS_ORACLE,
+        "politeness_schedule_grouped": SCH.POLITENESS_ORACLE,
         "p1_strip_special": R.P1_ORACLE,
         "p3_keyword_gate": R.P3_ORACLE,
         "a1_avg_by_group": R.A1_ORACLE,

@@ -178,6 +178,7 @@ SHUFFLE_BUDGETS = {
     "dedup_exact": 1,
     "dedup_url_normalize": 1,
     "politeness_schedule": 1,
+    "politeness_schedule_grouped": 1,
     "a1_avg_by_group": 1,
     "a2_first_event_per_user": 1,
     "a4_collect_per_group": 1,
@@ -277,6 +278,39 @@ class TestDedupScaleSafety:
         )
         assert hot.count() == 1  # exactly the stop-phrase shingle
         assert pairs.count() == 0  # quadratic hot bucket eliminated
+
+
+class TestPolitenessDefaultPlan:
+    def test_default_is_pure_window_no_grouped_map(self, spark):
+        """The default politeness plan must be the closed-form window (JVM
+        streaming over each host partition) — a grouped-map here would
+        materialize a hot host's 10^8 fetches in one pandas DataFrame."""
+        from textextraction_spark.operators.scheduling import (
+            politeness_schedule,
+            politeness_schedule_grouped,
+        )
+
+        plan = plan_of(politeness_schedule(spark, "/root/testdata/sf0.001"))
+        assert "FlatMapGroupsInPandas" not in plan
+        assert "Window" in plan
+        # the grouped-map surface still exists (and is separately gated)
+        gplan = plan_of(politeness_schedule_grouped(spark, "/root/testdata/sf0.001"))
+        assert "FlatMapGroupsInPandas" in gplan
+
+    def test_window_equals_grouped(self, spark):
+        from textextraction_spark.operators.scheduling import (
+            politeness_schedule,
+            politeness_schedule_grouped,
+        )
+
+        w = politeness_schedule(spark, "/root/testdata/sf0.001").toPandas()
+        g = politeness_schedule_grouped(spark, "/root/testdata/sf0.001").toPandas()
+        key = ["user_id", "event_id"]
+        assert (
+            w.sort_values(key).reset_index(drop=True).equals(
+                g.sort_values(key).reset_index(drop=True)
+            )
+        )
 
 
 class TestShuffleBudgets:

@@ -17,9 +17,14 @@ pure-relational twin a 100 TB run would prefer (running max over a
 window — no python at all); the applyInPandas version is kept as the
 grouped-map reference implementation and the oracle proves them equal.
 
-Scale notes: one shuffle on the group key; each group is processed as a
-single pandas DataFrame, so a pathological hot host with 10^8 rows would
-need the window form instead — exactly why both are provided.
+Scale notes (round 2): the WINDOW form is the default engine path — pure
+JVM, streams each host partition without materializing it, so a
+pathological hot host with 10^8 fetches cannot OOM an executor.  The
+``applyInPandas`` form is kept as the grouped-map reference surface
+(and is itself oracle-gated): it materializes each group as one pandas
+DataFrame, which is exactly the hot-host hazard the default avoids.
+Both share one shuffle on the group key and one oracle — the closed form
+proves the recurrence and the window are the same function.
 
 (The reference has no scheduling logic — its poll loop is sequential by
 construction, ``Worker.cs:45-56``; this operator is part of the
@@ -30,6 +35,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 MIN_DELAY_US = 10_000_000  # 10 s between fetch starts per host
 
@@ -48,18 +54,49 @@ def _schedule_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return out[["user_id", "event_id", "delay_us"]]
 
 
-def politeness_schedule(spark, sf_dir: str):
-    """events (user_id standing in for host) -> per-fetch start delay in
-    exact integer microseconds."""
-    from textextraction_spark.job.packaging import ensure_shipped
-
-    ensure_shipped(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+def _events(spark, sf_dir: str):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
     )
-    return ev.groupBy("user_id").applyInPandas(
+
+
+def politeness_schedule(spark, sf_dir: str):
+    """events (user_id standing in for host) -> per-fetch start delay in
+    exact integer microseconds.  DEFAULT = the closed-form window plan:
+
+        start_n = n*d + max_{i<=n}(ts_i - i*d)
+
+    one shuffle on user_id, pure JVM window (running max over an ordered
+    frame), no grouped-map materialization — the hot-host-safe path."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    # two window passes over the SAME (partition, order) spec -> one
+    # exchange + one sort; windows cannot nest in a single expression
+    numbered = ev.withColumn("rn", F.row_number().over(w))
+    m = F.max(F.col("tus") - F.col("rn") * F.lit(MIN_DELAY_US)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return numbered.select(
+        "user_id",
+        "event_id",
+        (m + F.col("rn") * F.lit(MIN_DELAY_US) - F.col("tus"))
+        .cast("bigint")
+        .alias("delay_us"),
+    )
+
+
+def politeness_schedule_grouped(spark, sf_dir: str):
+    """The same operator on the batch grouped-map surface
+    (``applyInPandas`` running the imperative recurrence) — the reference
+    implementation the window form is proven equal to.  Materializes each
+    host group in pandas: fine for bounded groups, NOT the default (a
+    10^8-fetch hot host lands in one executor's memory)."""
+    from textextraction_spark.job.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    return _events(spark, sf_dir).groupBy("user_id").applyInPandas(
         _schedule_group, schema="user_id long, event_id long, delay_us long"
     )
 
