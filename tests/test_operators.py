@@ -77,3 +77,48 @@ class TestOracleSubset:
         want = duck.execute(E.oracle_sql()[name]).df()
         problems = compare(name, got, want)
         assert not problems, problems
+
+
+class TestImageHeaderParse:
+    """parse_image_dims is a REAL header decoder — it must handle genuine
+    files beyond our minimal fixtures (JPEG with APP0/EXIF/COM segments
+    before SOF, GIF87a, progressive JPEG) and reject junk."""
+
+    def test_fixture_roundtrip_all_formats(self):
+        from textextraction_spark.operators.multimodal import (
+            IMG_FORMATS,
+            make_image_bytes,
+            parse_image_dims,
+        )
+
+        for fmt in IMG_FORMATS:
+            for w, h in ((1, 1), (640, 480), (1919, 1079)):
+                assert parse_image_dims(make_image_bytes(fmt, w, h)) == (fmt, w, h)
+
+    def test_jpeg_with_leading_segments(self):
+        """Real JPEGs carry APP0 (JFIF) / APP1 (EXIF) / COM segments before
+        the SOF marker — the marker walk must skip them by length."""
+        import struct
+
+        from textextraction_spark.operators.multimodal import parse_image_dims
+
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+        sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 600, 800, 3) + bytes(9)
+        jpeg = b"\xff\xd8" + app0 + com + sof2 + b"\xff\xd9"
+        assert parse_image_dims(jpeg) == ("jpeg", 800, 600)
+
+    def test_gif87a(self):
+        import struct
+
+        from textextraction_spark.operators.multimodal import parse_image_dims
+
+        gif = b"GIF87a" + struct.pack("<HH3B", 320, 200, 0, 0, 0)
+        assert parse_image_dims(gif) == ("gif", 320, 200)
+
+    def test_junk_rejected(self):
+        from textextraction_spark.operators.multimodal import parse_image_dims
+
+        assert parse_image_dims(b"not an image at all") is None
+        assert parse_image_dims(b"\xff\xd8\x00\x00junk") is None
+        assert parse_image_dims(b"") is None

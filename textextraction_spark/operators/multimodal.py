@@ -2,16 +2,19 @@
 
 Treats media as opaque ``binary`` columns with typed metadata.  The
 *plumbing* — schema, Arrow batch shape, ``mapInPandas`` signature,
-deterministic routing by media kind — is real and tested; the actual
-codec work is STUBBED (this image has no image/audio libraries):
+deterministic routing by media kind — is real and tested.  Codec status
+per kind (round 2):
 
-- ``decode_stub``   derives deterministic fake dimensions from the bytes'
-  md5 (stands in for a pillow/ffmpeg decode);
-- ``real_decode``   raises NotImplementedError — the marked integration
-  point for a real decoder.
+- **image**: HONEST header decode — ``parse_image_dims`` reads real
+  PNG (IHDR), GIF (logical screen descriptor), and JPEG (SOF marker
+  walk) headers in pure stdlib; the ``media_image_dims`` query builds
+  genuine image files and the decoder parses their actual bytes.
+- **audio/video**: still stubbed (``decode_stub`` derives md5-fake
+  metadata; no ffmpeg/librosa in this image); ``real_decode`` raises
+  NotImplementedError as the marked integration point.
 
-Because the fake metadata is md5-derived, the DuckDB oracle can recompute
-it from ``md5(text)``, giving the full value-hash gate over the plumbing.
+Because stub metadata is md5-derived and image dims come from the real
+headers of formula-built files, the DuckDB oracles reproduce every value.
 
 Scale notes: media bytes never leave the executor; the UDF emits only
 small metadata rows.  At 100 TB the same cap on Arrow batch bytes applies
@@ -21,21 +24,83 @@ as for html (pipeline config ``arrow_max_records``).
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import functions as F
 
 KINDS = ["image", "audio", "video"]
+IMG_FORMATS = ["png", "gif", "jpeg"]
 
 
 def real_decode(data: bytes, kind: str):
-    """The real decoder integration point — requires pillow/librosa/ffmpeg,
-    none of which exist in this image."""
+    """The real FULL decoder integration point (pixel data / samples /
+    frames) — requires pillow/librosa/ffmpeg, none of which exist in this
+    image.  Header-level image metadata does NOT need it: see
+    ``parse_image_dims``."""
     raise NotImplementedError(
         "media decoding requires codec libraries not present in this image; "
         "wire pillow/av here in production"
     )
+
+
+# ---------------------------------------------------- honest image headers
+def make_image_bytes(fmt: str, width: int, height: int) -> bytes:
+    """Minimal REAL image file of the given format and dimensions
+    (valid signature + header; no pixel data — header parsers stop
+    before it).  Deterministic, so oracles can recompute sizes."""
+    if fmt == "png":
+        ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + chunk + struct.pack(">I", zlib.crc32(chunk))
+            + struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND"))
+        )
+    if fmt == "gif":
+        return b"GIF89a" + struct.pack("<HH3B", width, height, 0, 0, 0)
+    if fmt == "jpeg":
+        sof0 = struct.pack(
+            ">BHH B", 8, height, width, 3
+        ) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        return b"\xff\xd8\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0 + b"\xff\xd9"
+    raise ValueError(f"unknown format {fmt}")
+
+
+IMG_N_BYTES = {f: len(make_image_bytes(f, 1, 1)) for f in IMG_FORMATS}
+
+
+def parse_image_dims(data: bytes) -> tuple[str, int, int] | None:
+    """Real header parse: (format, width, height), or None if the bytes
+    are not a recognized image.  Pure stdlib — works on any genuine
+    PNG/GIF/baseline-or-progressive JPEG, not just our fixtures."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", data[16:24])
+        return ("png", w, h)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return ("gif", w, h)
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers, no length
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            # SOF0-SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                return ("jpeg", w, h)
+            pos += 2 + seglen
+        return None
+    return None
 
 
 def decode_stub(data: bytes, kind: str) -> dict:
@@ -53,16 +118,37 @@ def decode_stub(data: bytes, kind: str) -> dict:
     return meta
 
 
+def _decode_one(data: bytes, kind: str) -> dict:
+    """Route one media payload: image -> REAL header parse; audio/video ->
+    md5 stub (documented integration point)."""
+    if kind == "image":
+        parsed = parse_image_dims(data)
+        fmt, w, h = parsed if parsed else ("unknown", 0, 0)
+        return {
+            "kind": kind,
+            "detail": fmt,
+            "n_bytes": len(data),
+            "width": w,
+            "height": h,
+            "n_frames": 1,
+            "n_sampled": 1,
+        }
+    meta = decode_stub(data, kind)
+    meta["detail"] = ""
+    return meta
+
+
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         metas = [
-            decode_stub(bytes(b), k)
+            _decode_one(bytes(b), k)
             for b, k in zip(pdf["media"].values, pdf["kind"].values)
         ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].values,
                 "kind": [m["kind"] for m in metas],
+                "detail": [m["detail"] for m in metas],
                 "n_bytes": [m["n_bytes"] for m in metas],
                 "width": [m["width"] for m in metas],
                 "height": [m["height"] for m in metas],
@@ -72,16 +158,35 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# image-kind fixture dims (formulas mirrored in the DuckDB oracle)
+def _img_fixture(doc_id: int) -> bytes:
+    fmt = IMG_FORMATS[(doc_id // 3) % 3]
+    return make_image_bytes(fmt, 1 + doc_id % 1919, 1 + (doc_id * 3) % 1079)
+
+
 def media_metadata(spark, sf_dir: str):
-    """documents -> synthetic media bytes (utf-8 of text, routed to a kind
-    by doc_id % 3) -> mapInPandas decode -> typed metadata."""
+    """documents -> media bytes routed to a kind by doc_id % 3 ->
+    mapInPandas decode -> typed metadata.  Image rows carry GENUINE
+    PNG/GIF/JPEG files (signature + header) built from doc_id formulas,
+    and the decoder reads the dimensions out of the actual bytes — the
+    oracle checks the real header parse, not a stub.  Audio/video rows
+    remain utf-8 text + md5-stub metadata (no codecs in this image)."""
+    from pyspark.sql import types as T
+
     from textextraction_spark.job.packaging import ensure_shipped
 
     ensure_shipped(spark)
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    @F.pandas_udf(T.BinaryType())
+    def img_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([_img_fixture(int(i)) for i in doc_id])
+
     media = d.select(
         "doc_id",
-        F.encode("text", "UTF-8").alias("media"),
+        F.when(F.col("doc_id") % 3 == 0, img_udf("doc_id"))
+        .otherwise(F.encode("text", "UTF-8"))
+        .alias("media"),
         F.element_at(
             F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
         ).alias("kind"),
@@ -89,8 +194,8 @@ def media_metadata(spark, sf_dir: str):
     out = media.mapInPandas(
         _decode_batch,
         schema=(
-            "doc_id long, kind string, n_bytes long, width long, height long, "
-            "n_frames long, n_sampled long"
+            "doc_id long, kind string, detail string, n_bytes long, width long, "
+            "height long, n_frames long, n_sampled long"
         ),
     )
     return out
@@ -150,24 +255,32 @@ FROM f, UNNEST(range(0, n_frames, 2)) AS u(idx)
 """
 
 
-MEDIA_METADATA_ORACLE = """
+MEDIA_METADATA_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h,
-         octet_length(encode(text)) AS n_bytes,
-         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind
+         octet_length(encode(text)) AS text_bytes,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         (['png', 'gif', 'jpeg'])[CAST((doc_id // 3) % 3 AS INT) + 1] AS fmt
   FROM documents
 )
 SELECT doc_id,
        kind,
-       n_bytes::BIGINT AS n_bytes,
-       (CASE WHEN kind IN ('image', 'video') THEN h % 1920 ELSE 0 END)::BIGINT AS width,
-       (CASE WHEN kind IN ('image', 'video') THEN (h // 7) % 1080 ELSE 0 END)::BIGINT AS height,
+       (CASE WHEN kind = 'image' THEN fmt ELSE '' END) AS detail,
+       (CASE WHEN kind = 'image' THEN
+              (CASE fmt WHEN 'png' THEN {IMG_N_BYTES['png']}
+                        WHEN 'gif' THEN {IMG_N_BYTES['gif']}
+                        ELSE {IMG_N_BYTES['jpeg']} END)
+             ELSE text_bytes END)::BIGINT AS n_bytes,
+       (CASE WHEN kind = 'image' THEN 1 + doc_id % 1919
+             WHEN kind = 'video' THEN h % 1920 ELSE 0 END)::BIGINT AS width,
+       (CASE WHEN kind = 'image' THEN 1 + (doc_id * 3) % 1079
+             WHEN kind = 'video' THEN (h // 7) % 1080 ELSE 0 END)::BIGINT AS height,
        (CASE kind WHEN 'image' THEN 1
                   WHEN 'audio' THEN h % 48000
                   ELSE 1 + h % 240 END)::BIGINT AS n_frames,
-       ((CASE kind WHEN 'image' THEN 1
-                   WHEN 'audio' THEN h % 48000
-                   ELSE 1 + h % 240 END + 1) // 2)::BIGINT AS n_sampled
+       (CASE WHEN kind = 'image' THEN 1
+             ELSE ((CASE kind WHEN 'audio' THEN h % 48000
+                              ELSE 1 + h % 240 END) + 1) // 2 END)::BIGINT AS n_sampled
 FROM t
 """
