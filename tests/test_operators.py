@@ -122,3 +122,40 @@ class TestImageHeaderParse:
         assert parse_image_dims(b"not an image at all") is None
         assert parse_image_dims(b"\xff\xd8\x00\x00junk") is None
         assert parse_image_dims(b"") is None
+
+
+class TestIncrementalDedup:
+    def test_persisted_signature_flow(self, spark, tmp_path):
+        """The production shape: committed band signatures persisted to a
+        parquet table, tonight's batch joined against the READ-BACK table;
+        after committing tonight's signatures, re-running the same batch
+        finds each doc matching its own committed signature (idempotent
+        re-run detection)."""
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import dedup as D
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        committed = d.filter(F.col("doc_id") < 30).select(
+            F.col("doc_id").alias("vid"), "text"
+        )
+        sig_table = str(tmp_path / "signatures")
+        D._minhash_bands(committed).write.mode("overwrite").parquet(sig_table)
+
+        new = d.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 5000).alias("vid"),
+            F.concat("text", F.lit(D.MUTATION)).alias("text"),
+        )
+        nb = D._minhash_bands(new)
+        m1 = D.match_new_against_committed(nb, spark.read.parquet(sig_table)).toPandas()
+        # every near-dup re-crawl matches its committed original on >= 1 band
+        matched_pairs = {(r.new_vid, r.committed_vid) for r in m1.itertuples()}
+        assert all((v + 5000, v) in matched_pairs for v in range(10))
+
+        # commit tonight's signatures, re-run the same batch -> each doc
+        # now ALSO matches itself (signature identical, all bands)
+        nb.write.mode("append").parquet(sig_table)
+        m2 = D.match_new_against_committed(nb, spark.read.parquet(sig_table)).toPandas()
+        self_rows = m2[(m2.new_vid == m2.committed_vid)]
+        assert len(self_rows) == 10
+        assert (self_rows.n_bands == D.N_HASHES).all()

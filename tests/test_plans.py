@@ -206,6 +206,7 @@ SHUFFLE_BUDGETS = {
     # crawl scale (no quadratic hot bucket, no unbounded broadcast).
     "dedup_ngram_jaccard": 7,
     "dedup_minhash_lsh": 16,
+    "dedup_incremental": 4,
 }
 
 

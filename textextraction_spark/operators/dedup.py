@@ -134,16 +134,21 @@ def _shingles_df(v):
     )
 
 
-SHINGLES_DUCK = f"""
+def shingles_duck(src: str = "variants") -> str:
+    """DuckDB twin of ``_shingles_df`` over the named source CTE/table."""
+    return f"""
   SELECT DISTINCT vid, shingle FROM (
     SELECT vid,
            unnest(CASE WHEN len(str_split(text,' ')) < 3 THEN [text]
                   ELSE list_transform(range(1, len(str_split(text,' ')) - 1),
                        i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' '))
                   END) AS shingle
-    FROM variants
+    FROM {src}
   )
 """
+
+
+SHINGLES_DUCK = shingles_duck("variants")
 
 
 # ------------------------------------------------------ n-gram Jaccard
@@ -395,6 +400,113 @@ SELECT a.vid AS vid_a, b.vid AS vid_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM sig a JOIN sig b ON a.vid < b.vid
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ------------------------------------------------------ incremental dedup
+# The shape a nightly 100 TB corpus build needs: the committed corpus's
+# minhash BAND SIGNATURES are persisted (url/vid, band j, hash h — tiny
+# next to the corpus itself, and bucketable by (j, h)); each new crawl
+# batch computes signatures for ITS docs only and equi-joins them against
+# the signature table.  Cost per night = O(|batch|) + one join keyed on
+# (j, h) — the committed corpus's raw text is never re-read, never
+# re-shingled.  tests/test_operators.py additionally runs the full
+# persist -> readback -> match flow through parquet.
+INC_COMMITTED_END = 300  # docs < 300 are the committed corpus
+INC_NEW_END = 400  # docs [300, 400) are brand-new in tonight's batch
+INC_RECRAWL_END = 100  # docs < 100 get re-crawled tonight, mutated
+
+
+def _minhash_bands(v):
+    """(vid, text) -> (vid, j, h) band signature rows (one wide agg)."""
+    sh = _shingles_df(v)
+    wide = sh.groupBy("vid").agg(
+        *[
+            F.min(F.expr(H_SPARK.format(x=f"concat({j}, ':', shingle)"))).alias(f"h{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+    stack_expr = ", ".join(f"{j}, h{j}" for j in range(N_HASHES))
+    return wide.selectExpr("vid", f"stack({N_HASHES}, {stack_expr}) as (j, h)")
+
+
+def match_new_against_committed(new_bands, committed_bands):
+    """Band-signature equi-join of a new batch against the committed
+    signature table, with the oversized-bucket skip applied to the
+    committed side (the side that can hold a degenerate 10^6-doc bucket).
+    Returns (new_vid, committed_vid, n_bands)."""
+    hotb = (
+        committed_bands.groupBy("j", "h")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > LSH_BUCKET_CAP)
+        .select("j", "h")
+    )
+    cb = committed_bands.join(hotb, ["j", "h"], "left_anti").select(
+        F.col("vid").alias("committed_vid"), "j", "h"
+    )
+    nb = new_bands.select(F.col("vid").alias("new_vid"), "j", "h")
+    return (
+        nb.join(cb, ["j", "h"])
+        .groupBy("new_vid", "committed_vid")
+        .agg(F.count("*").cast("bigint").alias("n_bands"))
+    )
+
+
+def incremental_dedup(spark, sf_dir: str):
+    """Nightly-batch dedup: tonight's batch (new docs 300..400 plus
+    mutated re-crawls of docs 0..100) matched against the committed
+    corpus's (docs 0..300) persisted band signatures.  In production
+    ``committed`` is ``spark.read.table(signatures)``; here both sides
+    are computed from the documents table so the DuckDB oracle can
+    reproduce every value."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    committed = d.filter(F.col("doc_id") < INC_COMMITTED_END).select(
+        F.col("doc_id").alias("vid"), "text"
+    )
+    new = (
+        d.filter(
+            (F.col("doc_id") >= INC_COMMITTED_END) & (F.col("doc_id") < INC_NEW_END)
+        )
+        .select(F.col("doc_id").alias("vid"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") < INC_RECRAWL_END).select(
+                (F.col("doc_id") + COPY_OFFSET).alias("vid"),
+                F.concat(F.col("text"), F.lit(MUTATION)).alias("text"),
+            )
+        )
+    )
+    return match_new_against_committed(_minhash_bands(new), _minhash_bands(committed))
+
+
+def _sig_duck(sh_src: str) -> str:
+    h = H_DUCK.format(x="j || ':' || shingle")
+    return f"""
+  SELECT vid, j, min({h}) AS h
+  FROM {sh_src} CROSS JOIN (SELECT unnest(range(0, {N_HASHES})) AS j)
+  GROUP BY vid, j
+"""
+
+
+INCREMENTAL_DEDUP_ORACLE = f"""
+WITH committed AS (
+  SELECT doc_id AS vid, text FROM documents WHERE doc_id < {INC_COMMITTED_END}
+),
+newb AS (
+  SELECT doc_id AS vid, text FROM documents
+  WHERE doc_id >= {INC_COMMITTED_END} AND doc_id < {INC_NEW_END}
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET} AS vid, text || '{MUTATION}' AS text
+  FROM documents WHERE doc_id < {INC_RECRAWL_END}
+),
+csh AS ({shingles_duck('committed')}),
+nsh AS ({shingles_duck('newb')}),
+csig AS ({_sig_duck('csh')}),
+nsig AS ({_sig_duck('nsh')}),
+hotb AS (SELECT j, h FROM csig GROUP BY j, h HAVING count(*) > {LSH_BUCKET_CAP}),
+csigc AS (SELECT csig.* FROM csig ANTI JOIN hotb USING (j, h))
+SELECT n.vid AS new_vid, c.vid AS committed_vid, count(*)::BIGINT AS n_bands
+FROM nsig n JOIN csigc c ON n.j = c.j AND n.h = c.h
+GROUP BY n.vid, c.vid
 """
 
 
