@@ -79,7 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "ann_brute_force_topk": S.brute_force_topk,
         "ann_lsh_bucket": S.lsh_bucket_ann,
+        "ann_lsh_multiprobe": S.lsh_multiprobe_ann,
         "ann_ivf_probe": S.ivf_probe_ann,
+        "ann_ivf_multiprobe": S.ivf_multiprobe_ann,
         "embedding_near_dup": S.embedding_near_dup,
         # --- multimodal plumbing ---
         "media_metadata": M.media_metadata,
@@ -149,7 +151,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": D.INCREMENTAL_DEDUP_ORACLE,
         "ann_brute_force_topk": S.BRUTE_FORCE_ORACLE,
         "ann_lsh_bucket": S.LSH_ANN_ORACLE,
+        "ann_lsh_multiprobe": S.LSH_MULTIPROBE_ORACLE,
         "ann_ivf_probe": S.IVF_ANN_ORACLE,
+        "ann_ivf_multiprobe": S.IVF_MULTIPROBE_ORACLE,
         "embedding_near_dup": S.EMBEDDING_NEAR_DUP_ORACLE,
         "media_metadata": M.MEDIA_METADATA_ORACLE,
         "media_frame_sample": M.MEDIA_FRAME_SAMPLE_ORACLE,

@@ -159,3 +159,45 @@ class TestIncrementalDedup:
         self_rows = m2[(m2.new_vid == m2.committed_vid)]
         assert len(self_rows) == 10
         assert (self_rows.n_bands == D.N_HASHES).all()
+
+
+class TestAnnRecall:
+    """Recall@10 of the approximate variants vs the exact brute-force
+    scan, at sf0.01 (deterministic — fixed query vector, fixed corpus).
+    The embeddings are random (no cluster structure), which is the
+    WORST case for space-partitioning ANN; the floors below are the
+    measured values on this corpus minus zero slack (deterministic), and
+    the monotone probe->recall property is the real invariant:
+    single-probe < multi-probe <= exact."""
+
+    @pytest.fixture(scope="class")
+    def recall(self, spark):
+        qs = E.queries()
+        sf = "/root/testdata/sf0.01"
+        truth = {r.vec_id for r in qs["ann_brute_force_topk"](spark, sf).collect()}
+
+        def r(name):
+            got = {r.vec_id for r in qs[name](spark, sf).collect()}
+            return len(got & truth) / len(truth)
+
+        return {
+            n: r(n)
+            for n in (
+                "ann_lsh_bucket",
+                "ann_lsh_multiprobe",
+                "ann_ivf_probe",
+                "ann_ivf_multiprobe",
+            )
+        }
+
+    def test_multiprobe_beats_single_probe(self, recall):
+        assert recall["ann_lsh_multiprobe"] >= recall["ann_lsh_bucket"]
+        assert recall["ann_ivf_multiprobe"] >= recall["ann_ivf_probe"]
+
+    def test_recall_floors(self, recall):
+        # measured on the sf0.01 corpus (deterministic): lsh 0.2 -> 0.6
+        # with hamming<=1 probes; ivf 0.3 -> 0.8 with nprobe=2
+        assert recall["ann_lsh_multiprobe"] >= 0.5
+        assert recall["ann_ivf_multiprobe"] >= 0.7
+        assert recall["ann_lsh_bucket"] >= 0.1
+        assert recall["ann_ivf_probe"] >= 0.2

@@ -163,7 +163,9 @@ SHUFFLE_BUDGETS = {
     "fingerprint": 0,
     "ann_brute_force_topk": 0,
     "ann_lsh_bucket": 0,
+    "ann_lsh_multiprobe": 0,
     "ann_ivf_probe": 0,
+    "ann_ivf_multiprobe": 0,
     "embedding_near_dup": 0,
     "media_metadata": 0,
     "media_frame_sample": 0,

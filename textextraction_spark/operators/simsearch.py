@@ -139,6 +139,68 @@ LIMIT {TOP_K}
 """
 
 
+def lsh_multiprobe_ann(spark, sf_dir: str):
+    """Multi-probe hyperplane LSH: search every bucket within hamming
+    distance 1 of the query's bucket (5 of 16 buckets) — the standard
+    recall lever when a point near a hyperplane lands on the wrong side.
+    Implemented as an EQUI-join against the exploded probe-bucket list
+    (not a bit_count theta join), so at scale it stays nprobe bucket
+    lookups with bucket-partition pruning."""
+    planes = [_query_vec_expr(spark, sf_dir, pid) for pid in PLANE_IDS]
+    bucket_expr = " + ".join(
+        f"(case when {_dot('embedding', p)} > 0 then {1 << i} else 0 end)"
+        for i, p in enumerate(planes)
+    )
+    e = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "embedding",
+        F.expr(bucket_expr).cast("bigint").alias("bucket"),
+    )
+    probes = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[F.expr(f"bucket ^ {1 << i}") for i in range(N_PLANES)],
+                )
+            ).alias("pbucket")
+        )
+    )
+    q = _query_vec_expr(spark, sf_dir, QUERY_VEC_ID)
+    cos = F.expr(f"{_dot('embedding', q)} / ({_norm('embedding')} * {_norm(q)})")
+    return (
+        e.join(F.broadcast(probes), e.bucket == probes.pbucket)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "bucket", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+LSH_MULTIPROBE_ORACLE = f"""
+WITH b AS (
+  SELECT e.vec_id::BIGINT AS vec_id, e.embedding,
+         ({_DUCK_BUCKET})::BIGINT AS bucket
+  FROM embeddings e {_DUCK_PLANES}
+),
+q AS (SELECT bucket AS qbucket, embedding AS qe FROM b WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT unnest([qbucket, xor(qbucket, 1), xor(qbucket, 2),
+                 xor(qbucket, 4), xor(qbucket, 8)]) AS pbucket, qe
+  FROM q
+)
+SELECT b.vec_id, b.bucket,
+       round({_duck_dot('b.embedding', 'probes.qe')} /
+             (sqrt({_duck_dot('b.embedding', 'b.embedding')}) * sqrt({_duck_dot('probes.qe', 'probes.qe')})), 6)
+           AS cosine
+FROM b JOIN probes ON b.bucket = probes.pbucket
+WHERE b.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def ivf_probe_ann(spark, sf_dir: str):
     """IVF-style ANN: coarse quantization assigns each vector to the
     nearest of k "centroids" (inner product argmax; centroids here are
@@ -193,6 +255,70 @@ SELECT c.vec_id, c.cell,
            AS cosine
 FROM c, q
 WHERE c.cell = q.qcell AND c.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+NPROBE = 2
+
+
+def ivf_multiprobe_ann(spark, sf_dir: str):
+    """IVF with nprobe=2: search the two cells whose centroids score the
+    highest inner product with the query — the standard IVF recall knob
+    (cells are ranked by the SAME dot expressions used for assignment,
+    so the oracle reproduces the ranking bit-for-bit).  At scale: nprobe
+    partition lookups instead of one; cost scales linearly with nprobe,
+    recall monotonically."""
+    cents = [_query_vec_expr(spark, sf_dir, pid) for pid in PLANE_IDS]
+    dots = [f"({_dot('embedding', c)})" for c in cents]
+    g = f"greatest({', '.join(dots)})"
+    cell = "case " + " ".join(
+        f"when {d} = {g} then {i}" for i, d in enumerate(dots)
+    ) + " end"
+    e = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "embedding",
+        F.expr(cell).cast("bigint").alias("cell"),
+    )
+    qrow = _emb(spark, sf_dir).filter(F.col("vec_id") == QUERY_VEC_ID)
+    stack = ", ".join(f"{i}, ({d})" for i, d in enumerate(dots))
+    qcells = (
+        qrow.selectExpr(f"stack({N_PLANES}, {stack}) as (pcell, d)")
+        .orderBy(F.desc("d"), F.asc("pcell"))
+        .limit(NPROBE)
+        .select(F.col("pcell").cast("bigint").alias("pcell"))
+    )
+    q = _query_vec_expr(spark, sf_dir, QUERY_VEC_ID)
+    cos = F.expr(f"{_dot('embedding', q)} / ({_norm('embedding')} * {_norm(q)})")
+    return (
+        e.join(F.broadcast(qcells), e.cell == qcells.pcell)
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "cell", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_DUCK_QDOTS = " UNION ALL ".join(
+    f"SELECT {i} AS pcell, list_dot_product(q.qe::DOUBLE[], p{i}.embedding::DOUBLE[]) AS d"
+    f" FROM q {_DUCK_PLANES}"
+    for i in range(N_PLANES)
+)
+IVF_MULTIPROBE_ORACLE = f"""
+WITH c AS (
+  SELECT e.vec_id::BIGINT AS vec_id, e.embedding, ({_DUCK_CELL})::BIGINT AS cell
+  FROM embeddings e {_DUCK_PLANES}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+qd AS ({_DUCK_QDOTS}),
+qcells AS (SELECT pcell::BIGINT AS pcell FROM qd ORDER BY d DESC, pcell ASC LIMIT {NPROBE})
+SELECT c.vec_id, c.cell,
+       round({_duck_dot('c.embedding', 'q.qe')} /
+             (sqrt({_duck_dot('c.embedding', 'c.embedding')}) * sqrt({_duck_dot('q.qe', 'q.qe')})), 6)
+           AS cosine
+FROM c JOIN qcells ON c.cell = qcells.pcell, q
+WHERE c.vec_id != {QUERY_VEC_ID}
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {TOP_K}
 """
