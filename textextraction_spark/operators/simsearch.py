@@ -39,17 +39,25 @@ def _norm(a: str) -> str:
     return f"sqrt({_dot(a, a)})"
 
 
-def _query_vec_expr(spark, sf_dir: str, vec_id: int) -> str:
-    """Literal array expression for one stored vector (driver-side scalar
-    config, like a broadcast query vector in a serving job)."""
-    row = (
+def _query_vec_exprs(spark, sf_dir: str, vec_ids: list[int]) -> dict[int, str]:
+    """Literal array expressions for several stored vectors, fetched with
+    ONE driver action (driver-side scalar config, like broadcast query /
+    centroid vectors in a serving job)."""
+    rows = (
         _emb(spark, sf_dir)
-        .filter(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .first()
+        .filter(F.col("vec_id").isin(vec_ids))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    vals = ", ".join(f"cast({float(v)!r} as double)" for v in row["embedding"])
-    return f"array({vals})"
+    out = {}
+    for row in rows:
+        vals = ", ".join(f"cast({float(v)!r} as double)" for v in row["embedding"])
+        out[int(row["vec_id"])] = f"array({vals})"
+    return out
+
+
+def _query_vec_expr(spark, sf_dir: str, vec_id: int) -> str:
+    return _query_vec_exprs(spark, sf_dir, [vec_id])[vec_id]
 
 
 def brute_force_topk(spark, sf_dir: str):
@@ -87,9 +95,8 @@ LIMIT {TOP_K}
 def lsh_bucket_ann(spark, sf_dir: str):
     """Hyperplane-LSH ANN: 4-bit sign bucket from dots with plane vectors;
     search = exact cosine restricted to the query's bucket."""
-    planes = [
-        _query_vec_expr(spark, sf_dir, pid) for pid in PLANE_IDS
-    ]
+    vecs = _query_vec_exprs(spark, sf_dir, [QUERY_VEC_ID, *PLANE_IDS])
+    planes = [vecs[pid] for pid in PLANE_IDS]
     bucket_expr = " + ".join(
         f"(case when {_dot('embedding', p)} > 0 then {1 << i} else 0 end)"
         for i, p in enumerate(planes)
@@ -102,7 +109,7 @@ def lsh_bucket_ann(spark, sf_dir: str):
     qb = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("bucket").alias("qbucket")
     )
-    q = _query_vec_expr(spark, sf_dir, QUERY_VEC_ID)
+    q = vecs[QUERY_VEC_ID]
     cos = F.expr(f"{_dot('embedding', q)} / ({_norm('embedding')} * {_norm(q)})")
     return (
         e.join(F.broadcast(qb), e.bucket == qb.qbucket)
@@ -146,7 +153,8 @@ def lsh_multiprobe_ann(spark, sf_dir: str):
     Implemented as an EQUI-join against the exploded probe-bucket list
     (not a bit_count theta join), so at scale it stays nprobe bucket
     lookups with bucket-partition pruning."""
-    planes = [_query_vec_expr(spark, sf_dir, pid) for pid in PLANE_IDS]
+    vecs = _query_vec_exprs(spark, sf_dir, [QUERY_VEC_ID, *PLANE_IDS])
+    planes = [vecs[pid] for pid in PLANE_IDS]
     bucket_expr = " + ".join(
         f"(case when {_dot('embedding', p)} > 0 then {1 << i} else 0 end)"
         for i, p in enumerate(planes)
@@ -167,7 +175,7 @@ def lsh_multiprobe_ann(spark, sf_dir: str):
             ).alias("pbucket")
         )
     )
-    q = _query_vec_expr(spark, sf_dir, QUERY_VEC_ID)
+    q = vecs[QUERY_VEC_ID]
     cos = F.expr(f"{_dot('embedding', q)} / ({_norm('embedding')} * {_norm(q)})")
     return (
         e.join(F.broadcast(probes), e.bucket == probes.pbucket)
@@ -210,7 +218,8 @@ def ivf_probe_ann(spark, sf_dir: str):
     At scale the cell id is the partitioning key: each query touches
     1/k-th of the corpus, and cells are balanced by construction of the
     centroids."""
-    cents = [_query_vec_expr(spark, sf_dir, pid) for pid in PLANE_IDS]
+    vecs = _query_vec_exprs(spark, sf_dir, [QUERY_VEC_ID, *PLANE_IDS])
+    cents = [vecs[pid] for pid in PLANE_IDS]
     dots = [f"({_dot('embedding', c)})" for c in cents]
     g = f"greatest({', '.join(dots)})"
     cell = "case " + " ".join(
@@ -222,7 +231,7 @@ def ivf_probe_ann(spark, sf_dir: str):
         F.expr(cell).cast("bigint").alias("cell"),
     )
     qc = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("cell").alias("qcell"))
-    q = _query_vec_expr(spark, sf_dir, QUERY_VEC_ID)
+    q = vecs[QUERY_VEC_ID]
     cos = F.expr(f"{_dot('embedding', q)} / ({_norm('embedding')} * {_norm(q)})")
     return (
         e.join(F.broadcast(qc), e.cell == qc.qcell)
@@ -270,7 +279,8 @@ def ivf_multiprobe_ann(spark, sf_dir: str):
     so the oracle reproduces the ranking bit-for-bit).  At scale: nprobe
     partition lookups instead of one; cost scales linearly with nprobe,
     recall monotonically."""
-    cents = [_query_vec_expr(spark, sf_dir, pid) for pid in PLANE_IDS]
+    vecs = _query_vec_exprs(spark, sf_dir, [QUERY_VEC_ID, *PLANE_IDS])
+    cents = [vecs[pid] for pid in PLANE_IDS]
     dots = [f"({_dot('embedding', c)})" for c in cents]
     g = f"greatest({', '.join(dots)})"
     cell = "case " + " ".join(
@@ -289,7 +299,7 @@ def ivf_multiprobe_ann(spark, sf_dir: str):
         .limit(NPROBE)
         .select(F.col("pcell").cast("bigint").alias("pcell"))
     )
-    q = _query_vec_expr(spark, sf_dir, QUERY_VEC_ID)
+    q = vecs[QUERY_VEC_ID]
     cos = F.expr(f"{_dot('embedding', q)} / ({_norm('embedding')} * {_norm(q)})")
     return (
         e.join(F.broadcast(qcells), e.cell == qcells.pcell)
@@ -335,7 +345,8 @@ def embedding_near_dup(spark, sf_dir: str):
         .select((F.col("vec_id") + NEAR_DUP_OFFSET).cast("bigint").alias("vid"), "embedding")
     )
     allv = base.unionByName(copies)
-    planes = [_query_vec_expr(spark, sf_dir, pid) for pid in PLANE_IDS]
+    vecs = _query_vec_exprs(spark, sf_dir, PLANE_IDS)
+    planes = [vecs[pid] for pid in PLANE_IDS]
     bucket_expr = " + ".join(
         f"(case when {_dot('embedding', p)} > 0 then {1 << i} else 0 end)"
         for i, p in enumerate(planes)
