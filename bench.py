@@ -11,10 +11,17 @@ line::
      "scaling": {local8, local32, efficiency}}
 
 The scaling section is the sandbox protocol for the north_rule's N->4N
-executor criterion: the same extraction job over the same (replicated)
-input at local[8] and local[32]; efficiency = (T8 / T32) / 4.
-Disable with SPARK_GRAFT_BENCH_SCALING=0; replication factor via
-SPARK_GRAFT_BENCH_REP (default 200 -> ~1M docs).
+executor criterion.  CANONICAL pairing (round 2, pinning the protocol the
+round-1 verdict asked to settle): local[4] -> local[16] with the WHOLE
+process tree pinned to a fixed 16-CPU cpuset (sched_setaffinity; the JVM
+and python workers inherit it) — both measurements then run on the same
+constant 16-CPU machine, the honest single-box analog of N -> 4N
+executors (a real 4N-executor cluster brings 4N physical cores; one box
+cannot, and this VM hides its SMT topology — lscpu reports 32 1-thread
+cores while 16->32 gains only ~1.1-1.6x depending on the window).
+Raw unpinned local[8] -> local[32] is reported alongside.  Efficiency =
+(T_N / T_4N) / 4.  Disable with SPARK_GRAFT_BENCH_SCALING=0; replication
+factor via SPARK_GRAFT_BENCH_REP.
 """
 
 from __future__ import annotations
@@ -56,8 +63,20 @@ def _mp_work(args):
     return c
 
 
+PIN16 = frozenset(range(16))  # the fixed cpuset of the canonical pairing
+
+
+def _set_affinity(cpus) -> None:
+    try:
+        os.sched_setaffinity(0, cpus)
+    except OSError:
+        pass
+
+
 def _machine_ceiling(sf_dir: str) -> dict[str, float]:
-    """Bare-multiprocessing scaling of the same kernel: the box's ceiling."""
+    """Bare-multiprocessing scaling of the same kernel: the box's ceiling.
+    The 4/16 rates run inside the SAME pinned 16-CPU cpuset as the
+    canonical pipeline pairing (apples to apples); 8/32 run unpinned."""
     import multiprocessing as mp
 
     import duckdb
@@ -72,11 +91,16 @@ def _machine_ceiling(sf_dir: str) -> dict[str, float]:
     ]
     rates: dict[int, float] = {}
     for procs in (4, 8, 16, 32):
-        with mp.Pool(procs) as pool:
-            pool.map(_mp_work, [(1, texts)] * procs)  # warm imports
-            t0 = time.time()
-            total = sum(pool.map(_mp_work, [(25, texts)] * procs))
-            rates[procs] = total / (time.time() - t0)
+        if procs in (4, 16):
+            _set_affinity(PIN16)
+        try:
+            with mp.Pool(procs) as pool:
+                pool.map(_mp_work, [(1, texts)] * procs)  # warm imports
+                t0 = time.time()
+                total = sum(pool.map(_mp_work, [(25, texts)] * procs))
+                rates[procs] = total / (time.time() - t0)
+        finally:
+            _set_affinity(range(os.cpu_count()))
     return {
         "4_to_16": round(rates[16] / rates[4] / 4.0, 3),
         "8_to_32": round(rates[32] / rates[8] / 4.0, 3),
@@ -96,6 +120,11 @@ def make_session(cores: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 << 20))
+        # The bench input is 64 smallish files; the default 128 MB split
+        # coalesces them into ~6 scan partitions, capping the scan (and
+        # the shuffle MAP stage) at 6 tasks — invisible at 8 cores, a
+        # hard ceiling at 32.  8 MB splits keep all 64 files separate.
+        .config("spark.sql.files.maxPartitionBytes", str(8 << 20))
         .config("spark.driver.memory", "48g")
         # shuffle spill to RAM-backed tmpfs: the extraction shuffle moves
         # the html bytes once; on shared disks its IO otherwise caps the
@@ -229,36 +258,46 @@ def main() -> None:
     scaling = {}
     if do_scaling:
 
+        # The canonical pairing runs BOTH configs inside a fixed 16-CPU
+        # cpuset (JVM + python workers inherit the affinity), so N and 4N
+        # see the same machine — the sandbox analog of N vs 4N executors.
+        CPUSET = {4: PIN16, 16: PIN16, 8: None, 32: None}
+
         def measure(cores: int, prev_best: dict | None = None) -> dict:
-            s = make_session(cores)
-            s.sparkContext.setLogLevel("ERROR")
-            run_extract(s, pages_sf, cores * 3)  # spin python workers
-            best = prev_best
-            clean = 0
-            max_attempts = 4 if (time.time() - t_start) < budget_s else 1
-            for _attempt in range(max_attempts):
-                st0 = _read_cpu()
-                t_c, n_c, b_c = run_extract(s, pages_rep, cores * 3)
-                steal_pct = _steal_pct(st0, _read_cpu())
-                cur = {
-                    "sec": round(t_c, 2),
-                    "docs_per_sec": round(n_c / t_c, 1),
-                    "mb_per_sec": round(b_c / 1e6 / t_c, 2),
-                    "steal_pct": steal_pct,
-                }
-                if best is None or cur["sec"] < best["sec"]:
-                    best = cur
-                # steal-gated AND best-of-2: require two sub-3%-steal runs
-                # (hypervisor bursts also hide in user time, so one clean-
-                # looking run can still be slow)
-                if steal_pct < 3.0:
-                    clean += 1
-                    if clean >= 2:
-                        break
-                else:
-                    time.sleep(20)
-            s.stop()
-            return best
+            if CPUSET[cores]:
+                _set_affinity(CPUSET[cores])
+            try:
+                s = make_session(cores)
+                s.sparkContext.setLogLevel("ERROR")
+                run_extract(s, pages_sf, cores * 3)  # spin python workers
+                best = prev_best
+                clean = 0
+                max_attempts = 4 if (time.time() - t_start) < budget_s else 1
+                for _attempt in range(max_attempts):
+                    st0 = _read_cpu()
+                    t_c, n_c, b_c = run_extract(s, pages_rep, cores * 3)
+                    steal_pct = _steal_pct(st0, _read_cpu())
+                    cur = {
+                        "sec": round(t_c, 2),
+                        "docs_per_sec": round(n_c / t_c, 1),
+                        "mb_per_sec": round(b_c / 1e6 / t_c, 2),
+                        "steal_pct": steal_pct,
+                    }
+                    if best is None or cur["sec"] < best["sec"]:
+                        best = cur
+                    # steal-gated AND best-of-2: require two sub-3%-steal
+                    # runs (hypervisor bursts also hide in user time, so
+                    # one clean-looking run can still be slow)
+                    if steal_pct < 3.0:
+                        clean += 1
+                        if clean >= 2:
+                            break
+                    else:
+                        time.sleep(20)
+                s.stop()
+                return best
+            finally:
+                _set_affinity(range(os.cpu_count()))
 
         results = {c: measure(c) for c in (4, 16, 8, 32)}
         # Monotonicity repair: more cores must not be slower (same job,
@@ -291,6 +330,12 @@ def main() -> None:
             scaling[f"machine_ceiling_{lo}_to_{hi}"] = ceil
             if ceil:
                 scaling[f"normalized_{lo}_to_{hi}"] = round(eff / ceil, 3)
+        # The protocol's headline number: N -> 4N inside the pinned cpuset.
+        scaling["north_rule_protocol"] = (
+            "local[4] -> local[16], both pinned to a fixed 16-CPU cpuset "
+            "(sched_setaffinity; JVM + python workers inherit)"
+        )
+        scaling["north_rule_efficiency"] = scaling["efficiency_4_to_16"]
 
     import shutil
 
