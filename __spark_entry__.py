@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from textextraction_spark.functions import analytics as A
     from textextraction_spark.functions import relational as R
+    from textextraction_spark.operators import curation as C
     from textextraction_spark.operators import dedup as D
     from textextraction_spark.operators import multimodal as M
     from textextraction_spark.operators import scheduling as SCH
@@ -69,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": T.lang_id,
         "fingerprint": T.fingerprint,
         "site_template_lines": TP.site_template_lines,
+        "pii_scrub": C.pii_scrub,
+        "gopher_repetition": C.gopher_repetition,
+        "hash_sample": C.hash_sample,
         # --- dedup ---
         "dedup_exact": D.exact_dedup,
         "dedup_ngram_jaccard": D.ngram_jaccard,
@@ -118,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from textextraction_spark.functions import analytics as A
     from textextraction_spark.functions import relational as R
+    from textextraction_spark.operators import curation as C
     from textextraction_spark.operators import dedup as D
     from textextraction_spark.operators import multimodal as M
     from textextraction_spark.operators import scheduling as SCH
@@ -143,6 +148,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": T.LANG_ID_ORACLE,
         "fingerprint": T.FINGERPRINT_ORACLE,
         "site_template_lines": TP.SITE_TEMPLATE_ORACLE,
+        "pii_scrub": C.PII_SCRUB_ORACLE,
+        "gopher_repetition": C.GOPHER_REPETITION_ORACLE,
+        "hash_sample": C.HASH_SAMPLE_ORACLE,
         "dedup_exact": D.EXACT_DEDUP_ORACLE,
         "dedup_ngram_jaccard": D.NGRAM_JACCARD_ORACLE,
         "dedup_minhash_lsh": D.MINHASH_LSH_ORACLE,

@@ -169,6 +169,9 @@ SHUFFLE_BUDGETS = {
     "embedding_near_dup": 0,
     "media_metadata": 0,
     "media_frame_sample": 0,
+    "pii_scrub": 0,
+    "gopher_repetition": 0,
+    "hash_sample": 0,
     "p1_strip_special": 0,
     "p3_keyword_gate": 0,
     "s1_top_orders": 0,

@@ -1,0 +1,197 @@
+"""Corpus-curation operators for a training-data pipeline (task brief
+§text / beyond-reference): PII scrubbing, Gopher-style repetition
+signals, and deterministic stratified sampling.
+
+All three are designed zero-shuffle (narrow projections inside
+whole-stage codegen) — at 10^12 docs each is a single map over the scan:
+
+- ``pii_scrub``: email/phone redaction via a JVM regexp chain plus match
+  counts; no Python, no shuffle.
+- ``gopher_repetition``: the repetition family of the Gopher quality
+  rules (Rae et al. 2021, publicly described) — duplicate-word ratio and
+  top-bigram fraction.  The top-bigram multiplicity is computed as a
+  NARROW ``aggregate`` fold over the sorted bigram array (longest equal
+  run), not a per-(doc, gram) explode+groupBy — the relational form
+  would shuffle every bigram of the corpus for the same answer.  The
+  DuckDB oracle deliberately uses the relational form, proving the two
+  equal.
+- ``hash_sample``: deterministic per-language downsampling keyed on
+  md5(doc_id) — the reproducible alternative to rand()-based sampling
+  (re-running the corpus build keeps the same rows; no seed plumbing).
+
+(The reference has no curation stage — its corpus is a folder of PDFs;
+these are part of the beyond-reference training-data suite.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- pii_scrub
+# Patterns valid verbatim in java.util.regex AND RE2 (DuckDB).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+# Injected PII (the driver corpus is synthetic and clean, so the operator
+# plants deterministic PII first — same formula in the oracle).
+PII_SQL = (
+    "text || ' Contact u' || CAST(doc_id AS STRING) || '@mail"
+    "' || CAST(doc_id % 50 AS STRING) || '.example.com or call 555-' || "
+    "CAST(100 + doc_id % 900 AS STRING) || '-' || "
+    "CAST(1000 + doc_id % 9000 AS STRING)"
+    " || CASE WHEN doc_id % 2 = 1 THEN ' / 555-' || "
+    "CAST(100 + (doc_id * 7) % 900 AS STRING) || '-' || "
+    "CAST(1000 + (doc_id * 3) % 9000 AS STRING) ELSE '' END"
+)
+
+
+def pii_scrub(spark, sf_dir: str):
+    """documents + injected PII -> redacted text + per-kind match counts.
+    Narrow regexp chain (JVM, codegen); the redaction order is fixed
+    (emails first) so the output is deterministic."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.expr(PII_SQL)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(f"regexp_count({PII_SQL}, '{EMAIL_RE}')")
+        .cast("bigint")
+        .alias("n_emails"),
+        F.expr(f"regexp_count({PII_SQL}, r'{PHONE_RE}')")
+        .cast("bigint")
+        .alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+PII_SCRUB_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all({PII_SQL}, '{EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all({PII_SQL}, '{PHONE_RE}'))::BIGINT AS n_phones,
+       regexp_replace(regexp_replace({PII_SQL}, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM documents
+"""
+
+
+# ------------------------------------------------------- gopher_repetition
+DUP_WORD_MAX = 0.30  # keep if duplicate-word ratio <= 30%
+TOP_BIGRAM_MAX = 0.08  # keep if the most common bigram is <= 8% of bigrams
+
+_W = "split(text, ' ')"
+# longest equal run in the SORTED bigram array == max bigram multiplicity,
+# as a narrow fold (struct accumulator: prev value, current run, best run)
+_GRAMS = (
+    f"transform(sequence(1, size({_W}) - 1), "
+    f"i -> concat(element_at({_W}, i), ' ', element_at({_W}, i + 1)))"
+)
+_TOP_BIGRAM = f"""
+aggregate(
+  array_sort({_GRAMS}),
+  named_struct('prev', cast('' as string), 'run', cast(0 as bigint),
+               'best', cast(0 as bigint)),
+  (a, x) -> named_struct(
+      'prev', x,
+      'run', if(x = a.prev, a.run + 1, cast(1 as bigint)),
+      'best', greatest(a.best, if(x = a.prev, a.run + 1, cast(1 as bigint)))),
+  a -> a.best)
+"""
+
+
+def gopher_repetition(spark, sf_dir: str):
+    """Per-doc repetition signals (the Gopher repetition family):
+    duplicate-word ratio, top-bigram fraction, and the keep verdict —
+    all narrow expressions, ZERO shuffle (the oracle computes the same
+    numbers relationally with unnest + group by)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.expr(f"size({_W}) >= 2")
+    )
+    n_words = F.expr(f"size({_W})").cast("bigint")
+    n_grams = n_words - 1
+    dup_ratio = F.round(
+        1 - F.expr(f"size(array_distinct({_W}))") / n_words, 6
+    )
+    top_frac = F.round(F.expr(_TOP_BIGRAM) / n_grams, 6)
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        dup_ratio.alias("dup_word_ratio"),
+        F.expr(_TOP_BIGRAM).cast("bigint").alias("top_bigram_count"),
+        top_frac.alias("top_bigram_frac"),
+        (
+            (dup_ratio <= DUP_WORD_MAX) & (top_frac <= TOP_BIGRAM_MAX)
+        ).alias("keep"),
+    )
+
+
+GOPHER_REPETITION_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+  WHERE len(str_split(text, ' ')) >= 2
+),
+sizes AS (
+  SELECT doc_id, len(w)::BIGINT AS n_words,
+         round(1 - len(list_distinct(w)) / len(w), 6) AS dup_word_ratio
+  FROM base
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM base
+),
+top AS (
+  SELECT doc_id, max(c)::BIGINT AS top_bigram_count
+  FROM (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_words, s.dup_word_ratio, t.top_bigram_count,
+       round(t.top_bigram_count / (s.n_words - 1), 6) AS top_bigram_frac,
+       (s.dup_word_ratio <= {DUP_WORD_MAX}
+        AND round(t.top_bigram_count / (s.n_words - 1), 6) <= {TOP_BIGRAM_MAX})
+           AS keep
+FROM sizes s JOIN top t ON s.doc_id = t.doc_id
+"""
+
+
+# ------------------------------------------------------------- hash_sample
+# per-language keep rates (percent) — EN-heavy corpora downsample the
+# long tail deterministically; md5(doc_id) is the reproducible coin.
+SAMPLE_RATES = {"en": 100, "es": 50, "de": 50, "fr": 50, "zh": 25}
+DEFAULT_RATE = 10
+
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items()))
+    + f" ELSE {DEFAULT_RATE} END"
+)
+# md5 of the STRING doc id -> uniform 0..99 coin, identical both dialects
+_COIN_SPARK = "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
+_COIN_DUCK = "CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT) % 100"
+
+
+def hash_sample(spark, sf_dir: str):
+    """Deterministic stratified sampling: keep a doc iff its md5 coin
+    lands under its language's rate.  Pure narrow filter — reproducible
+    across runs/partitionings, unlike rand()-based sampling."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.expr(_COIN_SPARK).alias("coin"),
+            F.expr(_RATE_SQL).cast("bigint").alias("rate_pct"),
+        )
+        .filter(F.col("coin") < F.col("rate_pct"))
+    )
+
+
+HASH_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang,
+       {_COIN_DUCK} AS coin,
+       ({_RATE_SQL})::BIGINT AS rate_pct
+FROM documents
+WHERE {_COIN_DUCK} < ({_RATE_SQL})
+"""
