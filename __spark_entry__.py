@@ -19,6 +19,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _tumbling_host_counts(spark, sf_dir):
+    from textextraction_spark.streaming.windows import tumbling_host_counts
+
+    return tumbling_host_counts(spark, sf_dir)
+
+
+def _tumbling_oracle() -> str:
+    from textextraction_spark.streaming.windows import tumbling_host_counts_oracle
+
+    return tumbling_host_counts_oracle()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract main content + spans from the synthetic
     Common-Crawl-style pages table at sf0.001."""
@@ -114,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_user_type_counts": A.pivot_user_type_counts,
         "pctl_value_by_type": A.pctl_value_by_type,
         "sessionize_batch": A.sessionize_batch,
+        "w3_tumbling_host_counts": _tumbling_host_counts,
         "band_range_join": A.band_range_join,
         "intersect_types": A.intersect_types,
     }
@@ -187,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_user_type_counts": A.PIVOT_ORACLE,
         "pctl_value_by_type": A.PCTL_ORACLE,
         "sessionize_batch": A.SESSIONIZE_ORACLE,
+        "w3_tumbling_host_counts": _tumbling_oracle(),
         "band_range_join": A.BAND_ORACLE,
         "intersect_types": A.INTERSECT_ORACLE,
     }

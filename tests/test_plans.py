@@ -196,6 +196,7 @@ SHUFFLE_BUDGETS = {
     "asof_last_click": 1,
     "pctl_value_by_type": 1,
     "sessionize_batch": 1,
+    "w3_tumbling_host_counts": 1,
     "band_range_join": 1,
     "intersect_types": 1,
     "host_distribution": 2,

@@ -47,6 +47,30 @@ def windowed_host_counts_batch(df, window_dur: str = "10 minutes"):
     return _agg(df, window_dur)
 
 
+def tumbling_host_counts(spark, sf_dir: str):
+    """Driver-gate query for the windowing family: the batch twin of the
+    watermarked streaming aggregation over the pages table (tests assert
+    stream == batch; this row makes the shared grouping logic visible to
+    the value-oracle gate too)."""
+    from textextraction_spark.sources.pages import build_pages
+
+    return windowed_host_counts_batch(build_pages(spark, sf_dir, with_pdf=False))
+
+
+def tumbling_host_counts_oracle() -> str:
+    from textextraction_spark.operators.templates import HOST_DUCK
+    from textextraction_spark.sources.pages import EPOCH_2026
+
+    return f"""
+    SELECT CAST(to_timestamp((({EPOCH_2026} + doc_id) // 600) * 600) AS TIMESTAMP)
+               AS win_start,
+           {HOST_DUCK} AS host,
+           count(*)::BIGINT AS n_pages
+    FROM documents
+    GROUP BY 1, 2
+    """
+
+
 def dedup_stream(stream_df, watermark: str = "1 hour"):
     """Streaming url dedup: exactly-once *within* the watermark horizon.
 
