@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": D.simhash_pairs,
         "dedup_url_normalize": D.url_normalize_dedup,
         "dedup_incremental": D.incremental_dedup,
+        "dedup_repeated_spans": D.span_dedup,
         # --- similarity search ---
         "ann_brute_force_topk": S.brute_force_topk,
         "ann_lsh_bucket": S.lsh_bucket_ann,
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": D.SIMHASH_ORACLE,
         "dedup_url_normalize": D.URL_NORMALIZE_ORACLE,
         "dedup_incremental": D.INCREMENTAL_DEDUP_ORACLE,
+        "dedup_repeated_spans": D.SPAN_DEDUP_ORACLE,
         "ann_brute_force_topk": S.BRUTE_FORCE_ORACLE,
         "ann_lsh_bucket": S.LSH_ANN_ORACLE,
         "ann_lsh_multiprobe": S.LSH_MULTIPROBE_ORACLE,

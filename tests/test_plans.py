@@ -213,6 +213,7 @@ SHUFFLE_BUDGETS = {
     "dedup_ngram_jaccard": 7,
     "dedup_minhash_lsh": 16,
     "dedup_incremental": 4,
+    "dedup_repeated_spans": 1,
 }
 
 

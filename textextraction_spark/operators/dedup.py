@@ -510,6 +510,62 @@ GROUP BY n.vid, c.vid
 """
 
 
+# ------------------------------------------------------ repeated-span mining
+# Substring-level dedup (the cross-document "repeated n-gram span" pass a
+# training-data pipeline runs to strip boilerplate sentences and near-exact
+# quotes): fixed-width token windows, strided, hashed; spans present in
+# >= SPAN_MIN_DOCS distinct docs are emitted for removal.  One shuffle
+# keyed on the (uniform) span hash with partial aggregation; at 100 TB the
+# window stream is the cost, and the stride divides it — the standard
+# winnowing trade (stride s misses repeats shorter than w + s - 1 tokens).
+SPAN_W = 5  # tokens per window
+SPAN_STRIDE = 2  # window start stride
+SPAN_MIN_DOCS = 2
+
+_SPAN_ARR = (
+    f"case when size(split(text,' ')) < {SPAN_W} then array() "
+    f"else transform(sequence(1, size(split(text,' ')) - {SPAN_W - 1}, {SPAN_STRIDE}), "
+    f"i -> array_join(slice(split(text,' '), i, {SPAN_W}), ' ')) end"
+)
+
+
+def span_dedup(spark, sf_dir: str):
+    """Repeated 5-token spans across the variants corpus: span windows are
+    deduped per doc with a NARROW array_distinct before the explode, then
+    one hash-keyed groupBy counts distinct docs per span."""
+    v = variants(spark, sf_dir)
+    sp = v.select(
+        "vid", F.explode(F.array_distinct(F.expr(_SPAN_ARR))).alias("span")
+    )
+    return (
+        sp.groupBy(F.md5("span").alias("span_hash"))
+        .agg(
+            F.min("span").alias("span"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("vid").cast("bigint").alias("first_vid"),
+        )
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+    )
+
+
+SPAN_DEDUP_ORACLE = f"""
+WITH variants AS ({VARIANTS_DUCK}),
+sp AS (
+  SELECT DISTINCT vid, span FROM (
+    SELECT vid,
+           unnest(CASE WHEN len(str_split(text,' ')) < {SPAN_W} THEN []
+                  ELSE list_transform(range(1, len(str_split(text,' ')) - {SPAN_W - 2}, {SPAN_STRIDE}),
+                       i -> array_to_string(list_slice(str_split(text,' '), i, i + {SPAN_W - 1}), ' '))
+                  END) AS span
+    FROM variants
+  )
+)
+SELECT md5(span) AS span_hash, min(span) AS span,
+       count(*)::BIGINT AS n_docs, min(vid)::BIGINT AS first_vid
+FROM sp GROUP BY md5(span) HAVING count(*) >= {SPAN_MIN_DOCS}
+"""
+
+
 # ----------------------------------------------------- URL canonicalization
 # Standard web-corpus pre-dedup pass: many crawled urls differ only by
 # tracking query params, fragments, or a trailing slash.  Pure JVM
