@@ -227,9 +227,11 @@ def main() -> None:
     for name in (
         "dedup_minhash_lsh",
         "dedup_exact",
+        "dedup_incremental",
         "ann_brute_force_topk",
         "token_stats",
         "fingerprint",
+        "gopher_repetition",
         "q1_pricing_summary",
         "media_metadata",
     ):
