@@ -176,9 +176,12 @@ SHUFFLE_BUDGETS = {
     "p3_keyword_gate": 0,
     "s1_top_orders": 0,
     "f_json_extract": 0,
-    "extract_invoice_fields": 1,
-    "extract_medical_fields": 1,
-    "audit_row": 1,
+    # round 2: per-doc field projection rewritten to narrow array exprs
+    # (filter/transform/array_max over the spans column) — ZERO shuffles;
+    # the explode+groupBy twin paid one exchange per query for same rows.
+    "extract_invoice_fields": 0,
+    "extract_medical_fields": 0,
+    "audit_row": 0,
     "corpus_prep_pipeline": 1,
     "dedup_exact": 1,
     "dedup_url_normalize": 1,

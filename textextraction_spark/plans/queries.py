@@ -96,16 +96,26 @@ _INV_FIELDS = {
 }
 
 
+def _field_text(field: str):
+    """First/max span text for one field as a NARROW array expression —
+    no explode, no groupBy: the spans already live in a per-doc array, so
+    per-doc field projection must never shuffle (round 2; the relational
+    explode+groupBy twin paid one exchange per query for the same rows).
+    array_max mirrors the groupBy's max(when...) null semantics exactly
+    (the kernel emits one span per field — A2 first-match — so max ==
+    first)."""
+    return F.expr(
+        f"array_max(transform(filter(spans, s -> s.field = '{field}'), s -> s.text))"
+    )
+
+
 def extract_invoice_fields(spark, sf_dir: str):
     ex = _extracted(spark, sf_dir).filter(
         (F.col("doc_id") % 20 >= 1) & (F.col("doc_id") % 20 <= 6)
     )
-    sp = ex.select("url", F.explode("spans").alias("s"))
-    return sp.groupBy("url").agg(
-        *[
-            F.max(F.when(F.col("s.field") == field, F.col("s.text"))).alias(alias)
-            for alias, field in _INV_FIELDS.items()
-        ]
+    return ex.select(
+        "url",
+        *[_field_text(field).alias(alias) for alias, field in _INV_FIELDS.items()],
     )
 
 
@@ -125,14 +135,10 @@ def extract_medical_fields(spark, sf_dir: str):
     ex = _extracted(spark, sf_dir).filter(
         (F.col("doc_id") % 20 >= 7) & (F.col("doc_id") % 20 <= 12)
     )
-    sp = ex.select("url", F.explode("spans").alias("s"))
-    return sp.groupBy("url").agg(
-        F.max(F.when(F.col("s.field") == "patient.name", F.col("s.text"))).alias(
-            "patient_name"
-        ),
-        F.max(F.when(F.col("s.field") == "patient.birth_date", F.col("s.text"))).alias(
-            "birth_date"
-        ),
+    return ex.select(
+        "url",
+        _field_text("patient.name").alias("patient_name"),
+        _field_text("patient.birth_date").alias("birth_date"),
     )
 
 
@@ -237,10 +243,11 @@ def audit_row(spark, sf_dir: str):
     ex = _extracted(spark, sf_dir).filter(
         (F.col("doc_id") % 20 >= 1) & (F.col("doc_id") % 20 <= 6)
     )
-    sp = ex.select("url", "confidence", F.explode("spans").alias("s"))
-    fields = sp.groupBy("url", "confidence").agg(
-        F.max(F.when(F.col("s.field") == "invoice.number", F.col("s.text"))).alias("inv_num"),
-        F.max(F.when(F.col("s.field") == "invoice.total", F.col("s.text"))).alias("total"),
+    fields = ex.select(
+        "url",
+        "confidence",
+        _field_text("invoice.number").alias("inv_num"),
+        _field_text("invoice.total").alias("total"),
     )
     return fields.select(
         "url",
