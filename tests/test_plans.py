@@ -348,3 +348,51 @@ class TestShuffleBudgets:
             if n > SHUFFLE_BUDGETS[name]:
                 over[name] = (n, SHUFFLE_BUDGETS[name])
         assert not over, f"shuffle budget exceeded: {over}"
+
+
+class TestAqeSkewJoin:
+    def test_aqe_splits_skewed_join_partition(self, spark):
+        """Runtime skew handling for JOINS (complementing plans/skew.py's
+        salting for the UDF stage): with AQE on, a join partition holding
+        a hot key is split at runtime — the finalized plan carries the
+        skew=true marker on the sort-merge join.  This is the mechanism a
+        1000-executor run relies on when a crawl's hot host reaches a
+        shuffle join, so its activation is pinned here."""
+        from pyspark.sql import functions as F
+
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            )
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        try:
+            left = spark.range(0, 200_000).select(
+                F.when(F.col("id") % 5 < 4, 0)
+                .otherwise(F.col("id") % 1000)
+                .alias("k"),
+                F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+            )
+            right = spark.range(0, 1000).select(
+                F.col("id").alias("k"), F.lit("dim").alias("d")
+            )
+            j = left.join(right, "k")
+            assert len(j.collect()) == 200_000
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan, "AQE did not split the skewed partition"
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
