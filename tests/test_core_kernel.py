@@ -508,3 +508,41 @@ class TestPolitenessClosedForm:
             m = v if m is None else max(m, v)
             closed.append(m + n * d)
         assert starts == closed
+
+
+class TestPdfRealWorldOperators:
+    def test_tm_tj_array_form_extracts_identically(self):
+        """doc_id 80 (% 120 == 80) emits `1 0 0 1 x y Tm [(a) kern (b)] TJ`
+        blocks — same expected text as the plain Td/Tj form."""
+        from textextraction_spark.sources.pages import make_pdf_bytes, total_amount_str
+
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+        tj = make_pdf_bytes(text, doc_id=80)   # Tm + TJ array (+ TOTAL: 80%40==0)
+        td = make_pdf_bytes(text, doc_id=0)    # plain Td/Tj (+ TOTAL)
+        assert b" Tm " in tj and b"] TJ" in tj and b" Tm " not in td
+        rt, rd = extract_document(tj), extract_document(td)
+        assert rt.error == ""
+        assert rt.extracted_text.replace(
+            total_amount_str(80), "$AMT"
+        ) == rd.extracted_text.replace(total_amount_str(0), "$AMT")
+
+    def test_octal_and_named_escapes(self):
+        from textextraction_spark.core.pdfblocks import parse_pdf
+
+        pdf = (
+            b"%PDF-1.4\nstream\n"
+            b"BT 72 700 Td (\\101lpha \\(beta\\) \\164ail) Tj ET\n"
+            b"endstream\n%%EOF"
+        )
+        assert parse_pdf(pdf).text() == "Alpha (beta) tail"
+
+    def test_tj_kerning_numbers_ignored(self):
+        from textextraction_spark.core.pdfblocks import parse_pdf
+
+        pdf = (
+            b"%PDF-1.4\nstream\n"
+            b"BT 1 0 0 1 72 700 Tm [(Hel) -120 (lo) 80 ( world)] TJ ET\n"
+            b"endstream\n%%EOF"
+        )
+        # show strings concatenate with NO separator; kern numbers ignored
+        assert parse_pdf(pdf).text() == "Hello world"

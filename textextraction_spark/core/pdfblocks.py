@@ -12,8 +12,10 @@ Scope: minimal PDF 1.4 subset (the fixture format per FIXTURES.md §2.4):
 per page one content stream, blocks of the form
 
     BT x y Td (text) Tj ET
+    BT a b c d e f Tm [(s1) kern (s2)] TJ ET     (matrix + show-array form)
 
-stored either raw or as a **FlateDecode** (zlib) compressed stream —
+with PDF string escapes (named + octal), stored either raw or as a
+**FlateDecode** (zlib) compressed stream —
 ``<< /Filter /FlateDecode /Length N >> stream ... endstream`` — which is
 how virtually every real-world PDF stores content streams (FlateDecode is
 plain zlib, stdlib-decodable; no external dependency).  Compressed
@@ -38,7 +40,18 @@ PDF_MAGIC = b"%PDF"
 _PAGE_SPLIT = re.compile(rb"%%PageBreak")
 _BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _TD = re.compile(rb"(-?\d+)\s+(-?\d+)\s+Td")
-_TJ = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+# text matrix: a b c d e f Tm — (e, f) is the position; real PDFs place
+# text with Tm at least as often as Td
+_TM = re.compile(
+    rb"(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?\d+)\s+(-?\d+)\s+Tm"
+)
+# show operators: (string) Tj  OR  [(s1) kern (s2) ...] TJ (strings
+# concatenated, kerning numbers ignored — the dominant real-world form)
+_SHOW = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[((?:[^\]\\]|\\.)*)\]\s*TJ", re.DOTALL
+)
+_TJ_STR = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+_ESC = re.compile(rb"\\([nrtbf()\\]|[0-7]{1,3})")
 
 # FlateDecode object: dict carrying /Filter /FlateDecode, then the stream
 # keyword; /Length (when present) slices the exact payload — binary zlib
@@ -85,13 +98,23 @@ def _inflate_streams(data: bytes) -> bytes:
     return bytes(out)
 
 
+_ESC_MAP = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
 def _unescape(raw: bytes) -> str:
-    return (
-        raw.replace(rb"\(", b"(")
-        .replace(rb"\)", b")")
-        .replace(rb"\\", b"\\")
-        .decode("latin-1")
-    )
+    """PDF string escapes: named (\\n \\r \\t \\b \\f \\( \\) \\\\) and
+    1-3 digit octal codes (\\101 == 'A')."""
+
+    def sub(m: re.Match) -> bytes:
+        g = m.group(1)
+        if g.isdigit():
+            return bytes([int(g, 8) & 0xFF])
+        return _ESC_MAP[g]
+
+    return _ESC.sub(sub, raw).decode("latin-1")
 
 
 def parse_pdf(data: bytes) -> Doc:
@@ -105,9 +128,22 @@ def parse_pdf(data: bytes) -> Doc:
         blocks: list[tuple[int, int, str]] = []  # (x, y, text)
         for seg in _BT_ET.finditer(part):
             body = seg.group(1)
-            td = _TD.search(body)
-            x, y = (int(td.group(1)), int(td.group(2))) if td else (0, 0)
-            texts = [_unescape(m.group(1)) for m in _TJ.finditer(body)]
+            tm = _TM.search(body)
+            if tm:
+                x, y = int(tm.group(5)), int(tm.group(6))
+            else:
+                td = _TD.search(body)
+                x, y = (int(td.group(1)), int(td.group(2))) if td else (0, 0)
+            texts = []
+            for m in _SHOW.finditer(body):
+                if m.group(1) is not None:  # (s) Tj
+                    texts.append(_unescape(m.group(1)))
+                else:  # [(s1) k (s2) ...] TJ — concatenate show strings
+                    texts.append(
+                        "".join(
+                            _unescape(s.group(1)) for s in _TJ_STR.finditer(m.group(2))
+                        )
+                    )
             text = " ".join(t for t in texts if t).strip()
             if text:
                 blocks.append((x, y, text))

@@ -240,8 +240,10 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
     and block joins both contribute a single newline); doc_id % 60 = 40
     stores the content stream **FlateDecode-compressed** (`<< /Filter
     /FlateDecode /Length N >>` + zlib payload — the real-world storage
-    form; extracted text is unchanged, so the same oracles transitively
-    gate the inflate path)."""
+    form); doc_id % 120 = 80 writes blocks in the **matrix + show-array
+    form** (`1 0 0 1 x y Tm [(s1) -250 (s2)] TJ` — how most real PDF
+    producers emit text).  Extracted text is unchanged across all
+    variants, so the same oracles transitively gate every parse path."""
     import zlib
 
     words = text.split(" ")
@@ -254,13 +256,19 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
         blocks = [(72, 300, tail), (72, 700, head)]  # stream order != reading order
     if doc_id % 40 == 0:
         blocks.insert(0, (72, TOTAL_BLOCK_Y, f"TOTAL {total_amount_str(doc_id)}"))
+
+    def block_op(x: int, y: int, t: str) -> str:
+        if doc_id % 120 == 80:
+            k = max(1, len(t) // 2)
+            return f"BT 1 0 0 1 {x} {y} Tm [({t[:k]}) -250 ({t[k:]})] TJ ET\n"
+        return f"BT {x} {y} Td ({t}) Tj ET\n"
+
     if doc_id % 40 == 20 and head is not None:
         body = (
-            f"BT 72 700 Td ({head}) Tj ET\n%%PageBreak\n"
-            f"BT 72 700 Td ({tail}) Tj ET\n"
+            f"{block_op(72, 700, head)}%%PageBreak\n{block_op(72, 700, tail)}"
         )
     else:
-        body = "".join(f"BT {x} {y} Td ({t}) Tj ET\n" for x, y, t in blocks)
+        body = "".join(block_op(x, y, t) for x, y, t in blocks)
     if doc_id % 60 == 40:
         payload = zlib.compress(body.encode("latin-1"), level=6)
         return (
