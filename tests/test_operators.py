@@ -201,3 +201,71 @@ class TestAnnRecall:
         assert recall["ann_ivf_multiprobe"] >= 0.7
         assert recall["ann_lsh_bucket"] >= 0.1
         assert recall["ann_ivf_probe"] >= 0.2
+
+
+class TestCurationProperties:
+    def test_image_header_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from textextraction_spark.operators.multimodal import (
+            IMG_FORMATS,
+            make_image_bytes,
+            parse_image_dims,
+        )
+
+        @given(
+            fmt=st.sampled_from(IMG_FORMATS),
+            w=st.integers(min_value=1, max_value=65535),
+            h=st.integers(min_value=1, max_value=65535),
+        )
+        @settings(max_examples=200, deadline=None)
+        def roundtrip(fmt, w, h):
+            assert parse_image_dims(make_image_bytes(fmt, w, h)) == (fmt, w, h)
+
+        roundtrip()
+
+    def test_pii_scrub_idempotent(self):
+        """Scrubbing is idempotent: the replacement tokens never re-match
+        the PII patterns (a second pass is a no-op)."""
+        import re
+
+        from textextraction_spark.operators.curation import EMAIL_RE, PHONE_RE
+
+        def scrub(t):
+            return re.sub(PHONE_RE, "<PHONE>", re.sub(EMAIL_RE, "<EMAIL>", t))
+
+        t = "mail a.b+c@x-y.example.org or 555-123-4567 / 555-000-1111 end"
+        once = scrub(t)
+        assert scrub(once) == once
+        assert "@" not in once and not re.search(PHONE_RE, once)
+
+    def test_pdf_escape_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from textextraction_spark.core.pdfblocks import parse_pdf
+
+        def esc(s: str) -> bytes:
+            return (
+                s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            ).encode("latin-1")
+
+        @given(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=1,
+                max_size=40,
+            )
+        )
+        @settings(max_examples=200, deadline=None)
+        def roundtrip(s):
+            pdf = b"%PDF-1.4\nstream\nBT 72 700 Td (" + esc(s) + b") Tj ET\nendstream\n%%EOF"
+            doc = parse_pdf(pdf)
+            expect = " ".join(s.split()).strip() if s.strip() else ""
+            got = doc.text()
+            # parser joins show strings with single spaces and strips;
+            # compare whitespace-normalized
+            assert " ".join(got.split()) == " ".join(expect.split())
+
+        roundtrip()
