@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": C.pii_scrub,
         "gopher_repetition": C.gopher_repetition,
         "hash_sample": C.hash_sample,
+        "curation_pipeline": C.curation_pipeline,
         # --- dedup ---
         "dedup_exact": D.exact_dedup,
         "dedup_ngram_jaccard": D.ngram_jaccard,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": C.PII_SCRUB_ORACLE,
         "gopher_repetition": C.GOPHER_REPETITION_ORACLE,
         "hash_sample": C.HASH_SAMPLE_ORACLE,
+        "curation_pipeline": C.CURATION_PIPELINE_ORACLE,
         "dedup_exact": D.EXACT_DEDUP_ORACLE,
         "dedup_ngram_jaccard": D.NGRAM_JACCARD_ORACLE,
         "dedup_minhash_lsh": D.MINHASH_LSH_ORACLE,

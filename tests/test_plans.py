@@ -172,6 +172,7 @@ SHUFFLE_BUDGETS = {
     "pii_scrub": 0,
     "gopher_repetition": 0,
     "hash_sample": 0,
+    "curation_pipeline": 0,
     "p1_strip_special": 0,
     "p3_keyword_gate": 0,
     "s1_top_orders": 0,

@@ -195,3 +195,68 @@ SELECT doc_id, lang,
 FROM documents
 WHERE {_COIN_DUCK} < ({_RATE_SQL})
 """
+
+
+# ------------------------------------------------------- composed pipeline
+def curation_pipeline(spark, sf_dir: str):
+    """The three curation stages composed as ONE dataflow: PII scrub ->
+    repetition gate -> deterministic sample -> token count.  Every stage
+    is a narrow expression, so the whole pipeline is a single ZERO-shuffle
+    map over the scan — at 100 TB this runs as one wave of tasks with no
+    wire traffic at all (compare corpus_prep_pipeline, whose exact-dedup
+    stage necessarily shuffles once)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.expr(f"size({_W}) >= 2")
+    )
+    n_words = F.expr(f"size({_W})").cast("bigint")
+    dup_ratio = 1 - F.expr(f"size(array_distinct({_W}))") / n_words
+    top_frac = F.expr(_TOP_BIGRAM) / (n_words - 1)
+    clean = F.regexp_replace(
+        F.regexp_replace(F.expr(PII_SQL), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        d.filter(
+            (F.round(dup_ratio, 6) <= DUP_WORD_MAX)
+            & (F.round(top_frac, 6) <= TOP_BIGRAM_MAX)
+        )
+        .filter(F.expr(_COIN_SPARK) < F.expr(_RATE_SQL))
+        .select(
+            "doc_id",
+            "lang",
+            clean.alias("clean_text"),
+            F.expr(f"size(split({PII_SQL}, ' '))").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+CURATION_PIPELINE_ORACLE = f"""
+WITH gated AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE len(str_split(text, ' ')) >= 2
+    AND round(1 - len(list_distinct(str_split(text, ' '))) / len(str_split(text, ' ')), 6)
+        <= {DUP_WORD_MAX}
+    AND doc_id IN (
+      SELECT doc_id FROM (
+        SELECT g.doc_id,
+               round(max(c) / (len_w - 1), 6) AS top_frac
+        FROM (
+          SELECT b.doc_id, len(b.w) AS len_w, gram, count(*) AS c
+          FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents
+                WHERE len(str_split(text, ' ')) >= 2) b,
+               UNNEST(list_transform(range(1, len(b.w)),
+                      i -> b.w[i] || ' ' || b.w[i + 1])) AS u(gram)
+          GROUP BY b.doc_id, len(b.w), gram
+        ) g
+        GROUP BY g.doc_id, g.len_w
+      ) WHERE top_frac <= {TOP_BIGRAM_MAX}
+    )
+    AND {_COIN_DUCK} < ({_RATE_SQL})
+)
+SELECT doc_id, lang,
+       regexp_replace(regexp_replace({PII_SQL}, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       len(str_split({PII_SQL}, ' '))::BIGINT AS n_tokens
+FROM gated
+"""
