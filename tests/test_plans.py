@@ -397,3 +397,53 @@ class TestAqeSkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRuntimeBloomFilterJoin:
+    def test_selective_dim_injects_bloom_filter_on_fact_scan(self, spark, tmp_path):
+        """Catalyst's runtime bloom-filter join: a selective filter on one
+        join side injects a bloom-filter predicate into the OTHER side's
+        scan, pruning fact rows before the shuffle.  At 100 TB this is
+        the difference between shuffling the whole fact table and
+        shuffling the ~matching slice; pinned here so a conf or plan
+        regression is caught."""
+        from pyspark.sql import functions as F
+
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            )
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        try:
+            d = str(tmp_path)
+            spark.range(0, 200_000).select(
+                F.col("id").alias("k"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            ).write.mode("overwrite").parquet(d + "/fact")
+            spark.range(0, 200_000).select(
+                F.col("id").alias("k"), (F.col("id") % 100).alias("cat")
+            ).write.mode("overwrite").parquet(d + "/dim")
+            fact = spark.read.parquet(d + "/fact")
+            dim = spark.read.parquet(d + "/dim").filter(F.col("cat") == 7)
+            j = fact.join(dim, "k")
+            assert j.count() == 2000
+            ex = j._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in ex.lower(), "bloom filter not injected"
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
