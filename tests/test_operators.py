@@ -269,3 +269,18 @@ class TestCurationProperties:
             assert " ".join(got.split()) == " ".join(expect.split())
 
         roundtrip()
+
+
+class TestSimhashQuality:
+    def test_precision_recall_on_planted_near_dups(self, spark):
+        """32-bit SimHash with 4x8-bit pigeonhole bands: on the planted
+        near-dup corpus (vid, vid+1000 pairs) the hamming<=3 output is
+        precision-dominated — almost every emitted pair is a true planted
+        pair (the round-1 16-bit space was collision-dominated: 560+
+        chance pairs).  Floors are measured deterministic values."""
+        df = E.queries()["dedup_simhash"](spark, "/root/testdata/sf0.01").toPandas()
+        true_pairs = df[(df.vid_b - df.vid_a) == 1000]
+        precision = len(true_pairs) / max(len(df), 1)
+        recall = len(true_pairs) / 150
+        assert precision >= 0.9, precision
+        assert recall >= 0.5, recall

@@ -16,10 +16,14 @@ Design for 100 TB:
     * the candidate pair set joins back to the shingle stream as a plain
       shuffle hash join — NEVER a broadcast: on a 30%-duplicate crawl the
       pair set is billions of rows.
-- SimHash      = shingle hashes -> 16 signed bit sums (partial agg) ->
-  16-bit signature -> pigeonhole banding (hamming <= 3 forces exact
-  agreement on >= 1 of 4 4-bit bands) -> equi-join candidates -> exact
-  hamming filter.  Never an all-pairs join.
+- SimHash      = shingle hashes -> 32 signed bit sums (partial agg) ->
+  32-bit signature -> pigeonhole banding (hamming <= 3 forces exact
+  agreement on >= 1 of 4 8-bit bands) -> equi-join candidates -> exact
+  hamming filter.  Never an all-pairs join.  Band width is the
+  bucket-space lever: 8-bit bands give 256 buckets per band (the
+  round-1 4-bit bands gave 16 — a quadratic hot bucket at crawl scale);
+  production would use 64-bit signatures with 16-bit bands, which is
+  the same plan with a longer sum list.
 - n-gram Jaccard = pairs from a shared-shingle equi-join restricted to
   DISCRIMINATIVE shingles: document frequency <= ``SHINGLE_DF_CAP``
   (standard MinHashLSH practice).  A stop-phrase shingle ("click here
@@ -46,7 +50,8 @@ MUTATION = " extra token added"
 N_BASE = 150
 COPY_OFFSET = 1000
 N_HASHES = 4  # minhash band count (1 row per band)
-SIM_BITS = 16
+SIM_BITS = 32
+SIM_BAND_BITS = 8  # 4 bands x 8 bits; hamming<=3 => >=1 exact band match
 # Crawl-scale guards (values sized for the test corpus; production runs
 # would use ~10^4 / ~10^3 — both are pure config, the plan shape is what
 # matters).  Mirrored verbatim in the DuckDB oracles.
@@ -335,7 +340,7 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
 
 # --------------------------------------------------------------- SimHash
 def simhash_pairs(spark, sf_dir: str):
-    """16-bit SimHash over distinct 3-gram shingles (word-level features
+    """32-bit SimHash over distinct 3-gram shingles (word-level features
     would wash out on a shared vocabulary); near-dup = hamming <= 3."""
     wh = _shingles_df(variants(spark, sf_dir)).select(
         "vid", F.expr(H_SPARK.format(x="shingle")).alias("h")
@@ -356,12 +361,14 @@ def simhash_pairs(spark, sf_dir: str):
         ).cast("bigint").alias("simhash"),
     )
     # Pigeonhole banding (Manku et al.-style multi-index): any pair with
-    # hamming <= 3 over 16 bits must agree EXACTLY on >= 1 of 4 4-bit
+    # hamming <= 3 over 32 bits must agree EXACTLY on >= 1 of 4 8-bit
     # bands, so candidates come from 4 equi-joins on (band_idx, band_val)
     # — never an all-pairs join; exact hamming filters the candidates.
-    n_bands = 4
+    n_bands = SIM_BITS // SIM_BAND_BITS
+    band_mask = (1 << SIM_BAND_BITS) - 1
     stack = ", ".join(
-        f"{k}, (shiftright(simhash, {4 * k}) & 15)" for k in range(n_bands)
+        f"{k}, (shiftright(simhash, {SIM_BAND_BITS * k}) & {band_mask})"
+        for k in range(n_bands)
     )
     banded = simhash.selectExpr(
         "vid", "simhash", f"stack({n_bands}, {stack}) as (k, band)"
