@@ -169,6 +169,7 @@ SHUFFLE_BUDGETS = {
     "embedding_near_dup": 0,
     "media_metadata": 0,
     "media_frame_sample": 0,
+    "media_decode_resize": 0,
     "pii_scrub": 0,
     "gopher_repetition": 0,
     "hash_sample": 0,

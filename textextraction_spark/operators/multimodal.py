@@ -118,6 +118,110 @@ def decode_stub(data: bytes, kind: str) -> dict:
     return meta
 
 
+# ------------------------------------- real decode -> resize -> features
+# PGM (P5) is a raw grayscale bitmap — header + pixel bytes, decodable
+# and resizable in pure stdlib/numpy.  Images are synthesized from a
+# doc_id gradient formula, so the DuckDB oracle reconstructs the REAL
+# resized pixel statistics arithmetically: this path has no stub
+# anywhere (decode, resize, and feature-extract all operate on actual
+# pixel data).
+def make_pgm(doc_id: int) -> bytes:
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id * 3) % 9
+    px = bytes(
+        (3 * r + 5 * c + doc_id) % 256 for r in range(h) for c in range(w)
+    )
+    return f"P5\n{w} {h}\n255\n".encode() + px
+
+
+def decode_pgm(data: bytes):
+    """Real P5 parse -> (height x width) numpy array."""
+    import numpy as np
+
+    if not data.startswith(b"P5"):
+        return None
+    parts = data.split(b"\n", 3)
+    w, h = (int(x) for x in parts[1].split())
+    px = np.frombuffer(parts[3], dtype=np.uint8, count=w * h)
+    return px.reshape(h, w)
+
+
+def resize_nearest(img, factor: int = 2):
+    """Nearest-neighbor downsample: every factor-th pixel (real resize)."""
+    return img[::factor, ::factor]
+
+
+def _decode_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "rw", "rh", "mean_px", "min_px", "max_px")}
+        for doc_id, media in zip(pdf["doc_id"].values, pdf["media"].values):
+            img = decode_pgm(bytes(media))
+            small = resize_nearest(img)
+            rows["doc_id"].append(doc_id)
+            rows["rh"].append(small.shape[0])
+            rows["rw"].append(small.shape[1])
+            rows["mean_px"].append(round(float(small.mean()), 6))
+            rows["min_px"].append(int(small.min()))
+            rows["max_px"].append(int(small.max()))
+        yield pd.DataFrame(rows)
+
+
+def media_decode_resize(spark, sf_dir: str):
+    """The fully-real multimodal path: synthesize a genuine PGM bitmap
+    per doc -> mapInPandas decodes the actual pixel buffer, resizes it
+    (nearest-neighbor x2), and extracts features (mean/min/max of the
+    RESIZED pixels).  No stub at any stage; the oracle reconstructs the
+    same statistics from the gradient formula arithmetically."""
+    from pyspark.sql import types as T
+
+    from textextraction_spark.job.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    @F.pandas_udf(T.BinaryType())
+    def pgm_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([make_pgm(int(i)) for i in doc_id])
+
+    media = d.select("doc_id", pgm_udf("doc_id").alias("media"))
+    return media.mapInPandas(
+        _decode_resize_batch,
+        schema=(
+            "doc_id long, rw long, rh long, mean_px double, "
+            "min_px long, max_px long"
+        ),
+    )
+
+
+# resized grid: rows 0,2,..<h ; cols 0,2,..<w  -> pixel (6r'+10c'+doc_id)%256
+MEDIA_DECODE_RESIZE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 9 AS w,
+         8 + (doc_id * 3) % 9 AS h
+  FROM documents
+),
+rdims AS (
+  SELECT doc_id, w, h,
+         CAST(ceil(w / 2.0) AS BIGINT) AS rw,
+         CAST(ceil(h / 2.0) AS BIGINT) AS rh
+  FROM dims
+),
+px AS (
+  SELECT d.doc_id, d.rw, d.rh,
+         (6 * r + 10 * c + d.doc_id) % 256 AS v
+  FROM rdims d,
+       UNNEST(range(d.rh)) AS a(r),
+       UNNEST(range(d.rw)) AS b(c)
+)
+SELECT doc_id, rw, rh,
+       round(avg(v), 6) AS mean_px,
+       min(v)::BIGINT AS min_px,
+       max(v)::BIGINT AS max_px
+FROM px GROUP BY doc_id, rw, rh
+"""
+
+
 def _decode_one(data: bytes, kind: str) -> dict:
     """Route one media payload: image -> REAL header parse; audio/video ->
     md5 stub (documented integration point)."""
