@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": M.media_metadata,
         "media_frame_sample": M.media_frame_sample,
         "media_decode_resize": M.media_decode_resize,
+        "media_audio_features": M.media_audio_features,
         "politeness_schedule": SCH.politeness_schedule,
         "politeness_schedule_grouped": SCH.politeness_schedule_grouped,
         # --- relational operator suite (SURVEY.md §2.3-2.7) ---
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": M.MEDIA_METADATA_ORACLE,
         "media_frame_sample": M.MEDIA_FRAME_SAMPLE_ORACLE,
         "media_decode_resize": M.MEDIA_DECODE_RESIZE_ORACLE,
+        "media_audio_features": M.MEDIA_AUDIO_ORACLE,
         "politeness_schedule": SCH.POLITENESS_ORACLE,
         "politeness_schedule_grouped": SCH.POLITENESS_ORACLE,
         "p1_strip_special": R.P1_ORACLE,

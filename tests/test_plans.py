@@ -170,6 +170,7 @@ SHUFFLE_BUDGETS = {
     "media_metadata": 0,
     "media_frame_sample": 0,
     "media_decode_resize": 0,
+    "media_audio_features": 0,
     "pii_scrub": 0,
     "gopher_repetition": 0,
     "hash_sample": 0,

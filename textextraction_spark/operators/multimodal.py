@@ -222,6 +222,111 @@ FROM px GROUP BY doc_id, rw, rh
 """
 
 
+# --------------------------------------------- real audio decode (WAV PCM)
+# WAV is RIFF + raw PCM — synthesizable and decodable with the stdlib
+# ``wave`` module, so the audio path gets the same no-stub treatment as
+# images: real container parse, real sample buffer, real signal features.
+WAV_RATES = [8000, 16000, 44100]
+
+
+def make_wav(doc_id: int) -> bytes:
+    import io
+    import wave
+
+    n = 64 + doc_id % 64  # sample count
+    rate = WAV_RATES[doc_id % 3]
+    samples = b"".join(
+        int(((7 * i + doc_id) % 1000) - 500).to_bytes(2, "little", signed=True)
+        for i in range(n)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes):
+    """Real WAV parse -> (sample_rate, int16 numpy array)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        rate = w.getframerate()
+        pcm = w.readframes(w.getnframes())
+    return rate, np.frombuffer(pcm, dtype=np.int16)
+
+
+def _audio_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = {
+            k: []
+            for k in ("doc_id", "sample_rate", "n_samples", "rms", "peak")
+        }
+        for doc_id, media in zip(pdf["doc_id"].values, pdf["media"].values):
+            rate, x = decode_wav(bytes(media))
+            rows["doc_id"].append(doc_id)
+            rows["sample_rate"].append(rate)
+            rows["n_samples"].append(len(x))
+            rows["rms"].append(
+                round(float(np.sqrt((x.astype(np.float64) ** 2).mean())), 6)
+            )
+            rows["peak"].append(int(np.abs(x.astype(np.int64)).max()))
+        yield pd.DataFrame(rows)
+
+
+def media_audio_features(spark, sf_dir: str):
+    """Real audio path: genuine WAV files (RIFF container, 16-bit PCM
+    from a doc_id formula) decoded executor-side with the stdlib wave
+    module; features = RMS and peak of the ACTUAL sample buffer.  The
+    oracle recomputes both arithmetically.  Video remains the only
+    stubbed kind (decoding it genuinely requires codecs)."""
+    from pyspark.sql import types as T
+
+    from textextraction_spark.job.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    @F.pandas_udf(T.BinaryType())
+    def wav_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([make_wav(int(i)) for i in doc_id])
+
+    media = d.select("doc_id", wav_udf("doc_id").alias("media"))
+    return media.mapInPandas(
+        _audio_feature_batch,
+        schema="doc_id long, sample_rate long, n_samples long, rms double, peak long",
+    )
+
+
+MEDIA_AUDIO_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id,
+         64 + doc_id % 64 AS n,
+         ([{", ".join(str(r) for r in WAV_RATES)}])[CAST(doc_id % 3 AS INT) + 1]
+             AS sample_rate
+  FROM documents
+),
+s AS (
+  SELECT d.doc_id, d.n, d.sample_rate,
+         ((7 * i + d.doc_id) % 1000) - 500 AS v
+  FROM dims d, UNNEST(range(d.n)) AS u(i)
+)
+SELECT doc_id,
+       sample_rate::BIGINT AS sample_rate,
+       n::BIGINT AS n_samples,
+       round(sqrt(avg(v * v)), 6) AS rms,
+       max(abs(v))::BIGINT AS peak
+FROM s GROUP BY doc_id, n, sample_rate
+"""
+
+
 def _decode_one(data: bytes, kind: str) -> dict:
     """Route one media payload: image -> REAL header parse; audio/video ->
     md5 stub (documented integration point)."""
