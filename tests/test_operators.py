@@ -284,3 +284,28 @@ class TestSimhashQuality:
         recall = len(true_pairs) / 150
         assert precision >= 0.9, precision
         assert recall >= 0.5, recall
+
+
+class TestMediaDecoderRobustness:
+    def test_corrupt_media_never_kills_batch(self):
+        from textextraction_spark.operators.multimodal import (
+            decode_pgm,
+            decode_wav,
+            make_pgm,
+            make_wav,
+            resize_nearest,
+        )
+
+        # corrupt inputs -> graceful None / empty, no exception
+        assert decode_pgm(b"") is None
+        assert decode_pgm(b"P5\nnot numbers\n255\n") is None
+        assert decode_pgm(b"P5\n100 100\n255\nshort") is None
+        rate, x = decode_wav(b"RIFFgarbage")
+        assert rate == 0 and len(x) == 0
+        # valid round-trips still exact
+        img = decode_pgm(make_pgm(7))
+        assert img is not None and img.shape == (8 + 21 % 9, 8 + 7 % 9)
+        assert resize_nearest(img)[0, 0] == img[0, 0]
+        rate, x = decode_wav(make_wav(7))
+        assert rate == 16000 and len(x) == 64 + 7 % 64
+        assert int(x[0]) == ((0 + 7) % 1000) - 500

@@ -135,15 +135,22 @@ def make_pgm(doc_id: int) -> bytes:
 
 
 def decode_pgm(data: bytes):
-    """Real P5 parse -> (height x width) numpy array."""
+    """Real P5 parse -> (height x width) numpy array; None on anything
+    malformed (wrong magic, bad header, short pixel buffer) — a corrupt
+    row must never kill the batch."""
     import numpy as np
 
-    if not data.startswith(b"P5"):
+    try:
+        if not data.startswith(b"P5"):
+            return None
+        parts = data.split(b"\n", 3)
+        w, h = (int(x) for x in parts[1].split())
+        if w <= 0 or h <= 0 or len(parts[3]) < w * h:
+            return None
+        px = np.frombuffer(parts[3], dtype=np.uint8, count=w * h)
+        return px.reshape(h, w)
+    except (ValueError, IndexError):
         return None
-    parts = data.split(b"\n", 3)
-    w, h = (int(x) for x in parts[1].split())
-    px = np.frombuffer(parts[3], dtype=np.uint8, count=w * h)
-    return px.reshape(h, w)
 
 
 def resize_nearest(img, factor: int = 2):
@@ -156,8 +163,12 @@ def _decode_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         rows = {k: [] for k in ("doc_id", "rw", "rh", "mean_px", "min_px", "max_px")}
         for doc_id, media in zip(pdf["doc_id"].values, pdf["media"].values):
             img = decode_pgm(bytes(media))
-            small = resize_nearest(img)
             rows["doc_id"].append(doc_id)
+            if img is None or img.size == 0:
+                for k in ("rh", "rw", "mean_px", "min_px", "max_px"):
+                    rows[k].append(0)
+                continue
+            small = resize_nearest(img)
             rows["rh"].append(small.shape[0])
             rows["rw"].append(small.shape[1])
             rows["mean_px"].append(round(float(small.mean()), 6))
@@ -249,16 +260,20 @@ def make_wav(doc_id: int) -> bytes:
 
 
 def decode_wav(data: bytes):
-    """Real WAV parse -> (sample_rate, int16 numpy array)."""
+    """Real WAV parse -> (sample_rate, int16 numpy array), or (0, empty)
+    on malformed RIFF — a corrupt row must never kill the batch."""
     import io
     import wave
 
     import numpy as np
 
-    with wave.open(io.BytesIO(data), "rb") as w:
-        rate = w.getframerate()
-        pcm = w.readframes(w.getnframes())
-    return rate, np.frombuffer(pcm, dtype=np.int16)
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            rate = w.getframerate()
+            pcm = w.readframes(w.getnframes())
+        return rate, np.frombuffer(pcm[: 2 * (len(pcm) // 2)], dtype=np.int16)
+    except (wave.Error, EOFError, ValueError):
+        return 0, np.zeros(0, dtype=np.int16)
 
 
 def _audio_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -274,6 +289,10 @@ def _audio_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             rows["doc_id"].append(doc_id)
             rows["sample_rate"].append(rate)
             rows["n_samples"].append(len(x))
+            if len(x) == 0:
+                rows["rms"].append(0.0)
+                rows["peak"].append(0)
+                continue
             rows["rms"].append(
                 round(float(np.sqrt((x.astype(np.float64) ** 2).mean())), 6)
             )
