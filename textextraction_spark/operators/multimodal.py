@@ -104,12 +104,13 @@ def parse_image_dims(data: bytes) -> tuple[str, int, int] | None:
 
 
 def decode_stub(data: bytes, kind: str) -> dict:
-    """Deterministic fake decode: md5-derived metadata (see module doc)."""
+    """Deterministic fake decode for the audio/video kinds in
+    media_metadata: md5-derived metadata (see module doc).  Images never
+    reach this — they get the real header parse; audio has its own real
+    WAV path in media_audio_features."""
     h = int(hashlib.md5(data).hexdigest()[:8], 16)
     meta = {"n_bytes": len(data), "kind": kind}
-    if kind == "image":
-        meta.update(width=h % 1920, height=(h // 7) % 1080, n_frames=1)
-    elif kind == "audio":
+    if kind == "audio":
         meta.update(width=0, height=0, n_frames=h % 48000)
     else:  # video
         meta.update(width=h % 1920, height=(h // 7) % 1080, n_frames=1 + h % 240)
