@@ -546,3 +546,17 @@ class TestPdfRealWorldOperators:
         )
         # show strings concatenate with NO separator; kern numbers ignored
         assert parse_pdf(pdf).text() == "Hello world"
+
+
+class TestEtInsideString:
+    def test_et_in_show_string_does_not_terminate_block(self):
+        """Regression (hypothesis-found): 'ET' bytes inside a string
+        literal — e.g. (BUDGET) — must not end the text object."""
+        from textextraction_spark.core.pdfblocks import parse_pdf
+
+        pdf = (
+            b"%PDF-1.4\nstream\n"
+            b"BT 72 700 Td (BUDGET REPORT) Tj (ET ET) Tj ET\n"
+            b"endstream\n%%EOF"
+        )
+        assert parse_pdf(pdf).text() == "BUDGET REPORT ET ET"

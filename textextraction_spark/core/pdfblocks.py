@@ -38,7 +38,10 @@ from textextraction_spark.core.model import Doc, Line, Page
 PDF_MAGIC = b"%PDF"
 
 _PAGE_SPLIT = re.compile(rb"%%PageBreak")
-_BT_ET = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# Block = BT ... ET where the body consumes (string literals) atomically,
+# so an 'ET' INSIDE a show string (e.g. `(BUDGET)`) cannot terminate the
+# block early.  (Found by the hypothesis escape-roundtrip property.)
+_BT_ET = re.compile(rb"BT((?:\((?:[^()\\]|\\.)*\)|[^(])*?)ET", re.DOTALL)
 _TD = re.compile(rb"(-?\d+)\s+(-?\d+)\s+Td")
 # text matrix: a b c d e f Tm — (e, f) is the position; real PDFs place
 # text with Tm at least as often as Td
