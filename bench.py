@@ -73,6 +73,36 @@ def _set_affinity(cpus) -> None:
         pass
 
 
+def _reset_jvm() -> None:
+    """spark.stop() leaves the py4j gateway JVM alive, and a process
+    keeps the CPU mask it was born with — so a JVM launched before
+    sched_setaffinity would silently ignore the pinned cpuset.  The
+    pinned protocol therefore forces a FRESH JVM (which, with its python
+    workers, inherits the current mask) after every affinity change."""
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    if gw is not None:
+        try:
+            gw.shutdown()
+        except Exception:
+            pass
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+
+
+def _jvm_cpus(spark) -> str:
+    """The gateway JVM's actual Cpus_allowed_list (measurement receipt)."""
+    try:
+        pid = spark.sparkContext._gateway.proc.pid
+        for line in open(f"/proc/{pid}/status"):
+            if line.startswith("Cpus_allowed_list"):
+                return line.split()[1]
+    except Exception:
+        pass
+    return "unknown"
+
+
 def _machine_ceiling(sf_dir: str) -> dict[str, float]:
     """Bare-multiprocessing scaling of the same kernel: the box's ceiling.
     The 4/16 rates run inside the SAME pinned 16-CPU cpuset as the
@@ -266,11 +296,15 @@ def main() -> None:
         CPUSET = {4: PIN16, 16: PIN16, 8: None, 32: None}
 
         def measure(cores: int, prev_best: dict | None = None) -> dict:
-            if CPUSET[cores]:
-                _set_affinity(CPUSET[cores])
+            # ALWAYS restart the JVM so it (and its python workers) is
+            # born under the config's mask — pinned for 4/16, full for
+            # 8/32 (a leftover pinned JVM would taint the unpinned rows).
+            _reset_jvm()
+            _set_affinity(CPUSET[cores] or range(os.cpu_count()))
             try:
                 s = make_session(cores)
                 s.sparkContext.setLogLevel("ERROR")
+                jvm_mask = _jvm_cpus(s)
                 run_extract(s, pages_sf, cores * 3)  # spin python workers
                 best = prev_best
                 clean = 0
@@ -284,6 +318,7 @@ def main() -> None:
                         "docs_per_sec": round(n_c / t_c, 1),
                         "mb_per_sec": round(b_c / 1e6 / t_c, 2),
                         "steal_pct": steal_pct,
+                        "jvm_cpus": jvm_mask,  # receipt: the ACTUAL mask
                     }
                     if best is None or cur["sec"] < best["sec"]:
                         best = cur

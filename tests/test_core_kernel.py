@@ -560,3 +560,50 @@ class TestEtInsideString:
             b"endstream\n%%EOF"
         )
         assert parse_pdf(pdf).text() == "BUDGET REPORT ET ET"
+
+
+class TestReviewRegressions:
+    def test_tj_array_with_bracket_inside_string(self):
+        """']' inside a TJ show string must not truncate the array match
+        (code-review finding: the array body now consumes string
+        literals atomically)."""
+        from textextraction_spark.core.pdfblocks import parse_pdf
+
+        pdf = (
+            b"%PDF-1.4\nstream\n"
+            b"BT 1 0 0 1 72 700 Tm [(a]b) -250 ( c\\(d\\)e)] TJ ET\n"
+            b"endstream\n%%EOF"
+        )
+        assert parse_pdf(pdf).text() == "a]b c(d)e"
+
+    def test_truncated_image_headers_return_none(self):
+        from textextraction_spark.operators.multimodal import parse_image_dims
+
+        truncs = [
+            b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR\x00\x00",  # short IHDR
+            b"GIF89a\x40",  # short LSD
+            b"\xff\xd8\xff\xc0\x00\x11\x08",  # short SOF
+            b"\xff\xd8\xff\xe0\x00",  # short APP0 length
+        ]
+        for t in truncs:
+            assert parse_image_dims(t) is None, t
+
+    def test_spark_email_count_matches_raw_pattern(self, spark):
+        """Code-review finding: EMAIL_RE inside a plain SQL literal was
+        unescaped (\\. -> .) and counted a laxer pattern than the
+        replacement; the r'...' literal must count exactly the raw
+        pattern."""
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators.curation import EMAIL_RE
+
+        row = (
+            spark.range(1)
+            .select(
+                F.expr(
+                    f"regexp_count('a x@y!zz b u1@mail1.example.com', r'{EMAIL_RE}')"
+                ).alias("n")
+            )
+            .first()
+        )
+        assert row["n"] == 1  # the mangled literal counted 2

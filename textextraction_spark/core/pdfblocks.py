@@ -49,9 +49,13 @@ _TM = re.compile(
     rb"(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?\d+)\s+(-?\d+)\s+Tm"
 )
 # show operators: (string) Tj  OR  [(s1) kern (s2) ...] TJ (strings
-# concatenated, kerning numbers ignored — the dominant real-world form)
+# concatenated, kerning numbers ignored — the dominant real-world form).
+# The TJ-array body consumes (string literals) atomically so a ']' or
+# '(' INSIDE a show string cannot truncate the array match.
 _SHOW = re.compile(
-    rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[((?:[^\]\\]|\\.)*)\]\s*TJ", re.DOTALL
+    rb"\(((?:[^()\\]|\\.)*)\)\s*Tj"
+    rb"|\[((?:\((?:[^()\\]|\\.)*\)|[^\[\]()])*)\]\s*TJ",
+    re.DOTALL,
 )
 _TJ_STR = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
 _ESC = re.compile(rb"\\([nrtbf()\\]|[0-7]{1,3})")

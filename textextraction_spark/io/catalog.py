@@ -77,14 +77,19 @@ class IcebergCatalog:
         digest = hashlib.md5(batch_id.encode()).hexdigest()[:8]
         view = f"_batch_{sanitized}_{digest}"
         extracted_df.createOrReplaceTempView(view)
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.table} r
-            USING {view} b ON r.url = b.url
-            WHEN MATCHED THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *
-            """
-        )
+        try:
+            self.spark.sql(
+                f"""
+                MERGE INTO {self.table} r
+                USING {view} b ON r.url = b.url
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *
+                """
+            )
+        finally:
+            # unique per-batch names would otherwise accumulate one
+            # catalog entry per batch for the session's lifetime
+            self.spark.catalog.dropTempView(view)
 
 
 def get_catalog(spark, root_or_table: str, prefer: str = "auto"):

@@ -56,7 +56,9 @@ def pii_scrub(spark, sf_dir: str):
     )
     return d.select(
         "doc_id",
-        F.expr(f"regexp_count({PII_SQL}, '{EMAIL_RE}')")
+        # NB: r'...' — a plain SQL string literal would unescape \. to .
+        # and silently count a different pattern than the replacement
+        F.expr(f"regexp_count({PII_SQL}, r'{EMAIL_RE}')")
         .cast("bigint")
         .alias("n_emails"),
         F.expr(f"regexp_count({PII_SQL}, r'{PHONE_RE}')")
@@ -167,9 +169,12 @@ _RATE_SQL = (
     + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items()))
     + f" ELSE {DEFAULT_RATE} END"
 )
-# md5 of the STRING doc id -> uniform 0..99 coin, identical both dialects
-_COIN_SPARK = "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100"
-_COIN_DUCK = "CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT) % 100"
+# md5 of the STRING doc id -> uniform 0..99 coin; the md5-to-int idiom is
+# shared with the dedup family (one convention, both dialects)
+from textextraction_spark.operators.dedup import H_DUCK, H_SPARK
+
+_COIN_SPARK = H_SPARK.format(x="cast(doc_id as string)") + " % 100"
+_COIN_DUCK = H_DUCK.format(x="CAST(doc_id AS STRING)") + " % 100"
 
 
 def hash_sample(spark, sf_dir: str):

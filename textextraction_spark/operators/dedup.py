@@ -226,6 +226,25 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
 
 
 # ---------------------------------------------------------- MinHash + LSH
+def _skip_hot_buckets(sig):
+    """Oversized-bucket skip shared by batch LSH and incremental dedup: a
+    band value shared by k docs creates k^2/2 candidate pairs — a
+    degenerate minhash (empty docs, boilerplate-only docs) turns one
+    bucket quadratic at crawl scale.  Buckets past LSH_BUCKET_CAP are
+    dropped via pre-agg + left-anti join on (j, h) — partial aggregation
+    absorbs the hot key, and the hot-bucket list is joined, not
+    broadcast.  (Recall loss is bounded: a pair lost here agrees only on
+    degenerate bands; production pipelines skip such buckets for exactly
+    this reason.)"""
+    hotb = (
+        sig.groupBy("j", "h")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > LSH_BUCKET_CAP)
+        .select("j", "h")
+    )
+    return sig.join(hotb, ["j", "h"], "left_anti")
+
+
 def minhash_lsh(spark, sf_dir: str):
     """shingle -> 4 md5-family minhashes -> 1-row bands -> bucket join
     (oversized buckets skipped) -> candidates verified by exact
@@ -253,21 +272,7 @@ def minhash_lsh(spark, sf_dir: str):
     sig = wide.selectExpr(
         "vid", f"stack({N_HASHES}, {stack_expr}) as (j, h)"
     )
-    # Oversized-bucket skip: a band value shared by k docs creates k^2/2
-    # candidate pairs — a degenerate minhash (empty docs, boilerplate-only
-    # docs) turns one bucket quadratic at crawl scale.  Buckets past the
-    # cap are dropped via pre-agg + left-anti join on (j, h) — partial
-    # aggregation absorbs the hot key, and the hot-bucket list is joined,
-    # not broadcast.  (Recall loss is bounded: a pair lost here agrees
-    # only on degenerate bands; production pipelines skip such buckets for
-    # exactly this reason.)
-    hotb = (
-        sig.groupBy("j", "h")
-        .agg(F.count("*").alias("n_members"))
-        .filter(F.col("n_members") > LSH_BUCKET_CAP)
-        .select("j", "h")
-    )
-    sigc = sig.join(hotb, ["j", "h"], "left_anti")
+    sigc = _skip_hot_buckets(sig)
     a, b = sigc.alias("a"), sigc.alias("b")
     cand = (
         a.join(b, (F.col("a.j") == F.col("b.j")) & (F.col("a.h") == F.col("b.h")))
@@ -442,13 +447,7 @@ def match_new_against_committed(new_bands, committed_bands):
     signature table, with the oversized-bucket skip applied to the
     committed side (the side that can hold a degenerate 10^6-doc bucket).
     Returns (new_vid, committed_vid, n_bands)."""
-    hotb = (
-        committed_bands.groupBy("j", "h")
-        .agg(F.count("*").alias("n_members"))
-        .filter(F.col("n_members") > LSH_BUCKET_CAP)
-        .select("j", "h")
-    )
-    cb = committed_bands.join(hotb, ["j", "h"], "left_anti").select(
+    cb = _skip_hot_buckets(committed_bands).select(
         F.col("vid").alias("committed_vid"), "j", "h"
     )
     nb = new_bands.select(F.col("vid").alias("new_vid"), "j", "h")

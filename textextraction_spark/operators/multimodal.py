@@ -74,8 +74,16 @@ IMG_N_BYTES = {f: len(make_image_bytes(f, 1, 1)) for f in IMG_FORMATS}
 
 def parse_image_dims(data: bytes) -> tuple[str, int, int] | None:
     """Real header parse: (format, width, height), or None if the bytes
-    are not a recognized image.  Pure stdlib — works on any genuine
+    are not a recognized image (including truncated headers — a corrupt
+    row must never kill the batch).  Pure stdlib — works on any genuine
     PNG/GIF/baseline-or-progressive JPEG, not just our fixtures."""
+    try:
+        return _parse_image_dims(data)
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _parse_image_dims(data: bytes) -> tuple[str, int, int] | None:
     if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
         w, h = struct.unpack(">II", data[16:24])
         return ("png", w, h)
