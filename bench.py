@@ -83,10 +83,22 @@ def _reset_jvm() -> None:
 
     gw = SparkContext._gateway
     if gw is not None:
+        proc = getattr(gw, "proc", None)
         try:
             gw.shutdown()
         except Exception:
             pass
+        # gw.shutdown() alone can leave the JVM process alive (and
+        # burning CPU on GC/daemon threads) — terminate it outright.
+        if proc is not None:
+            try:
+                proc.terminate()
+                proc.wait(timeout=10)
+            except Exception:
+                try:
+                    proc.kill()
+                except Exception:
+                    pass
     SparkContext._gateway = None
     SparkContext._jvm = None
 
