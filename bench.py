@@ -348,6 +348,19 @@ def main() -> None:
             finally:
                 _set_affinity(range(os.cpu_count()))
 
+        # Window gate first (see ceiling comment below): don't burn the
+        # expensive pipeline measurements in a degraded window.
+        ceiling = _machine_ceiling(sf_dir)
+        tries = 0
+        while (
+            ceiling["4_to_16"] < 0.82
+            and tries < 4
+            and (time.time() - t_start) < budget_s
+        ):
+            time.sleep(45)
+            tries += 1
+            ceiling = _machine_ceiling(sf_dir)
+
         results = {c: measure(c) for c in (4, 16, 8, 32)}
         # Monotonicity repair: more cores must not be slower (same job,
         # same input).  A violation means a burst polluted one row —
@@ -365,10 +378,11 @@ def main() -> None:
             for c in sorted(suspects):
                 results[c] = measure(c, prev_best=results[c])
         # Machine ceiling: the same kernel under bare multiprocessing (no
-        # Spark) — how far THIS box can scale CPU-bound work at all.  On a
+        # Spark) — how far THIS box can scale CPU-bound work at all, with
+        # the 4/16 rates under the SAME pinned mask as the pipeline.  On a
         # real cluster 4N executors bring 4N memory bandwidth; one box does
         # not, so pipeline efficiency is reported alongside its ceiling.
-        ceiling = _machine_ceiling(sf_dir)
+        # (Measured up front as the window gate; see above.)
         scaling = {
             f"local{c}": results[c] for c in (4, 8, 16, 32)
         }
