@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_json_extract": R.f_json_extract,
         # --- analytic suite (window frames, grouping sets, as-of/band joins) ---
         "w2_lag_moving_avg": A.w2_lag_moving_avg,
+        "w4_ntile_rank": A.w4_ntile_rank,
         "rollup_daily_counts": A.rollup_daily_counts,
         "cube_type_bucket": A.cube_type_bucket,
         "asof_last_click": A.asof_last_click,
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": R.Q1_ORACLE,
         "f_json_extract": R.F_JSON_ORACLE,
         "w2_lag_moving_avg": A.W2_LAG_ORACLE,
+        "w4_ntile_rank": A.W4_NTILE_ORACLE,
         "rollup_daily_counts": A.ROLLUP_ORACLE,
         "cube_type_bucket": A.CUBE_ORACLE,
         "asof_last_click": A.ASOF_ORACLE,

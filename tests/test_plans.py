@@ -197,6 +197,7 @@ SHUFFLE_BUDGETS = {
     "j1_broadcast_join": 1,
     "j2_anti_join_resume": 1,
     "w2_lag_moving_avg": 1,
+    "w4_ntile_rank": 1,
     "rollup_daily_counts": 1,
     "cube_type_bucket": 1,
     "asof_last_click": 1,

@@ -319,3 +319,29 @@ SELECT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-04'
 INTERSECT
 SELECT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-04'
 """
+
+
+# ---- W4: ranking family — ntile / percent_rank over a typed partition ----
+def w4_ntile_rank(spark, sf_dir: str):
+    """Decile bucketing + percent_rank of event value within each event
+    type — the ranking-function family (ntile/percent_rank) rounding out
+    the window coverage (frames: w2; rank-1: w1; sessionization: batch
+    twin).  One shuffle on the partition key; the window sort is the
+    standard rank plan at any scale."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+W4_NTILE_ORACLE = """
+SELECT event_id, event_type,
+       ntile(10) OVER w AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+"""
