@@ -13,21 +13,26 @@ line::
 The scaling section is the sandbox protocol for the north_rule's N->4N
 executor criterion.  CANONICAL pairing (settled in round 2 after
 measuring every variant with affinity receipts — full analysis in
-BENCH/BASELINE.md): **unpinned local[4] -> local[16]**.  Strict and
-proportional cpuset pinning were both implemented and measured (the JVM
-is restarted after every affinity change so the mask actually applies,
-and each row records the JVM's real Cpus_allowed_list); they land at
-0.66-0.76 because the single shared local-mode JVM's shuffle/GC threads
-are charged against the pinned set — a cost 4N SEPARATE executors do not
-pay — so the unpinned pairing, where idle CPUs stand in for per-executor
-overhead headroom, is the faithful cluster analog.  The pinned pair is
-still measured and reported as a sensitivity bound, the bare-
-multiprocessing machine ceiling (same unpinned protocol) bounds what the
-box itself can do, and the scaling phase is gated on a clean-window
-ceiling.  Raw unpinned local[8] -> local[32] is reported alongside
-(SMT/bandwidth-bound on this VM).  Efficiency = (T_N / T_4N) / 4.
-Disable with SPARK_GRAFT_BENCH_SCALING=0; replication factor via
-SPARK_GRAFT_BENCH_REP.
+BENCH/BASELINE.md): **unpinned local[4] -> local[16]**, measured as
+THREE INTERLEAVED back-to-back pairs with the MEDIAN per-pair ratio as
+the headline (round-3 hardening: five single-shot 4->16 measurements in
+round 2 spanned 0.59-0.90 because multi-minute hypervisor bursts land on
+whichever row is in flight; a burst inside a back-to-back pair degrades
+both sides and cancels in the ratio, and the median discards a polluted
+pair outright).  Strict and proportional cpuset pinning were both
+implemented and measured (the JVM is restarted after every affinity
+change so the mask actually applies, and each row records the JVM's real
+Cpus_allowed_list); they land at 0.66-0.76 because the single shared
+local-mode JVM's shuffle/GC threads are charged against the pinned set —
+a cost 4N SEPARATE executors do not pay — so the unpinned pairing, where
+idle CPUs stand in for per-executor overhead headroom, is the faithful
+cluster analog.  The pinned pair is still measured and reported as a
+sensitivity bound, the bare-multiprocessing machine ceiling (same
+unpinned protocol) bounds what the box itself can do, and the scaling
+phase is gated on a clean-window ceiling.  Raw unpinned local[8] ->
+local[32] is reported alongside (SMT/bandwidth-bound on this VM).
+Efficiency = (T_N / T_4N) / 4.  Disable with SPARK_GRAFT_BENCH_SCALING=0;
+replication factor via SPARK_GRAFT_BENCH_REP.
 """
 
 from __future__ import annotations
@@ -70,6 +75,20 @@ def _mp_work(args):
 
 
 PIN16 = frozenset(range(16))  # the fixed cpuset of the canonical pairing
+
+# Clean-window per-query baselines (local[32], warm, sf0.1, best-of-2 —
+# BENCH/BASELINE.md).  The soft regression gate warns at >1.5x these.
+QUERY_BASELINES = {
+    "extract_e2e": 1.5,
+    "dedup_minhash_lsh": 2.1,
+    "dedup_exact": 0.5,
+    "dedup_incremental": 0.85,
+    "ann_brute_force_topk": 0.5,
+    "text_profile": 0.45,
+    "doc_quality_signals": 0.6,
+    "q1_pricing_summary": 0.4,
+    "media_metadata": 0.6,
+}
 
 
 def _set_affinity(cpus) -> None:
@@ -265,16 +284,17 @@ def main() -> None:
     t = min(run_extract(spark, pages_sf, cpus * 3)[0] for _ in range(2))
     queries["extract_e2e"] = round(t, 3)
 
-    # Operator headliners.
+    # Operator headliners (text_profile / doc_quality_signals are the
+    # round-3 gated composites covering the former token_stats/fingerprint
+    # and gopher_repetition entries).
     qmap = E.queries()
     for name in (
         "dedup_minhash_lsh",
         "dedup_exact",
         "dedup_incremental",
         "ann_brute_force_topk",
-        "token_stats",
-        "fingerprint",
-        "gopher_repetition",
+        "text_profile",
+        "doc_quality_signals",
         "q1_pricing_summary",
         "media_metadata",
     ):
@@ -287,7 +307,26 @@ def main() -> None:
             assert n >= 0
         queries[name] = round(best, 3)
 
+    # Soft regression gate: warn (never fail) when a headliner runs >1.5x
+    # its recorded clean-window baseline — keeps the round-2 operator-suite
+    # speedups from silently regressing (VERDICT r02 item 5).
+    regressions = {
+        name: {"sec": queries[name], "baseline_sec": base}
+        for name, base in QUERY_BASELINES.items()
+        if name in queries and queries[name] > 1.5 * base
+    }
+
     # Replicated throughput at full cores (the 100TB-shaped measurement).
+    # FRESH JVM first: in round 2 this same job measured 18.1 s here vs
+    # 7.7 s in the scaling phase — a session that has already run ~25
+    # queries carries heap/broadcast/codegen-cache baggage that a
+    # production spark-submit job never starts with.  The measurement is
+    # of the JOB, not of the harness's session history.
+    spark.stop()
+    _reset_jvm()
+    spark = make_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    run_extract(spark, pages_sf, cpus * 3)  # re-warm python workers
     t_full, n_docs, n_bytes = run_extract(spark, pages_rep, cpus * 3)
     t2, _, _ = run_extract(spark, pages_rep, cpus * 3)
     t_full = min(t_full, t2)
@@ -310,7 +349,11 @@ def main() -> None:
         # cost 4N separate executors do not pay).  A pinned sensitivity
         # pair is measured after the main rows.
         def measure(
-            cores: int, prev_best: dict | None = None, cpuset=None
+            cores: int,
+            prev_best: dict | None = None,
+            cpuset=None,
+            max_attempts: int = 4,
+            clean_target: int = 2,
         ) -> dict:
             # ALWAYS restart the JVM so it (and its python workers) is
             # born under the requested mask (a leftover pinned JVM would
@@ -324,7 +367,8 @@ def main() -> None:
                 run_extract(s, pages_sf, cores * 3)  # spin python workers
                 best = prev_best
                 clean = 0
-                max_attempts = 4 if (time.time() - t_start) < budget_s else 1
+                if (time.time() - t_start) > budget_s:
+                    max_attempts = 1
                 for _attempt in range(max_attempts):
                     st0 = _read_cpu()
                     t_c, n_c, b_c = run_extract(s, pages_rep, cores * 3)
@@ -338,12 +382,12 @@ def main() -> None:
                     }
                     if best is None or cur["sec"] < best["sec"]:
                         best = cur
-                    # steal-gated AND best-of-2: require two sub-3%-steal
-                    # runs (hypervisor bursts also hide in user time, so
-                    # one clean-looking run can still be slow)
+                    # steal-gated: hypervisor bursts also hide in user
+                    # time, so one clean-looking run can still be slow —
+                    # callers choose how many sub-3%-steal runs to demand
                     if steal_pct < 3.0:
                         clean += 1
-                        if clean >= 2:
+                        if clean >= clean_target:
                             break
                     else:
                         time.sleep(20)
@@ -365,7 +409,39 @@ def main() -> None:
             tries += 1
             ceiling = _machine_ceiling(sf_dir)
 
-        results = {c: measure(c) for c in (4, 16, 8, 32)}
+        # ---- Canonical 4->16: INTERLEAVED pairs, median of ratios ----
+        # Round-2 lesson: five unpinned 4->16 measurements spanned
+        # 0.59-0.90 because the hypervisor's multi-minute bursts land on
+        # whichever single row is in flight.  Robust protocol: measure
+        # local[4] and local[16] BACK-TO-BACK inside one pair (a burst
+        # then degrades both sides and roughly cancels in the ratio) and
+        # take the MEDIAN of three per-pair ratios — one polluted pair
+        # cannot move the estimate.
+        results: dict[int, dict] = {}
+        pair_effs: list[float] = []
+        pair_rows = []
+        for i in range(3):
+            if i > 0 and (time.time() - t_start) > budget_s:
+                break
+            r4 = measure(4, max_attempts=2, clean_target=1)
+            r16 = measure(16, max_attempts=2, clean_target=1)
+            eff = round((r4["sec"] / r16["sec"]) / 4.0, 3)
+            pair_effs.append(eff)
+            pair_rows.append(
+                {"local4_sec": r4["sec"], "local16_sec": r16["sec"],
+                 "steal4": r4["steal_pct"], "steal16": r16["steal_pct"],
+                 "efficiency": eff}
+            )
+            for c, r in ((4, r4), (16, r16)):
+                if c not in results or r["sec"] < results[c]["sec"]:
+                    results[c] = r
+        pair_effs.sort()
+        eff_median = pair_effs[len(pair_effs) // 2]
+
+        # 8 / 32 rows once each (table completeness + the SMT-bound
+        # 8->32 sensitivity pairing).
+        for c in (8, 32):
+            results[c] = measure(c, max_attempts=2, clean_target=1)
         # Monotonicity repair: more cores must not be slower (same job,
         # same input).  A violation means a burst polluted one row —
         # re-measure the suspect configs (bounded: 2 repair rounds).
@@ -382,29 +458,35 @@ def main() -> None:
             for c in sorted(suspects):
                 results[c] = measure(c, prev_best=results[c])
         # Machine ceiling: the same kernel under bare multiprocessing (no
-        # Spark) — how far THIS box can scale CPU-bound work at all, with
-        # the 4/16 rates under the SAME pinned mask as the pipeline.  On a
+        # Spark) — how far THIS box can scale CPU-bound work at all.  On a
         # real cluster 4N executors bring 4N memory bandwidth; one box does
         # not, so pipeline efficiency is reported alongside its ceiling.
         # (Measured up front as the window gate; see above.)
         scaling = {
             f"local{c}": results[c] for c in (4, 8, 16, 32)
         }
-        for lo, hi in ((4, 16), (8, 32)):
-            eff = round((results[lo]["sec"] / results[hi]["sec"]) / 4.0, 3)
-            ceil = ceiling.get(f"{lo}_to_{hi}")
-            scaling[f"efficiency_{lo}_to_{hi}"] = eff
-            scaling[f"machine_ceiling_{lo}_to_{hi}"] = ceil
-            if ceil:
-                scaling[f"normalized_{lo}_to_{hi}"] = round(eff / ceil, 3)
+        scaling["pairs_4_to_16"] = pair_rows
+        scaling["efficiency_4_to_16"] = eff_median
+        scaling["machine_ceiling_4_to_16"] = ceiling.get("4_to_16")
+        if ceiling.get("4_to_16"):
+            scaling["normalized_4_to_16"] = round(
+                eff_median / ceiling["4_to_16"], 3
+            )
+        eff_832 = round((results[8]["sec"] / results[32]["sec"]) / 4.0, 3)
+        scaling["efficiency_8_to_32"] = eff_832
+        scaling["machine_ceiling_8_to_32"] = ceiling.get("8_to_32")
+        if ceiling.get("8_to_32"):
+            scaling["normalized_8_to_32"] = round(
+                eff_832 / ceiling["8_to_32"], 3
+            )
         # Pinned sensitivity pair (budget-permitting): the strict-cpuset
         # variant the round-1 verdict asked to evaluate, with jvm_cpus
         # receipts.  It understates cluster scaling by construction
         # (shared-JVM overhead lands inside the pinned set), which is
         # why it is reported as a bound rather than the canonical row.
         if (time.time() - t_start) < budget_s:
-            p16 = measure(16, cpuset=PIN16)
-            p4 = measure(4, cpuset=PIN16)
+            p16 = measure(16, cpuset=PIN16, max_attempts=2, clean_target=1)
+            p4 = measure(4, cpuset=PIN16, max_attempts=2, clean_target=1)
             scaling["pinned_4_to_16"] = {
                 "local4": p4,
                 "local16": p16,
@@ -413,12 +495,14 @@ def main() -> None:
 
         # The protocol's headline number: unpinned N -> 4N on this box.
         scaling["north_rule_protocol"] = (
-            "local[4] -> local[16], unpinned (canonical; idle CPUs stand "
-            "in for the per-executor overhead headroom a 4N-executor "
-            "cluster provides — see BENCH/BASELINE.md for the measured "
-            "strict-cpuset and proportional-cpuset sensitivity bounds)"
+            "local[4] -> local[16], unpinned, interleaved back-to-back "
+            "pairs, median of 3 per-pair ratios (canonical; idle CPUs "
+            "stand in for the per-executor overhead headroom a "
+            "4N-executor cluster provides — see BENCH/BASELINE.md for "
+            "the strict-cpuset sensitivity bounds and the variance "
+            "analysis behind the pairing protocol)"
         )
-        scaling["north_rule_efficiency"] = scaling["efficiency_4_to_16"]
+        scaling["north_rule_efficiency"] = eff_median
 
     import shutil
 
@@ -431,6 +515,7 @@ def main() -> None:
                 "value": queries["extract_e2e"],
                 "unit": "sec",
                 "queries": queries,
+                "regressions": regressions,
                 "sf": sf,
                 "throughput": throughput,
                 "scaling": scaling,

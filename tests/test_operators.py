@@ -21,31 +21,28 @@ from tests.oracle_check import compare, connect_duckdb  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 FAST_SUBSET = [
-    "token_stats",
-    "quality_score",
-    "lang_id",
-    "fingerprint",
+    "text_profile",
+    "doc_quality_signals",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "ann_brute_force_topk",
-    "ann_lsh_bucket",
+    "ann_lsh",
     "media_metadata",
     "media_frame_sample",
     "politeness_schedule",
-    "a1_avg_by_group",
-    "a2_first_event_per_user",
+    "a1_type_stats",
+    "user_event_profile",
+    "events_project",
     "j1_broadcast_join",
     "w1_topk_per_group",
     "q1_pricing_summary",
-    "w2_lag_moving_avg",
-    "rollup_daily_counts",
-    "cube_type_bucket",
+    "window_analytics",
+    "grouping_multi",
+    "set_ops",
     "asof_last_click",
     "pivot_user_type_counts",
-    "pctl_value_by_type",
     "sessionize_batch",
     "band_range_join",
-    "intersect_types",
 ]
 
 
@@ -172,23 +169,27 @@ class TestAnnRecall:
 
     @pytest.fixture(scope="class")
     def recall(self, spark):
-        qs = E.queries()
+        # standalone variant functions (library surface; the driver gate
+        # covers them via the union-tagged ann_lsh / ann_ivf composites)
+        from textextraction_spark.operators import simsearch as S
+
+        fns = {
+            "ann_lsh_bucket": S.lsh_bucket_ann,
+            "ann_lsh_multiprobe": S.lsh_multiprobe_ann,
+            "ann_ivf_probe": S.ivf_probe_ann,
+            "ann_ivf_multiprobe": S.ivf_multiprobe_ann,
+        }
         sf = "/root/testdata/sf0.01"
-        truth = {r.vec_id for r in qs["ann_brute_force_topk"](spark, sf).collect()}
+        truth = {
+            r.vec_id
+            for r in E.queries()["ann_brute_force_topk"](spark, sf).collect()
+        }
 
         def r(name):
-            got = {r.vec_id for r in qs[name](spark, sf).collect()}
+            got = {r.vec_id for r in fns[name](spark, sf).collect()}
             return len(got & truth) / len(truth)
 
-        return {
-            n: r(n)
-            for n in (
-                "ann_lsh_bucket",
-                "ann_lsh_multiprobe",
-                "ann_ivf_probe",
-                "ann_ivf_multiprobe",
-            )
-        }
+        return {n: r(n) for n in fns}
 
     def test_multiprobe_beats_single_probe(self, recall):
         assert recall["ann_lsh_multiprobe"] >= recall["ann_lsh_bucket"]

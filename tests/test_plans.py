@@ -157,28 +157,23 @@ SHUFFLE_BUDGETS = {
     "extract_span_offsets": 0,
     "extract_phi_encrypted": 0,
     "pdf_highlight_rects": 0,
-    "token_stats": 0,
-    "quality_score": 0,
-    "lang_id": 0,
-    "fingerprint": 0,
+    # round-3 composites: single-pass per-doc profiles stay ZERO-shuffle
+    # (all constituent signals fold into one projection), and the ANN
+    # composites union two broadcast-bucket lookups (no exchange).
+    "text_profile": 0,
+    "doc_quality_signals": 0,
+    "events_project": 0,
     "ann_brute_force_topk": 0,
-    "ann_lsh_bucket": 0,
-    "ann_lsh_multiprobe": 0,
-    "ann_ivf_probe": 0,
-    "ann_ivf_multiprobe": 0,
+    "ann_lsh": 0,
+    "ann_ivf": 0,
     "embedding_near_dup": 0,
     "media_metadata": 0,
     "media_frame_sample": 0,
     "media_decode_resize": 0,
     "media_audio_features": 0,
-    "pii_scrub": 0,
-    "gopher_repetition": 0,
-    "hash_sample": 0,
     "curation_pipeline": 0,
-    "p1_strip_special": 0,
     "p3_keyword_gate": 0,
     "s1_top_orders": 0,
-    "f_json_extract": 0,
     # round 2: per-doc field projection rewritten to narrow array exprs
     # (filter/transform/array_max over the spans column) — ZERO shuffles;
     # the explode+groupBy twin paid one exchange per query for same rows.
@@ -188,26 +183,25 @@ SHUFFLE_BUDGETS = {
     "corpus_prep_pipeline": 1,
     "dedup_exact": 1,
     "dedup_url_normalize": 1,
-    "politeness_schedule": 1,
-    "politeness_schedule_grouped": 1,
-    "a1_avg_by_group": 1,
-    "a2_first_event_per_user": 1,
-    "a4_collect_per_group": 1,
+    # round-3 composites: one exchange per constituent shuffle — merging
+    # never ADDED an exchange (a1+percentiles share ONE groupBy;
+    # a2-rank-1 + a4-collect share ONE window shuffle; window/grouping/
+    # set/politeness composites pay one per union branch, exactly what
+    # the standalone pair paid).
+    "a1_type_stats": 1,
+    "user_event_profile": 1,
+    "window_analytics": 2,
+    "grouping_multi": 2,
+    "set_ops": 3,
+    "politeness_schedule": 2,
     "w1_topk_per_group": 1,
     "j1_broadcast_join": 1,
     "j2_anti_join_resume": 1,
-    "w2_lag_moving_avg": 1,
-    "w4_ntile_rank": 1,
-    "rollup_daily_counts": 1,
-    "cube_type_bucket": 1,
     "asof_last_click": 1,
-    "pctl_value_by_type": 1,
     "sessionize_batch": 1,
     "w3_tumbling_host_counts": 1,
     "band_range_join": 1,
-    "intersect_types": 1,
     "host_distribution": 2,
-    "set_except_types": 2,
     "q1_pricing_summary": 2,
     "pivot_user_type_counts": 2,
     "j3_large_join_smj": 3,

@@ -345,3 +345,140 @@ SELECT event_id, event_type,
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
 """
+
+
+# ==== gated composites (round 3) ==========================================
+# Fold operator pairs into single driver-gate entries (the gate caps at 50
+# queries) without losing any operator's output columns; the standalone
+# functions above remain the library surface.
+
+
+# ---- window_analytics: analytic frames + ranking family ------------------
+def window_analytics(spark, sf_dir: str):
+    """w2_lag_moving_avg + w4_ntile_rank in one query: the frame family
+    (lag delta, bounded trailing avg over user_id) and the ranking family
+    (ntile decile, percent_rank over event_type), each on its natural
+    partition key — two window specs, two shuffles, every analytic
+    function category in one gated row."""
+    ev = _events(spark, sf_dir)
+    wu = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wuf = wu.rowsBetween(-2, 0)
+    wt = W.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") - F.lag("value").over(wu), 4).alias("delta_prev"),
+        F.round(F.avg("value").over(wuf), 4).alias("mavg3"),
+        F.ntile(10).over(wt).cast("bigint").alias("decile"),
+        F.round(F.percent_rank().over(wt), 6).alias("pct_rank"),
+    )
+
+
+WINDOW_ANALYTICS_ORACLE = """
+SELECT event_id, user_id, event_type,
+       round(value - lag(value) OVER wu, 4) AS delta_prev,
+       round(avg(value) OVER (wu ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           AS mavg3,
+       ntile(10) OVER wt AS decile,
+       round(percent_rank() OVER wt, 6) AS pct_rank
+FROM events
+WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wt AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+"""
+
+
+# ---- grouping_multi: ROLLUP + CUBE grouping sets -------------------------
+def grouping_multi(spark, sf_dir: str):
+    """rollup_daily_counts + cube_type_bucket union-tagged by shape: each
+    branch keeps its one-shuffle Expand plan; the ``k2`` column carries
+    the second grouping key (day / value-bucket) as a string so the two
+    shapes share a schema."""
+    ev = _events(spark, sf_dir)
+    roll = (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.lit("rollup").alias("shape"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("k2"),
+            "n",
+            "sum_value",
+        )
+    )
+    cub = (
+        ev.withColumn("value_bucket", F.floor(F.col("value") / 100).cast("bigint"))
+        .cube("event_type", "value_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.lit("cube").alias("shape"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("value_bucket").cast("string"), F.lit("ALL")).alias("k2"),
+            "n",
+            "sum_value",
+        )
+    )
+    return roll.unionByName(cub)
+
+
+GROUPING_MULTI_ORACLE = """
+SELECT 'rollup' AS shape,
+       coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, 'ALL') AS k2,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+GROUP BY ROLLUP (event_type, day)
+UNION ALL
+SELECT 'cube' AS shape,
+       coalesce(event_type, 'ALL') AS event_type,
+       coalesce(value_bucket::VARCHAR, 'ALL') AS k2,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, floor(value / 100)::BIGINT AS value_bucket, value
+      FROM events)
+GROUP BY CUBE (event_type, value_bucket)
+"""
+
+
+# ---- set_ops: EXCEPT ALL + INTERSECT union-tagged ------------------------
+def set_ops(spark, sf_dir: str):
+    """set_except_types + intersect_types as one gated row, tagged by op.
+    The intersect branch has no value bucket; it carries the -1 sentinel
+    so both set operators share a schema."""
+    from textextraction_spark.functions.relational import set_except_types
+
+    exc = set_except_types(spark, sf_dir).select(
+        F.lit("except").alias("op"), "user_id", "event_type", "value_bucket"
+    )
+    inter = intersect_types(spark, sf_dir).select(
+        F.lit("intersect").alias("op"),
+        "user_id",
+        "event_type",
+        F.lit(-1).cast("bigint").alias("value_bucket"),
+    )
+    return exc.unionByName(inter)
+
+
+SET_OPS_ORACLE = """
+SELECT 'except' AS op, user_id, event_type, value_bucket FROM (
+  SELECT DISTINCT user_id, event_type, floor(value / 10)::BIGINT AS value_bucket
+  FROM events WHERE ts < TIMESTAMP '2024-01-04'
+  EXCEPT
+  SELECT DISTINCT user_id, event_type, floor(value / 10)::BIGINT AS value_bucket
+  FROM events WHERE ts >= TIMESTAMP '2024-01-04'
+)
+UNION ALL
+SELECT 'intersect' AS op, user_id, event_type, -1::BIGINT AS value_bucket FROM (
+  SELECT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-04'
+  INTERSECT
+  SELECT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-04'
+)
+"""

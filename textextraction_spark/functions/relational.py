@@ -287,3 +287,109 @@ F_JSON_ORACLE = """
 SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_value
 FROM events
 """
+
+
+# ==== gated composites (round 3) ==========================================
+# The driver gates at most 50 queries; these composites fold operator pairs
+# that share a table/shuffle into single gate entries WITHOUT weakening
+# coverage — every constituent operator's exact output columns appear in
+# the composite, and the standalone functions above remain the library
+# surface (still exercised by tests).
+
+
+# ---- events_project: P1 special-char strip + F-JSON path query -----------
+def events_project(spark, sf_dir: str):
+    """One narrow projection over events covering p1_strip_special and
+    f_json_extract (same scan, zero shuffle — a 100 TB events table is
+    read once for both signals)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.rtrim(F.regexp_replace("props", SPECIAL_CHARS_SQL, "")).alias("props_clean"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+EVENTS_PROJECT_ORACLE = f"""
+SELECT event_id,
+       rtrim(regexp_replace(props, '{SPECIAL_CHARS_SQL}', '', 'g')) AS props_clean,
+       json_extract_string(props, '$.k')::BIGINT AS k_value
+FROM events
+"""
+
+
+# ---- a1_type_stats: mean/sum per group + exact percentiles ---------------
+def a1_type_stats(spark, sf_dir: str):
+    """a1_avg_by_group + pctl_value_by_type in ONE groupBy(event_type)
+    aggregation — count/avg/sum and exact p25/p50/p75 share one shuffle
+    and one partial-agg pass."""
+    ev = _t(spark, sf_dir, "events")
+    p = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(p[0], 4).alias("p25"),
+        F.round(p[1], 4).alias("p50"),
+        F.round(p[2], 4).alias("p75"),
+    )
+
+
+A1_TYPE_STATS_ORACLE = """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(avg(value), 6) AS avg_value, round(sum(value), 4) AS sum_value,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+# ---- user_event_profile: first-match rank-1 + ordered collect ------------
+def user_event_profile(spark, sf_dir: str):
+    """a2_first_event_per_user + a4_collect_per_group over ONE window
+    shuffle on user_id: rank-1 picks the first event, while the ordered
+    collect and count run over the full-partition frame of the same
+    window spec — one Exchange, one sort, all three aggregate shapes."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.array_join(
+                F.sort_array(F.collect_list("event_type").over(wf)), ","
+            ).alias("types_sorted"),
+            F.count("*").over(wf).cast("bigint").alias("n"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("event_type").alias("first_event_type"),
+            "types_sorted",
+            "n",
+        )
+    )
+
+
+USER_EVENT_PROFILE_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+), aggs AS (
+  SELECT user_id,
+         string_agg(event_type, ',' ORDER BY event_type) AS types_sorted,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY user_id
+)
+SELECT f.user_id, f.event_id AS first_event_id,
+       f.event_type AS first_event_type, a.types_sorted, a.n
+FROM firsts f JOIN aggs a USING (user_id)
+"""

@@ -202,6 +202,62 @@ WHERE {_COIN_DUCK} < ({_RATE_SQL})
 """
 
 
+# --------------------------------- gated composite: doc_quality_signals
+def doc_quality_signals(spark, sf_dir: str):
+    """PII counts/redaction + Gopher repetition signals + the hash-sample
+    coin, as ONE zero-shuffle projection per doc — the driver-gated
+    composite covering pii_scrub, gopher_repetition, and hash_sample's
+    deterministic coin (the coin's FILTER shape is separately gated inside
+    curation_pipeline).  Restricted to docs with >= 2 words (the gopher
+    signals' domain); the individual operators above remain the library
+    surface."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.expr(f"size({_W}) >= 2")
+    )
+    t = F.expr(PII_SQL)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    n_words = F.expr(f"size({_W})").cast("bigint")
+    n_grams = n_words - 1
+    dup_ratio = F.round(1 - F.expr(f"size(array_distinct({_W}))") / n_words, 6)
+    top_frac = F.round(F.expr(_TOP_BIGRAM) / n_grams, 6)
+    return d.select(
+        "doc_id",
+        F.expr(f"regexp_count({PII_SQL}, r'{EMAIL_RE}')")
+        .cast("bigint")
+        .alias("n_emails"),
+        F.expr(f"regexp_count({PII_SQL}, r'{PHONE_RE}')")
+        .cast("bigint")
+        .alias("n_phones"),
+        clean.alias("clean_text"),
+        n_words.alias("n_words"),
+        dup_ratio.alias("dup_word_ratio"),
+        F.expr(_TOP_BIGRAM).cast("bigint").alias("top_bigram_count"),
+        top_frac.alias("top_bigram_frac"),
+        ((dup_ratio <= DUP_WORD_MAX) & (top_frac <= TOP_BIGRAM_MAX)).alias("keep"),
+        F.expr(_COIN_SPARK).cast("bigint").alias("coin"),
+        F.expr(_RATE_SQL).cast("bigint").alias("rate_pct"),
+        (F.expr(_COIN_SPARK) < F.expr(_RATE_SQL)).alias("in_sample"),
+    )
+
+
+DOC_QUALITY_SIGNALS_ORACLE = f"""
+WITH pii AS ({PII_SCRUB_ORACLE}),
+     gr AS ({GOPHER_REPETITION_ORACLE}),
+     hs AS (
+       SELECT doc_id, ({_COIN_DUCK})::BIGINT AS coin,
+              ({_RATE_SQL})::BIGINT AS rate_pct,
+              ({_COIN_DUCK}) < ({_RATE_SQL}) AS in_sample
+       FROM documents
+     )
+SELECT gr.doc_id, pii.n_emails, pii.n_phones, pii.clean_text,
+       gr.n_words, gr.dup_word_ratio, gr.top_bigram_count,
+       gr.top_bigram_frac, gr.keep, hs.coin, hs.rate_pct, hs.in_sample
+FROM gr JOIN pii USING (doc_id) JOIN hs USING (doc_id)
+"""
+
+
 # ------------------------------------------------------- composed pipeline
 def curation_pipeline(spark, sf_dir: str):
     """The three curation stages composed as ONE dataflow: PII scrub ->

@@ -101,6 +101,21 @@ def politeness_schedule_grouped(spark, sf_dir: str):
     )
 
 
+# ---- gated composite (round 3): both surfaces in one driver-gate row ----
+def politeness_both(spark, sf_dir: str):
+    """The closed-form window plan AND the applyInPandas grouped-map
+    reference implementation, union-tagged by ``impl`` — one gated row
+    proving both surfaces produce the identical schedule (the oracle is
+    the closed form evaluated twice)."""
+    win = politeness_schedule(spark, sf_dir).select(
+        F.lit("window").alias("impl"), "user_id", "event_id", "delay_us"
+    )
+    grp = politeness_schedule_grouped(spark, sf_dir).select(
+        F.lit("grouped").alias("impl"), "user_id", "event_id", "delay_us"
+    )
+    return win.unionByName(grp)
+
+
 POLITENESS_ORACLE = f"""
 WITH numbered AS (
   SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
@@ -116,4 +131,10 @@ WITH numbered AS (
 SELECT user_id, event_id,
        (m + rn * {MIN_DELAY_US} - tus)::BIGINT AS delay_us
 FROM seq
+"""
+
+POLITENESS_BOTH_ORACLE = f"""
+SELECT 'window' AS impl, * FROM ({POLITENESS_ORACLE})
+UNION ALL
+SELECT 'grouped' AS impl, * FROM ({POLITENESS_ORACLE})
 """

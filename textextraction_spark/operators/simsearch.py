@@ -333,6 +333,52 @@ ORDER BY cosine DESC, vec_id ASC
 LIMIT {TOP_K}
 """
 
+IVF_COMPOSITE_ORACLE = f"""
+SELECT 1::BIGINT AS nprobe, * FROM ({IVF_ANN_ORACLE})
+UNION ALL
+SELECT {NPROBE}::BIGINT AS nprobe, * FROM ({IVF_MULTIPROBE_ORACLE})
+"""
+
+
+# ==== gated composites (round 3) ==========================================
+# The driver gates at most 50 queries; each ANN family (LSH, IVF) is gated
+# as ONE union-tagged row covering both its single- and multi-probe
+# variants (the standalone functions stay as the library surface and keep
+# their recall-floor tests).
+
+
+def lsh_ann(spark, sf_dir: str):
+    """ann_lsh_bucket + ann_lsh_multiprobe union-tagged by ``probes``:
+    the single-bucket lookup and the hamming-distance-1 multiprobe search
+    in one gated row.  Each branch keeps its own bucket-equi-join plan."""
+    single = lsh_bucket_ann(spark, sf_dir).select(
+        F.lit("single").alias("probes"), "vec_id", "bucket", "cosine"
+    )
+    multi = lsh_multiprobe_ann(spark, sf_dir).select(
+        F.lit("multi").alias("probes"), "vec_id", "bucket", "cosine"
+    )
+    return single.unionByName(multi)
+
+
+LSH_COMPOSITE_ORACLE = f"""
+SELECT 'single' AS probes, * FROM ({LSH_ANN_ORACLE})
+UNION ALL
+SELECT 'multi' AS probes, * FROM ({LSH_MULTIPROBE_ORACLE})
+"""
+
+
+def ivf_ann(spark, sf_dir: str):
+    """ann_ivf_probe + ann_ivf_multiprobe union-tagged by ``nprobe``:
+    coarse-quantization cell search at nprobe=1 and nprobe={NPROBE} in one
+    gated row; each branch keeps its own cell-equi-join plan."""
+    one = ivf_probe_ann(spark, sf_dir).select(
+        F.lit(1).cast("bigint").alias("nprobe"), "vec_id", "cell", "cosine"
+    )
+    multi = ivf_multiprobe_ann(spark, sf_dir).select(
+        F.lit(NPROBE).cast("bigint").alias("nprobe"), "vec_id", "cell", "cosine"
+    )
+    return one.unionByName(multi)
+
 
 def embedding_near_dup(spark, sf_dir: str):
     """Embedding-cosine near-dup: vectors with cosine >= 0.999999 among the

@@ -28,20 +28,25 @@ def _docs(spark, sf_dir: str):
 
 
 # ------------------------------------------------------------- token stats
-def token_stats(spark, sf_dir: str):
-    """Whitespace + BPE-ish token counts and mean token length per doc."""
-    d = _docs(spark, sf_dir)
+def token_cols() -> list:
+    """Column expressions for whitespace + BPE-ish token counts and mean
+    token length — shared by ``token_stats`` and the gated composite
+    ``text_profile`` (plans/composites.py)."""
     words = F.split(F.col("text"), " ")
     n_ws = F.size(words)
     n_chars_nospace = F.length(F.regexp_replace("text", " ", ""))
-    return d.select(
-        "doc_id",
+    return [
         n_ws.cast("bigint").alias("n_tokens_ws"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0))
         .cast("bigint")
         .alias("n_tokens_bpe"),
         F.round(n_chars_nospace / n_ws, 6).alias("avg_token_len"),
-    )
+    ]
+
+
+def token_stats(spark, sf_dir: str):
+    """Whitespace + BPE-ish token counts and mean token length per doc."""
+    return _docs(spark, sf_dir).select("doc_id", *token_cols())
 
 
 TOKEN_STATS_ORACLE = f"""
@@ -55,9 +60,9 @@ FROM documents
 
 
 # ---------------------------------------------------------- quality scores
-def quality_score(spark, sf_dir: str):
-    """Length/stopword-ratio quality heuristic with a bucket label."""
-    d = _docs(spark, sf_dir)
+def quality_cols() -> list:
+    """Column expressions for the length/stopword quality heuristic —
+    shared by ``quality_score`` and ``text_profile``."""
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     stop_in = ",".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -66,14 +71,18 @@ def quality_score(spark, sf_dir: str):
     score = F.round(
         F.least(F.lit(1.0), n / F.lit(200.0)) * (1 - n_stop / n), 6
     )
-    return d.select(
-        "doc_id",
+    return [
         ratio.alias("stopword_ratio"),
         score.alias("quality_score"),
         F.when(score >= 0.5, "high").when(score >= 0.2, "mid").otherwise("low").alias(
             "quality_bucket"
         ),
-    )
+    ]
+
+
+def quality_score(spark, sf_dir: str):
+    """Length/stopword-ratio quality heuristic with a bucket label."""
+    return _docs(spark, sf_dir).select("doc_id", *quality_cols())
 
 
 _STOP_IN = ",".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -95,10 +104,9 @@ FROM t
 
 
 # ------------------------------------------------------------- language id
-def lang_id(spark, sf_dir: str):
-    """Stopword-profile language guess (n-gram-free heuristic — the
-    deterministic stand-in for fasttext-style LID in this image)."""
-    d = _docs(spark, sf_dir)
+def lang_cols() -> list:
+    """Column expressions for the stopword-profile language guess —
+    shared by ``lang_id`` and ``text_profile``."""
 
     def hits(stops):
         lst = ",".join(f"'{w}'" for w in stops)
@@ -112,12 +120,17 @@ def lang_id(spark, sf_dir: str):
         .when(de == best, "de")
         .otherwise("fr")
     )
-    return d.select(
-        "doc_id",
+    return [
         guess.alias("lang_guess"),
         en.cast("bigint").alias("en_hits"),
         (guess == F.col("lang")).alias("agrees_with_label"),
-    )
+    ]
+
+
+def lang_id(spark, sf_dir: str):
+    """Stopword-profile language guess (n-gram-free heuristic — the
+    deterministic stand-in for fasttext-style LID in this image)."""
+    return _docs(spark, sf_dir).select("doc_id", *lang_cols())
 
 
 def _hits_sql(stops):
@@ -157,24 +170,29 @@ def fingerprint(spark, sf_dir: str):
     inside one projection, so the whole operator is scan -> project with
     zero shuffle (the earlier explode+groupBy formulation paid a full
     shuffle of every shingle for the same answer)."""
-    d = _docs(spark, sf_dir)
+    return _docs(spark, sf_dir).select("doc_id", *fingerprint_cols())
+
+
+def fingerprint_cols() -> list:
+    """Column expressions for the fingerprint family (words inlined as
+    ``split(text, ' ')`` so the whole operator is one flat projection) —
+    shared by ``fingerprint`` and ``text_profile``."""
     fp_int = F.expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)")
+    w = "split(text, ' ')"
     shingles = (
-        "case when size(words) < 5 then array(text) "
-        "else transform(sequence(1, size(words) - 4), "
-        "i -> array_join(slice(words, i, 5), ' ')) end"
+        f"case when size({w}) < 5 then array(text) "
+        f"else transform(sequence(1, size({w}) - 4), "
+        f"i -> array_join(slice({w}, i, 5), ' ')) end"
     )
     winnow = (
         f"array_min(transform({shingles}, "
         "s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)))"
     )
-    return d.select(
-        "doc_id",
+    return [
         fp_int.alias("fp_int"),
         (fp_int % 1024).alias("fp_band"),
-        "text",
-        F.split("text", " ").alias("words"),
-    ).select("doc_id", "fp_int", "fp_band", F.expr(winnow).alias("winnow_min"))
+        F.expr(winnow).alias("winnow_min"),
+    ]
 
 
 FINGERPRINT_ORACLE = """
@@ -194,4 +212,36 @@ WITH base AS (
 SELECT doc_id, fp_int, fp_int % 1024 AS fp_band,
        min(CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)) AS winnow_min
 FROM sh GROUP BY doc_id, fp_int
+"""
+
+
+# -------------------------------------------- gated composite: text_profile
+def text_profile(spark, sf_dir: str):
+    """The full per-doc text-analysis profile — token stats + quality +
+    language-ID + fingerprint — as ONE narrow projection (the shape a real
+    curation job uses: why scan a 100 TB ``text`` column four times when
+    every signal folds into one pass of whole-stage codegen?).  This is the
+    driver-gated composite covering all four operators; the individual
+    operators above stay as the library surface and are pinned equal to
+    their slice of this profile in tests."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *token_cols(),
+        *quality_cols(),
+        *lang_cols(),
+        *fingerprint_cols(),
+    )
+
+
+TEXT_PROFILE_ORACLE = f"""
+WITH tok AS ({TOKEN_STATS_ORACLE}),
+     q AS ({QUALITY_ORACLE}),
+     l AS ({LANG_ID_ORACLE}),
+     fp AS ({FINGERPRINT_ORACLE})
+SELECT tok.doc_id, tok.n_tokens_ws, tok.n_tokens_bpe, tok.avg_token_len,
+       q.stopword_ratio, q.quality_score, q.quality_bucket,
+       l.lang_guess, l.en_hits, l.agrees_with_label,
+       fp.fp_int, fp.fp_band, fp.winnow_min
+FROM tok
+JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN fp USING (doc_id)
 """
