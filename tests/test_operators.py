@@ -226,6 +226,51 @@ class TestCurationProperties:
 
         roundtrip()
 
+    def test_gif_lzw_roundtrip_property(self):
+        """The GIF writer's LZW stream decodes back to the exact pixel
+        buffer for arbitrary payloads (incl. >253-pixel frames that
+        cross a clear-code flush)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from textextraction_spark.operators.multimodal import (
+            _lzw_decode,
+            _lzw_encode,
+        )
+
+        @given(st.binary(min_size=0, max_size=2000))
+        @settings(max_examples=100, deadline=None)
+        def roundtrip(data):
+            assert _lzw_decode(_lzw_encode(data), 8) == data
+
+        roundtrip()
+
+    def test_animated_gif_real_frame_decode(self):
+        """Every frame of the synthesized animated GIF decodes to the
+        exact formula pixels, and the truncated/corrupt forms return
+        None instead of raising."""
+        from textextraction_spark.operators.multimodal import (
+            _gif_geometry,
+            gif_frame_pixel,
+            make_animated_gif,
+            parse_gif_frames,
+        )
+
+        for doc_id in (0, 2, 17, 44, 311):
+            w, h, nf = _gif_geometry(doc_id)
+            g = make_animated_gif(doc_id)
+            pw, ph, frames = parse_gif_frames(g)
+            assert (pw, ph, len(frames)) == (w, h, nf)
+            for f, (fw, fh, px) in enumerate(frames):
+                assert (fw, fh) == (w, h)
+                assert list(px) == [
+                    gif_frame_pixel(f, r, c, doc_id)
+                    for r in range(h)
+                    for c in range(w)
+                ]
+        assert parse_gif_frames(b"not a gif") is None
+        assert parse_gif_frames(make_animated_gif(5)[:30]) is None
+
     def test_pii_scrub_idempotent(self):
         """Scrubbing is idempotent: the replacement tokens never re-match
         the PII patterns (a second pass is a no-op)."""

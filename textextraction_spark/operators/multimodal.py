@@ -2,19 +2,27 @@
 
 Treats media as opaque ``binary`` columns with typed metadata.  The
 *plumbing* — schema, Arrow batch shape, ``mapInPandas`` signature,
-deterministic routing by media kind — is real and tested.  Codec status
-per kind (round 2):
+deterministic routing by media kind — is real and tested, and as of
+round 3 EVERY kind decodes its actual bytes (no md5 stubs anywhere):
 
-- **image**: HONEST header decode — ``parse_image_dims`` reads real
-  PNG (IHDR), GIF (logical screen descriptor), and JPEG (SOF marker
-  walk) headers in pure stdlib; the ``media_image_dims`` query builds
-  genuine image files and the decoder parses their actual bytes.
-- **audio/video**: still stubbed (``decode_stub`` derives md5-fake
-  metadata; no ffmpeg/librosa in this image); ``real_decode`` raises
-  NotImplementedError as the marked integration point.
+- **image**: ``parse_image_dims`` reads real PNG (IHDR), GIF (logical
+  screen descriptor), and JPEG (SOF marker walk) headers in pure
+  stdlib; the pixel path (``media_decode_resize``) decodes genuine PGM
+  bitmaps, resizes, and extracts features from the real pixel buffer.
+- **audio**: genuine WAV files (RIFF + 16-bit PCM) decoded with the
+  stdlib ``wave`` module; features (RMS/peak) from the actual samples.
+- **video**: genuine ANIMATED GIFs — a real GIF89a writer (LZW-encoded
+  frames via the clear-code-flush technique) and a full general LZW
+  decoder; ``media_frame_sample`` decodes the actual pixel data of
+  every 2nd frame and emits real per-frame statistics, and
+  ``media_metadata`` counts frames by walking real image-descriptor
+  blocks.  Production swaps the GIF codec for pyav/ffmpeg at
+  ``real_decode`` — the Spark-side plumbing (1->N batch expansion,
+  schema, routing) is identical.
 
-Because stub metadata is md5-derived and image dims come from the real
-headers of formula-built files, the DuckDB oracles reproduce every value.
+Every media file is built from a doc_id formula, so the DuckDB oracles
+recompute every decoded value arithmetically — the gate verifies the
+real decode output, not a fixture echo.
 
 Scale notes: media bytes never leave the executor; the UDF emits only
 small metadata rows.  At 100 TB the same cap on Arrow batch bytes applies
@@ -23,7 +31,6 @@ as for html (pipeline config ``arrow_max_records``).
 
 from __future__ import annotations
 
-import hashlib
 import struct
 import zlib
 from collections.abc import Iterator
@@ -36,13 +43,15 @@ IMG_FORMATS = ["png", "gif", "jpeg"]
 
 
 def real_decode(data: bytes, kind: str):
-    """The real FULL decoder integration point (pixel data / samples /
-    frames) — requires pillow/librosa/ffmpeg, none of which exist in this
-    image.  Header-level image metadata does NOT need it: see
-    ``parse_image_dims``."""
+    """Swap-in point for production codec libraries (pillow / pyav /
+    ffmpeg — none exist in this image).  Every kind already has an
+    honest pure-stdlib decode path (PGM/PNG/GIF/JPEG images, RIFF WAV
+    audio, animated-GIF video incl. full LZW); wiring a production codec
+    here changes the supported-format list, not the Spark plumbing."""
     raise NotImplementedError(
-        "media decoding requires codec libraries not present in this image; "
-        "wire pillow/av here in production"
+        "broad-format media decoding requires codec libraries not present "
+        "in this image; wire pillow/av here in production (the GIF/WAV/PGM "
+        "paths in this module are complete without them)"
     )
 
 
@@ -95,6 +104,11 @@ def _parse_image_dims(data: bytes) -> tuple[str, int, int] | None:
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
                 return None
+            # JPEG markers may be preceded by any number of 0xFF fill
+            # bytes (B.1.1.2) — skip them or a fill byte is misread as
+            # the marker and the walk desyncs on real-world files
+            while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+                pos += 1
             marker = data[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2  # standalone markers, no length
@@ -111,20 +125,177 @@ def _parse_image_dims(data: bytes) -> tuple[str, int, int] | None:
     return None
 
 
-def decode_stub(data: bytes, kind: str) -> dict:
-    """Deterministic fake decode for the audio/video kinds in
-    media_metadata: md5-derived metadata (see module doc).  Images never
-    reach this — they get the real header parse; audio has its own real
-    WAV path in media_audio_features."""
-    h = int(hashlib.md5(data).hexdigest()[:8], 16)
-    meta = {"n_bytes": len(data), "kind": kind}
-    if kind == "audio":
-        meta.update(width=0, height=0, n_frames=h % 48000)
-    else:  # video
-        meta.update(width=h % 1920, height=(h // 7) % 1080, n_frames=1 + h % 240)
-    # frame-sample every 2nd frame
-    meta["n_sampled"] = (meta["n_frames"] + 1) // 2
-    return meta
+# --------------------------------------- real video codec: animated GIF
+# A genuine GIF89a writer + a full general LZW decoder, pure stdlib.
+# The writer uses the classic "clear-code flush" LZW technique: every
+# pixel is emitted as a literal 9-bit code and a CLEAR code is re-emitted
+# before the decoder's table would force a code-width change — valid,
+# decodable-by-anything GIF output without a compression dictionary.
+GIF_MCS = 8  # LZW minimum code size for a 256-entry palette
+
+
+def _lzw_encode(data: bytes, min_code_size: int = GIF_MCS) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    codesize = min_code_size + 1
+    out = bytearray()
+    cur = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += codesize
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    emit(clear)
+    count = 0
+    for b in data:
+        emit(b)
+        count += 1
+        # the decoder adds one table entry per literal after the first;
+        # re-clear before next_code reaches 512 so codes stay 9-bit
+        if count == 253:
+            emit(clear)
+            count = 0
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Full general GIF-LZW decoder (variable code width, dictionary
+    growth, KwKwK case) — decodes any conformant stream, not just our
+    writer's."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    codesize = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    cur = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        cur |= byte << nbits
+        nbits += 8
+        while nbits >= codesize:
+            code = cur & ((1 << codesize) - 1)
+            cur >>= codesize
+            nbits -= codesize
+            if code == clear:
+                table = list(base)
+                codesize = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << codesize) and codesize < 12:
+                    codesize += 1
+            prev = entry
+    return bytes(out)
+
+
+# video fixture geometry (small frames: w*h <= 64 keeps each frame's LZW
+# stream a single sub-block, which the metadata oracle's byte-count
+# formula relies on)
+def _gif_geometry(doc_id: int) -> tuple[int, int, int]:
+    return 4 + doc_id % 5, 4 + (doc_id * 3) % 5, 2 + doc_id % 7
+
+
+def gif_frame_pixel(f: int, r: int, c: int, doc_id: int) -> int:
+    return (11 * f + 3 * r + 5 * c + doc_id) % 256
+
+
+_GIF_GCT = bytes(v for i in range(256) for v in (i, i, i))  # grayscale
+
+
+def make_animated_gif(doc_id: int) -> bytes:
+    """Genuine multi-frame GIF89a: 256-entry grayscale global color
+    table (palette index == gray value), one image descriptor per frame,
+    real LZW-encoded pixel data."""
+    w, h, n_frames = _gif_geometry(doc_id)
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0xF7, 0, 0])  # GCT present, 8-bit color res, 256 entries
+        + _GIF_GCT
+    )
+    for f in range(n_frames):
+        px = bytes(
+            gif_frame_pixel(f, r, c, doc_id) for r in range(h) for c in range(w)
+        )
+        lzw = _lzw_encode(px)
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(GIF_MCS)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def parse_gif_frames(data: bytes):
+    """Real GIF block walk + LZW decode: returns (screen_w, screen_h,
+    [(frame_w, frame_h, pixel_bytes), ...]) or None on malformed input
+    (a corrupt row must never kill the batch).  Handles extensions
+    (skipped), local color tables, and interleaved sub-blocks."""
+    try:
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        w, h = struct.unpack("<HH", data[6:10])
+        packed = data[10]
+        pos = 13
+        if packed & 0x80:
+            pos += 3 * (2 << (packed & 7))
+        if pos > len(data):  # truncated inside the color table
+            return None
+        frames = []
+        while pos < len(data):
+            b0 = data[pos]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: label byte then sub-blocks
+                pos += 2
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                fw, fh = struct.unpack("<HH", data[pos + 5 : pos + 9])
+                fpacked = data[pos + 9]
+                pos += 10
+                if fpacked & 0x80:
+                    pos += 3 * (2 << (fpacked & 7))
+                mcs = data[pos]
+                pos += 1
+                blob = bytearray()
+                while data[pos] != 0:
+                    n = data[pos]
+                    blob += data[pos + 1 : pos + 1 + n]
+                    pos += 1 + n
+                pos += 1
+                px = _lzw_decode(bytes(blob), mcs)[: fw * fh]
+                frames.append((fw, fh, px))
+            else:
+                return None
+        return w, h, frames
+    except (struct.error, IndexError, ValueError):
+        return None
 
 
 # ------------------------------------- real decode -> resize -> features
@@ -356,8 +527,10 @@ FROM s GROUP BY doc_id, n, sample_rate
 
 
 def _decode_one(data: bytes, kind: str) -> dict:
-    """Route one media payload: image -> REAL header parse; audio/video ->
-    md5 stub (documented integration point)."""
+    """Route one media payload to its REAL decoder: image -> header
+    parse, audio -> stdlib WAV parse, video -> GIF block walk + LZW
+    frame decode.  Unknown kinds fail loudly (the routing contract is
+    code, not a docstring)."""
     if kind == "image":
         parsed = parse_image_dims(data)
         fmt, w, h = parsed if parsed else ("unknown", 0, 0)
@@ -370,9 +543,37 @@ def _decode_one(data: bytes, kind: str) -> dict:
             "n_frames": 1,
             "n_sampled": 1,
         }
-    meta = decode_stub(data, kind)
-    meta["detail"] = ""
-    return meta
+    if kind == "audio":
+        rate, samples = decode_wav(data)
+        n = len(samples)
+        return {
+            "kind": kind,
+            "detail": "wav" if rate else "unknown",
+            "n_bytes": len(data),
+            "width": 0,
+            "height": 0,
+            "n_frames": n,
+            "n_sampled": (n + 1) // 2,
+        }
+    if kind == "video":
+        parsed = parse_gif_frames(data)
+        if parsed is None:
+            w = h = nf = 0
+            detail = "unknown"
+        else:
+            w, h, frames = parsed
+            nf = len(frames)
+            detail = "gif"
+        return {
+            "kind": kind,
+            "detail": detail,
+            "n_bytes": len(data),
+            "width": w,
+            "height": h,
+            "n_frames": nf,
+            "n_sampled": (nf + 1) // 2,
+        }
+    raise ValueError(f"unknown media kind {kind!r}")
 
 
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -401,13 +602,23 @@ def _img_fixture(doc_id: int) -> bytes:
     return make_image_bytes(fmt, 1 + doc_id % 1919, 1 + (doc_id * 3) % 1079)
 
 
+def _media_fixture(doc_id: int) -> bytes:
+    """The media payload for a doc: genuine image / WAV / animated GIF
+    file, routed by doc_id % 3."""
+    k = doc_id % 3
+    if k == 0:
+        return _img_fixture(doc_id)
+    if k == 1:
+        return make_wav(doc_id)
+    return make_animated_gif(doc_id)
+
+
 def media_metadata(spark, sf_dir: str):
     """documents -> media bytes routed to a kind by doc_id % 3 ->
-    mapInPandas decode -> typed metadata.  Image rows carry GENUINE
-    PNG/GIF/JPEG files (signature + header) built from doc_id formulas,
-    and the decoder reads the dimensions out of the actual bytes — the
-    oracle checks the real header parse, not a stub.  Audio/video rows
-    remain utf-8 text + md5-stub metadata (no codecs in this image)."""
+    mapInPandas decode -> typed metadata.  EVERY kind carries a genuine
+    media file built from doc_id formulas (PNG/GIF/JPEG header; RIFF WAV;
+    multi-frame animated GIF) and the decoder reads the metadata out of
+    the actual bytes — the oracle checks the real parse, not a stub."""
     from pyspark.sql import types as T
 
     from textextraction_spark.job.packaging import ensure_shipped
@@ -416,14 +627,12 @@ def media_metadata(spark, sf_dir: str):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     @F.pandas_udf(T.BinaryType())
-    def img_udf(doc_id: pd.Series) -> pd.Series:
-        return pd.Series([_img_fixture(int(i)) for i in doc_id])
+    def media_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([_media_fixture(int(i)) for i in doc_id])
 
     media = d.select(
         "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, img_udf("doc_id"))
-        .otherwise(F.encode("text", "UTF-8"))
-        .alias("media"),
+        media_udf("doc_id").alias("media"),
         F.element_at(
             F.array(*[F.lit(k) for k in KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
         ).alias("kind"),
@@ -439,85 +648,136 @@ def media_metadata(spark, sf_dir: str):
 
 
 def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """1->N expansion: every 2nd frame index of each video, with a
-    deterministic per-frame content hash standing in for the decoded frame
-    (the UDTF-shaped mapInPandas pattern: output rows != input rows)."""
+    """1->N expansion: REAL decode of every 2nd frame of each video's
+    actual GIF bytes (full LZW decode), emitting per-frame pixel
+    statistics (the UDTF-shaped mapInPandas pattern: output rows !=
+    input rows).  Corrupt/unparseable videos contribute no rows."""
     for pdf in batches:
-        ids, idxs, hashes = [], [], []
+        rows = {
+            k: []
+            for k in ("doc_id", "frame_idx", "fw", "fh", "mean_px", "min_px", "max_px")
+        }
         for doc_id, media in zip(pdf["doc_id"].values, pdf["media"].values):
-            data = bytes(media)
-            h = int(hashlib.md5(data).hexdigest()[:8], 16)
-            n_frames = 1 + h % 240
-            text = data.decode("utf-8")
-            for idx in range(0, n_frames, 2):
-                ids.append(doc_id)
-                idxs.append(idx)
-                hashes.append(
-                    hashlib.md5(f"{text}:{idx}".encode()).hexdigest()[:8]
+            parsed = parse_gif_frames(bytes(media))
+            if parsed is None:
+                continue
+            _, _, frames = parsed
+            for idx in range(0, len(frames), 2):
+                fw, fh, px = frames[idx]
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["fw"].append(fw)
+                rows["fh"].append(fh)
+                rows["mean_px"].append(
+                    round(sum(px) / len(px), 6) if px else 0.0
                 )
-        yield pd.DataFrame(
-            {"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes}
-        )
+                rows["min_px"].append(min(px) if px else 0)
+                rows["max_px"].append(max(px) if px else 0)
+        yield pd.DataFrame(rows)
 
 
 def media_frame_sample(spark, sf_dir: str):
-    """Video-routed documents -> sampled frame rows (every 2nd frame).
+    """Video-routed documents (genuine animated GIFs) -> sampled frame
+    rows: every 2nd frame is LZW-decoded and its real pixel statistics
+    emitted.
 
     Scale notes: the expansion happens executor-side inside Arrow batches
     (no explode of a materialized frame array through the JVM — frames
-    never exist as a column); output is ~120 small rows per video.  The
-    real frame decoder plugs into ``real_decode``; the hash is its
-    deterministic stand-in."""
+    never exist as a column).  ``real_decode`` remains the marked
+    swap-in point for ffmpeg-class codecs; the GIF path is a complete,
+    honest stand-in (container walk + entropy decode + per-frame
+    features), so swapping codecs changes no plumbing."""
     from textextraction_spark.job.packaging import ensure_shipped
 
     ensure_shipped(spark)
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def gif_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([make_animated_gif(int(i)) for i in doc_id])
+
     videos = d.filter(F.col("doc_id") % 3 == 2).select(
-        "doc_id", F.encode("text", "UTF-8").alias("media")
+        "doc_id", gif_udf("doc_id").alias("media")
     )
     return videos.mapInPandas(
-        _frame_sample_batch, schema="doc_id long, frame_idx long, frame_hash string"
+        _frame_sample_batch,
+        schema=(
+            "doc_id long, frame_idx long, fw long, fh long, "
+            "mean_px double, min_px long, max_px long"
+        ),
     )
 
 
+# pixel (f, r, c) of doc = (11f + 3r + 5c + doc_id) % 256 — the oracle
+# recomputes the DECODED frame statistics arithmetically
 MEDIA_FRAME_SAMPLE_ORACLE = """
-WITH t AS (
-  SELECT doc_id, text,
-         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h
+WITH v AS (
+  SELECT doc_id,
+         4 + doc_id % 5 AS w,
+         4 + (doc_id * 3) % 5 AS h,
+         2 + doc_id % 7 AS n_frames
   FROM documents WHERE doc_id % 3 = 2
-), f AS (SELECT doc_id, text, 1 + h % 240 AS n_frames FROM t)
+),
+fr AS (
+  SELECT doc_id, w, h, idx
+  FROM v, UNNEST(range(0, n_frames, 2)) AS u(idx)
+),
+px AS (
+  SELECT f.doc_id, f.w, f.h, f.idx,
+         (11 * f.idx + 3 * r + 5 * c + f.doc_id) % 256 AS val
+  FROM fr f, UNNEST(range(f.h)) AS a(r), UNNEST(range(f.w)) AS b(c)
+)
 SELECT doc_id, idx::BIGINT AS frame_idx,
-       substr(md5(text || ':' || idx), 1, 8) AS frame_hash
-FROM f, UNNEST(range(0, n_frames, 2)) AS u(idx)
+       w::BIGINT AS fw, h::BIGINT AS fh,
+       round(avg(val), 6) AS mean_px,
+       min(val)::BIGINT AS min_px,
+       max(val)::BIGINT AS max_px
+FROM px GROUP BY doc_id, w, h, idx
 """
 
 
+# The oracle reconstructs every REAL decoded value arithmetically:
+# - image: header dims from the fixture formulas, file size per format
+# - audio: stdlib-wave canonical 44-byte header + 2 bytes/sample
+# - video: GIF size = 13 (header+LSD) + 768 (GCT) + per frame
+#   (13 + ceil(9*(w*h+2)/8) LZW bytes: clear + w*h literals + EOI at
+#   9 bits, single sub-block since w*h <= 64) + 1 (trailer)
 MEDIA_METADATA_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h,
-         octet_length(encode(text)) AS text_bytes,
          (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
-         (['png', 'gif', 'jpeg'])[CAST((doc_id // 3) % 3 AS INT) + 1] AS fmt
+         (['png', 'gif', 'jpeg'])[CAST((doc_id // 3) % 3 AS INT) + 1] AS fmt,
+         64 + doc_id % 64 AS n_samp,
+         4 + doc_id % 5 AS vw,
+         4 + (doc_id * 3) % 5 AS vh,
+         2 + doc_id % 7 AS vf
   FROM documents
 )
 SELECT doc_id,
        kind,
-       (CASE WHEN kind = 'image' THEN fmt ELSE '' END) AS detail,
-       (CASE WHEN kind = 'image' THEN
-              (CASE fmt WHEN 'png' THEN {IMG_N_BYTES['png']}
-                        WHEN 'gif' THEN {IMG_N_BYTES['gif']}
-                        ELSE {IMG_N_BYTES['jpeg']} END)
-             ELSE text_bytes END)::BIGINT AS n_bytes,
-       (CASE WHEN kind = 'image' THEN 1 + doc_id % 1919
-             WHEN kind = 'video' THEN h % 1920 ELSE 0 END)::BIGINT AS width,
-       (CASE WHEN kind = 'image' THEN 1 + (doc_id * 3) % 1079
-             WHEN kind = 'video' THEN (h // 7) % 1080 ELSE 0 END)::BIGINT AS height,
+       (CASE kind WHEN 'image' THEN fmt
+                  WHEN 'audio' THEN 'wav'
+                  ELSE 'gif' END) AS detail,
+       (CASE kind
+          WHEN 'image' THEN
+               (CASE fmt WHEN 'png' THEN {IMG_N_BYTES['png']}
+                         WHEN 'gif' THEN {IMG_N_BYTES['gif']}
+                         ELSE {IMG_N_BYTES['jpeg']} END)
+          WHEN 'audio' THEN 44 + 2 * n_samp
+          ELSE 13 + 768
+               + vf * (13 + CAST(ceil(9 * (vw * vh + 2) / 8.0) AS BIGINT))
+               + 1 END)::BIGINT AS n_bytes,
+       (CASE kind WHEN 'image' THEN 1 + doc_id % 1919
+                  WHEN 'video' THEN vw ELSE 0 END)::BIGINT AS width,
+       (CASE kind WHEN 'image' THEN 1 + (doc_id * 3) % 1079
+                  WHEN 'video' THEN vh ELSE 0 END)::BIGINT AS height,
        (CASE kind WHEN 'image' THEN 1
-                  WHEN 'audio' THEN h % 48000
-                  ELSE 1 + h % 240 END)::BIGINT AS n_frames,
-       (CASE WHEN kind = 'image' THEN 1
-             ELSE ((CASE kind WHEN 'audio' THEN h % 48000
-                              ELSE 1 + h % 240 END) + 1) // 2 END)::BIGINT AS n_sampled
+                  WHEN 'audio' THEN n_samp
+                  ELSE vf END)::BIGINT AS n_frames,
+       (CASE kind WHEN 'image' THEN 1
+                  WHEN 'audio' THEN (n_samp + 1) // 2
+                  ELSE (vf + 1) // 2 END)::BIGINT AS n_sampled
 FROM t
 """
