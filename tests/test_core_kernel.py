@@ -148,6 +148,62 @@ class TestPdf:
         spanstr = rect_to_pdf_points(doc.lines[0].bbox)
         assert spanstr.startswith("24.00,48.00,")
 
+    def test_hex_strings(self):
+        """<hex> Tj and hex members inside TJ arrays; whitespace inside
+        the hex run and odd digit counts are legal (trailing 0 pad)."""
+        body = (
+            "BT 10 700 Td <68656c 6c6f> Tj ET\n"
+            "BT 10 300 Td [(wo) -250 <726c64>] TJ ET\n"
+            "BT 10 100 Td <7> Tj ET\n"  # odd count -> 0x70 = 'p'
+        )
+        data = f"%PDF-1.4\nstream\n{body}endstream\n%%EOF".encode()
+        assert parse_pdf(data).text() == "hello\nworld\np"
+
+    def test_relative_td_td_tstar_chaining(self):
+        """Td is RELATIVE to the previous line start; TD sets leading;
+        T* advances one leading down — the standard multi-line form."""
+        body = (
+            "BT 72 700 Td (line one) Tj"
+            " 0 -400 Td (line two) Tj"  # 700-400 = 300
+            " ET\n"
+            "BT 300 TL 72 650 Td (a) Tj T* (b) Tj T* (c) Tj ET\n"
+            # a at 650, b at 350, c at 50
+        )
+        data = f"%PDF-1.4\nstream\n{body}endstream\n%%EOF".encode()
+        doc = parse_pdf(data)
+        assert doc.text() == "line one\na\nb\nline two\nc"
+        ys = [ln.bbox[1] for ln in doc.lines]
+        assert ys == [700, 650, 350, 300, 50]
+
+    def test_td_sets_leading(self):
+        """tx ty TD == set leading to -ty, then move — T* after it
+        advances by that leading."""
+        body = "BT 72 700 TD (x) Tj 0 -250 TD (y) Tj T* (z) Tj ET\n"
+        # x at 700; y at 450 (leading now 250); z at 200
+        data = f"%PDF-1.4\nstream\n{body}endstream\n%%EOF".encode()
+        doc = parse_pdf(data)
+        assert doc.text() == "x\ny\nz"
+        assert [ln.bbox[1] for ln in doc.lines] == [700, 450, 200]
+
+    def test_consecutive_shows_join_without_move(self):
+        body = "BT 72 700 Td (alpha) Tj (beta) Tj ET\n"
+        data = f"%PDF-1.4\nstream\n{body}endstream\n%%EOF".encode()
+        assert parse_pdf(data).text() == "alpha beta"
+
+    def test_flate_dict_with_nested_decodeparms(self):
+        """A stream dict containing a nested << >> (e.g. /DecodeParms)
+        must still be recognized as FlateDecode."""
+        import zlib
+
+        body = "BT 10 700 Td (nested dict) Tj ET\n"
+        payload = zlib.compress(body.encode())
+        data = (
+            b"%PDF-1.4\n<< /Filter /FlateDecode /DecodeParms << /Predictor 1 >> "
+            b"/Length " + str(len(payload)).encode() + b" >>\nstream\n"
+            + payload + b"\nendstream\n%%EOF"
+        )
+        assert parse_pdf(data).text() == "nested dict"
+
 
 # ------------------------------------------------------------ span extract
 class TestSpans:

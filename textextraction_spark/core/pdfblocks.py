@@ -8,13 +8,17 @@ streams directly — page -> text block (``BT .. ET``) -> reading-order sort
 (top-to-bottom, then left-to-right), mirroring the reference's
 page -> block -> line traversal order.
 
-Scope: minimal PDF 1.4 subset (the fixture format per FIXTURES.md §2.4):
-per page one content stream, blocks of the form
+Scope: PDF 1.4 text content streams (fixture families per FIXTURES.md
+§2.4): per page one content stream whose BT..ET blocks are interpreted
+SEQUENTIALLY with the standard text-positioning operator set —
 
-    BT x y Td (text) Tj ET
-    BT a b c d e f Tm [(s1) kern (s2)] TJ ET     (matrix + show-array form)
+    Td / TD   relative line moves (TD also sets leading)
+    T* / TL   line advance by leading / set leading
+    Tm        absolute text matrix position
+    Tj / TJ   show literal ``(s)``, hex ``<73>``, or array mixing both
 
-with PDF string escapes (named + octal), stored either raw or as a
+with PDF string escapes (named + octal) and hex-string whitespace/odd-
+digit rules, stored either raw or as a
 **FlateDecode** (zlib) compressed stream —
 ``<< /Filter /FlateDecode /Length N >> stream ... endstream`` — which is
 how virtually every real-world PDF stores content streams (FlateDecode is
@@ -42,29 +46,36 @@ _PAGE_SPLIT = re.compile(rb"%%PageBreak")
 # so an 'ET' INSIDE a show string (e.g. `(BUDGET)`) cannot terminate the
 # block early.  (Found by the hypothesis escape-roundtrip property.)
 _BT_ET = re.compile(rb"BT((?:\((?:[^()\\]|\\.)*\)|[^(])*?)ET", re.DOTALL)
-_TD = re.compile(rb"(-?\d+)\s+(-?\d+)\s+Td")
-# text matrix: a b c d e f Tm — (e, f) is the position; real PDFs place
-# text with Tm at least as often as Td
-_TM = re.compile(
-    rb"(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?\d+)\s+(-?\d+)\s+Tm"
-)
-# show operators: (string) Tj  OR  [(s1) kern (s2) ...] TJ (strings
-# concatenated, kerning numbers ignored — the dominant real-world form).
-# The TJ-array body consumes (string literals) atomically so a ']' or
-# '(' INSIDE a show string cannot truncate the array match.
-_SHOW = re.compile(
-    rb"\(((?:[^()\\]|\\.)*)\)\s*Tj"
-    rb"|\[((?:\((?:[^()\\]|\\.)*\)|[^\[\]()])*)\]\s*TJ",
+# Content-stream tokenizer: string operands (literal / hex / TJ array),
+# numbers, and the text-positioning + show operators.  The block body is
+# interpreted SEQUENTIALLY (operand stack -> operator), tracking the text
+# line matrix the way a real viewer does — Td/TD translate relative to
+# the previous line start, T* advances by the leading, Tm sets the
+# position absolutely — so multi-line blocks and chained moves parse
+# correctly, not just the single-positioning fixture shape.
+_TOKEN = re.compile(
+    rb"\((?P<lit>(?:[^()\\]|\\.)*)\)"  # (literal string)
+    rb"|<(?P<hex>[0-9A-Fa-f\s]*)>"  # <hex string>
+    rb"|\[(?P<arr>(?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[^\]()])*)\]"
+    rb"|(?P<num>-?\d+(?:\.\d+)?)"
+    rb"|(?P<op>Tj|TJ|Td|TD|Tm|TL|T\*)",
     re.DOTALL,
 )
-_TJ_STR = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+# strings inside a TJ show-array: literal or hex, kerning numbers skipped
+_TJ_STR = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
 _ESC = re.compile(rb"\\([nrtbf()\\]|[0-7]{1,3})")
+_WS = re.compile(rb"\s")
 
 # FlateDecode object: dict carrying /Filter /FlateDecode, then the stream
 # keyword; /Length (when present) slices the exact payload — binary zlib
 # bytes may legally contain the "endstream" token, so the length is
-# authoritative and the token search is only the fallback.
-_FLATE_OBJ = re.compile(rb"<<(?P<dict>[^>]*?/FlateDecode[^>]*?)>>\s*stream\r?\n")
+# authoritative and the token search is only the fallback.  The dict body
+# admits ONE level of nested << >> (e.g. /DecodeParms << ... >>), the
+# real-world shape; deeper nesting is out of scope.
+_FLATE_OBJ = re.compile(
+    rb"<<(?P<dict>(?:[^<>]|<<[^<>]*>>)*?/FlateDecode(?:[^<>]|<<[^<>]*>>)*?)>>"
+    rb"\s*stream\r?\n"
+)
 _LENGTH = re.compile(rb"/Length\s+(\d+)")
 _ENDSTREAM = re.compile(rb"\s*endstream")
 
@@ -124,6 +135,83 @@ def _unescape(raw: bytes) -> str:
     return _ESC.sub(sub, raw).decode("latin-1")
 
 
+def _unhex(raw: bytes) -> str:
+    """PDF hex string <...>: whitespace ignored, odd digit count padded
+    with a trailing 0 (PDF 32000-1 §7.3.4.3)."""
+    h = _WS.sub(b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+
+
+def _parse_block(body: bytes) -> list[tuple[int, int, str]]:
+    """Interpret one BT..ET body sequentially -> [(x, y, text), ...].
+
+    Tracks the text line matrix origin: ``tx ty Td`` translates relative
+    to the previous line start, ``tx ty TD`` additionally sets leading to
+    -ty, ``T*`` advances one leading down, ``n TL`` sets the leading, and
+    ``a b c d e f Tm`` positions absolutely.  Show operators (literal /
+    hex ``Tj``, array ``TJ``) emit text at the current position;
+    consecutive shows without a move join into one block with a space
+    (matching the reference's word-joining within an OCR line)."""
+    x = y = 0.0
+    leading = 0.0
+    nums: list[float] = []
+    last_str: str | None = None
+    last_arr: bytes | None = None
+    blocks: list[list] = []  # [x, y, [texts]]
+
+    def show(text: str) -> None:
+        if blocks and blocks[-1][0] == x and blocks[-1][1] == y:
+            blocks[-1][2].append(text)
+        else:
+            blocks.append([x, y, [text]])
+
+    for m in _TOKEN.finditer(body):
+        if m.group("num") is not None:
+            nums.append(float(m.group("num")))
+            continue
+        if m.group("lit") is not None:
+            last_str = _unescape(m.group("lit"))
+            continue
+        if m.group("hex") is not None:
+            last_str = _unhex(m.group("hex"))
+            continue
+        if m.group("arr") is not None:
+            last_arr = m.group("arr")
+            continue
+        op = m.group("op")
+        if op == b"Td" and len(nums) >= 2:
+            x, y = x + nums[-2], y + nums[-1]
+        elif op == b"TD" and len(nums) >= 2:
+            leading = -nums[-1]
+            x, y = x + nums[-2], y + nums[-1]
+        elif op == b"T*":
+            y -= leading
+        elif op == b"TL" and nums:
+            leading = nums[-1]
+        elif op == b"Tm" and len(nums) >= 6:
+            x, y = nums[-2], nums[-1]
+        elif op == b"Tj" and last_str is not None:
+            show(last_str)
+        elif op == b"TJ" and last_arr is not None:
+            parts = [
+                _unescape(s.group(1)) if s.group(1) is not None else _unhex(s.group(2))
+                for s in _TJ_STR.finditer(last_arr)
+            ]
+            show("".join(parts))
+        nums.clear()
+        last_str = None
+        last_arr = None
+
+    out = []
+    for bx, by, texts in blocks:
+        text = " ".join(t for t in texts if t).strip()
+        if text:
+            out.append((int(bx), int(by), text))
+    return out
+
+
 def parse_pdf(data: bytes) -> Doc:
     """PDF bytes -> Doc with reading-order-sorted lines per page."""
     data = _inflate_streams(data)
@@ -131,29 +219,16 @@ def parse_pdf(data: bytes) -> Doc:
     offset = 0
     body_parts = _PAGE_SPLIT.split(data)
     page_no = 0
+    n_segs = 0
+    n_parsed = 0
     for part in body_parts:
         blocks: list[tuple[int, int, str]] = []  # (x, y, text)
         for seg in _BT_ET.finditer(part):
-            body = seg.group(1)
-            tm = _TM.search(body)
-            if tm:
-                x, y = int(tm.group(5)), int(tm.group(6))
-            else:
-                td = _TD.search(body)
-                x, y = (int(td.group(1)), int(td.group(2))) if td else (0, 0)
-            texts = []
-            for m in _SHOW.finditer(body):
-                if m.group(1) is not None:  # (s) Tj
-                    texts.append(_unescape(m.group(1)))
-                else:  # [(s1) k (s2) ...] TJ — concatenate show strings
-                    texts.append(
-                        "".join(
-                            _unescape(s.group(1)) for s in _TJ_STR.finditer(m.group(2))
-                        )
-                    )
-            text = " ".join(t for t in texts if t).strip()
-            if text:
-                blocks.append((x, y, text))
+            n_segs += 1
+            parsed = _parse_block(seg.group(1))
+            if parsed:
+                n_parsed += 1
+            blocks.extend(parsed)
         if not blocks:
             continue
         page_no += 1
@@ -181,7 +256,7 @@ def parse_pdf(data: bytes) -> Doc:
 
     # Confidence: parse coverage — fraction of BT..ET segments that yielded
     # text (1.0 for well-formed fixtures), analog of mean OCR confidence.
-    n_segs = len(_BT_ET.findall(data))
-    n_lines = sum(len(p.lines) for p in pages)
-    conf = (n_lines / n_segs) if n_segs else 0.0
+    # Counted per SEGMENT (not per emitted line: a multi-line T* block
+    # yields several lines from one segment and must not push conf > 1).
+    conf = (n_parsed / n_segs) if n_segs else 0.0
     return Doc(pages=pages, confidence=conf, is_pdf=True)

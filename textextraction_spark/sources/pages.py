@@ -242,8 +242,16 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
     /FlateDecode /Length N >>` + zlib payload — the real-world storage
     form); doc_id % 120 = 80 writes blocks in the **matrix + show-array
     form** (`1 0 0 1 x y Tm [(s1) -250 (s2)] TJ` — how most real PDF
-    producers emit text).  Extracted text is unchanged across all
-    variants, so the same oracles transitively gate every parse path."""
+    producers emit text); within that family, doc_id % 240 = 200 instead
+    writes the whole page as ONE BT block in the **relative-positioning +
+    hex-string form** (`TL` leading, absolute first `Td`, `T*` line
+    advance, chained relative `Td`, `<hex> Tj`, and a TJ array mixing
+    literal and hex members — the other half of how real producers emit
+    text).  The TOTAL block in that family lands at its y only if T* and
+    relative-Td chaining are computed correctly, so the
+    pdf_highlight_rects oracle gates the positioning arithmetic, not
+    just the text.  Extracted text is unchanged across all variants, so
+    the same oracles transitively gate every parse path."""
     import zlib
 
     words = text.split(" ")
@@ -257,18 +265,35 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
     if doc_id % 40 == 0:
         blocks.insert(0, (72, TOTAL_BLOCK_Y, f"TOTAL {total_amount_str(doc_id)}"))
 
-    def block_op(x: int, y: int, t: str) -> str:
-        if doc_id % 120 == 80:
-            k = max(1, len(t) // 2)
-            return f"BT 1 0 0 1 {x} {y} Tm [({t[:k]}) -250 ({t[k:]})] TJ ET\n"
-        return f"BT {x} {y} Td ({t}) Tj ET\n"
+    def hexstr(t: str) -> str:
+        return "<" + t.encode("latin-1").hex() + ">"
 
-    if doc_id % 40 == 20 and head is not None:
+    if doc_id % 240 == 200 and head is not None:
+        # one BT block, sequential positioning: head at y=700 (absolute
+        # Td), tail via T* (leading 400), TOTAL via chained relative Td
+        # (700 - 400 - 200 = TOTAL_BLOCK_Y = 100); tail as a TJ array
+        # mixing a literal and a hex member, TOTAL as a pure hex show
+        k = max(1, len(tail) // 2)
+        # 200 % 40 == 0, so this family always carries the TOTAL block
+        total_part = f" 0 -200 Td {hexstr('TOTAL ' + total_amount_str(doc_id))} Tj"
         body = (
-            f"{block_op(72, 700, head)}%%PageBreak\n{block_op(72, 700, tail)}"
+            f"BT 400 TL 72 700 Td ({head}) Tj"
+            f" T* [({tail[:k]}) -250 {hexstr(tail[k:])}] TJ"
+            f"{total_part} ET\n"
         )
     else:
-        body = "".join(block_op(x, y, t) for x, y, t in blocks)
+        def block_op(x: int, y: int, t: str) -> str:
+            if doc_id % 120 == 80:
+                k = max(1, len(t) // 2)
+                return f"BT 1 0 0 1 {x} {y} Tm [({t[:k]}) -250 ({t[k:]})] TJ ET\n"
+            return f"BT {x} {y} Td ({t}) Tj ET\n"
+
+        if doc_id % 40 == 20 and head is not None:
+            body = (
+                f"{block_op(72, 700, head)}%%PageBreak\n{block_op(72, 700, tail)}"
+            )
+        else:
+            body = "".join(block_op(x, y, t) for x, y, t in blocks)
     if doc_id % 60 == 40:
         payload = zlib.compress(body.encode("latin-1"), level=6)
         return (
