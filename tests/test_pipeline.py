@@ -226,6 +226,107 @@ class TestInputDedup:
         assert by_url["https://a.example.com/d/1"] == "new version"
         assert by_url["https://a.example.com/d/2"] == "only version"
 
+    def test_partial_agg_runs_before_exchange(self, spark):
+        """The dedup groupBy must keep its PARTIAL max_by map-side (one
+        candidate per url per task crossing the shuffle) — an explicit
+        pre-repartition on url would satisfy the agg's distribution
+        requirement and push both aggregate phases after the exchange,
+        shipping every duplicate's full html bytes.  Pin: the physical
+        plan's first (bottom-most) HashAggregate sits BELOW the
+        url-keyed Exchange."""
+        from pyspark.sql import functions as F
+
+        pages = spark.createDataFrame(
+            [("u1", __import__("datetime").datetime(2026, 1, 1), b"<p>x</p>")],
+            "url string, warc_ts timestamp, html binary",
+        )
+        latest = F.max_by(F.struct("warc_ts", "html"), "warc_ts").alias("s")
+        deduped = (
+            pages.groupBy("url")
+            .agg(latest)
+            .select("url", "s.warc_ts", "s.html")
+        )
+        plan = deduped._jdf.queryExecution().executedPlan().toString()
+        exch = plan.find("Exchange hashpartitioning")
+        partial = plan.find("partial_max_by")
+        assert exch != -1 and partial != -1, plan
+        # tree prints top-down: the partial aggregate must sit BELOW the
+        # exchange (later in the string), i.e. it runs map-side
+        assert partial > exch, plan
+
+
+class TestMergeSemanticsTwin:
+    def test_committed_set_identical_on_second_engine(self, spark, tmp_path):
+        """The commit protocol (MERGE keyed on url; crashed batches
+        invisible and re-run; committed batches no-op on replay; resume =
+        anti-join on committed urls) pinned on a SECOND engine: DuckDB
+        replays the same batch sequence with its MERGE-equivalent
+        (INSERT .. ON CONFLICT DO UPDATE) and must land on the identical
+        committed set as the parquet-backed protocol.  This pins the
+        Iceberg MERGE mapping (io/catalog.py) by semantics, not just by
+        the local backend's own tests."""
+        import datetime
+        import shutil
+
+        import duckdb
+
+        from textextraction_spark.io.checkpoint import CheckpointCatalog
+        from textextraction_spark.plans.pipeline import JobConfig, run_extraction_job
+
+        t0 = datetime.datetime(2026, 1, 1)
+        # (batch_id, rows, crash_before_commit)
+        sequence = [
+            ("b1", [("u1", "v1"), ("u2", "v2")], True),  # crash -> invisible
+            ("b1", [("u1", "v1"), ("u2", "v2")], False),  # resume re-runs
+            ("b1", [("u1", "v1"), ("u2", "v2")], False),  # replay -> no-op
+            ("b2", [("u2", "v2recrawl"), ("u3", "v3")], False),  # resume skips u2
+        ]
+        root = tmp_path / "ck"
+        for bid, rows, crash in sequence:
+            pages = spark.createDataFrame(
+                [(u, t0, f"<p>{v}</p>".encode()) for u, v in rows],
+                "url string, warc_ts timestamp, html binary",
+            )
+            cfg = JobConfig(checkpoint_root=str(root), batch_id=bid, num_partitions=2)
+            run_extraction_job(spark, pages, cfg)
+            if crash:  # crash between results write and the atomic marker
+                shutil.rmtree(root / "committed" / bid)
+        cat = CheckpointCatalog(str(root))
+        got = {
+            (r.url, r.extracted_text)
+            for r in cat.results(spark).select("url", "extracted_text").collect()
+        }
+
+        # DuckDB twin: same sequence, same resume filter, MERGE-equivalent
+        con = duckdb.connect()
+        con.execute(
+            "create table results(url varchar primary key, extracted_text varchar)"
+        )
+        committed_ids: set[str] = set()
+        for bid, rows, crash in sequence:
+            if bid in committed_ids:
+                continue  # replay of a committed batch = the no-op MERGE
+            con.execute("create or replace temp table batch(url varchar, v varchar)")
+            con.executemany("insert into batch values (?, ?)", rows)
+            con.execute(
+                """
+                insert into results
+                select b.url, b.v from batch b
+                anti join results r on b.url = r.url
+                on conflict (url) do update set extracted_text = excluded.extracted_text
+                """
+            )
+            if crash:  # rolled-back snapshot: nothing committed
+                con.execute(
+                    "delete from results where url in (select url from batch)"
+                )
+            else:
+                committed_ids.add(bid)
+        want = set(
+            map(tuple, con.execute("select url, extracted_text from results").fetchall())
+        )
+        assert got == want == {("u1", "v1"), ("u2", "v2"), ("u3", "v3")}
+
 
 class TestCorpusExport:
     def test_jsonl_roundtrip_gzip_shards(self, spark, tmp_path):

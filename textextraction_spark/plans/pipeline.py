@@ -68,18 +68,30 @@ def run_extraction_job(spark, pages_df, cfg: JobConfig):
     )
     catalog = CheckpointCatalog(cfg.checkpoint_root)
 
+    # Re-running an ALREADY-COMMITTED batch id is a no-op, exactly like
+    # re-issuing the same MERGE: pending() would be empty and the write
+    # would otherwise overwrite the batch's results with an empty set.
+    # (A crashed batch has no _COMMITTED marker, so real resume still
+    # re-runs its urls.)
+    if cfg.batch_id in catalog.committed_batches():
+        return spark.read.parquet(str(catalog.root / "metrics" / cfg.batch_id))
+
     pending = catalog.pending(pages_df.select("url", "warc_ts", "html"), spark)
     if cfg.dedup_input:
-        # Repartition by url at cfg.num_partitions FIRST: AQE folds this
-        # into the groupBy's own url-keyed exchange, so the dedup shuffle
-        # honors the configured parallelism instead of silently landing on
-        # spark.sql.shuffle.partitions.  (Salting never applies here: the
-        # dedup key MUST be the raw url; a hot HOST is many distinct urls,
+        # Parallelism via shuffle.partitions, NOT a pre-repartition: an
+        # explicit repartition(url) would satisfy the agg's distribution
+        # requirement, pushing BOTH partial and final HashAggregate after
+        # the exchange — every duplicate capture's full html bytes would
+        # cross the wire.  With the bare groupBy, the PARTIAL max_by runs
+        # map-side (one candidate per url per task reaches the shuffle),
+        # which on a recrawl-heavy batch shrinks the dominant shuffle by
+        # the duplication factor.  (Salting never applies here: the dedup
+        # key MUST be the raw url; a hot HOST is many distinct urls,
         # which the url hash already spreads.)
+        spark.conf.set("spark.sql.shuffle.partitions", str(cfg.num_partitions))
         latest = F.max_by(F.struct("warc_ts", "html"), "warc_ts").alias("s")
         pending = (
-            pending.repartition(cfg.num_partitions, "url")
-            .groupBy("url")
+            pending.groupBy("url")
             .agg(latest)
             .select("url", F.col("s.warc_ts").alias("warc_ts"), F.col("s.html").alias("html"))
         )
