@@ -190,6 +190,46 @@ class TestPdf:
         data = f"%PDF-1.4\nstream\n{body}endstream\n%%EOF".encode()
         assert parse_pdf(data).text() == "alpha beta"
 
+    def test_realistic_file_structure_with_xref(self):
+        """A structurally realistic PDF — catalog/pages/page objects, the
+        content stream as a numbered object with /Length, an xref table
+        and trailer — extracts identically: the linear BT..ET scan +
+        generic flate inflation make the xref machinery transparent (we
+        never need to walk it for text)."""
+        import zlib
+
+        content = (
+            b"BT 72 700 Td (Real structure) Tj 0 -400 Td (second line) Tj ET\n"
+        )
+        payload = zlib.compress(content)
+        objs = [
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n",
+            b"4 0 obj\n<< /Filter /FlateDecode /Length "
+            + str(len(payload)).encode()
+            + b" >>\nstream\n"
+            + payload
+            + b"\nendstream\nendobj\n",
+        ]
+        pdf = b"%PDF-1.4\n"
+        offsets = []
+        for o in objs:
+            offsets.append(len(pdf))
+            pdf += o
+        xref_pos = len(pdf)
+        pdf += b"xref\n0 5\n0000000000 65535 f \n" + b"".join(
+            f"{off:010d} 00000 n \n".encode() for off in offsets
+        )
+        pdf += (
+            b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n"
+            + str(xref_pos).encode()
+            + b"\n%%EOF"
+        )
+        doc = parse_pdf(pdf)
+        assert doc.text() == "Real structure\nsecond line"
+        assert doc.confidence == 1.0
+
     def test_flate_dict_with_nested_decodeparms(self):
         """A stream dict containing a nested << >> (e.g. /DecodeParms)
         must still be recognized as FlateDecode."""
