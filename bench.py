@@ -76,18 +76,24 @@ def _mp_work(args):
 
 PIN16 = frozenset(range(16))  # the fixed cpuset of the canonical pairing
 
-# Clean-window per-query baselines (local[32], warm, sf0.1, best-of-2 —
-# BENCH/BASELINE.md).  The soft regression gate warns at >1.5x these.
+# Per-query baselines (local[32], warm, sf0.1, best-of-2): the round-2
+# DRIVER-measured values where the operator is unchanged, plus measured
+# round-3 values for the new composites and the honest-codec
+# media_metadata (which now synthesizes + really decodes WAV/GIF files
+# per doc instead of md5-hashing text bytes — genuine work, slower on
+# purpose).  The soft regression gate warns at >1.5x these; window
+# variance on this VM is ±2x across hypervisor bursts, so warnings are
+# a signal to re-measure, not a hard fail.
 QUERY_BASELINES = {
-    "extract_e2e": 1.5,
-    "dedup_minhash_lsh": 2.1,
+    "extract_e2e": 2.1,
+    "dedup_minhash_lsh": 2.2,
     "dedup_exact": 0.5,
     "dedup_incremental": 0.85,
     "ann_brute_force_topk": 0.5,
-    "text_profile": 0.45,
-    "doc_quality_signals": 0.6,
-    "q1_pricing_summary": 0.4,
-    "media_metadata": 0.6,
+    "text_profile": 0.55,
+    "doc_quality_signals": 0.7,
+    "q1_pricing_summary": 0.45,
+    "media_metadata": 1.9,
 }
 
 
