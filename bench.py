@@ -444,7 +444,16 @@ def main() -> None:
                 if c not in results or r["sec"] < results[c]["sec"]:
                     results[c] = r
         pair_effs.sort()
-        eff_median = pair_effs[len(pair_effs) // 2]
+        n_p = len(pair_effs)
+        # true median: average the middle two when the budget truncated
+        # the loop to an even pair count (picking the upper element would
+        # bias the headline high in exactly the degraded windows)
+        eff_median = round(
+            pair_effs[n_p // 2]
+            if n_p % 2
+            else (pair_effs[n_p // 2 - 1] + pair_effs[n_p // 2]) / 2,
+            3,
+        )
 
         # 8 / 32 rows once each (table completeness + the SMT-bound
         # 8->32 sensitivity pairing).

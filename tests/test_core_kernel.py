@@ -185,6 +185,19 @@ class TestPdf:
         assert doc.text() == "x\ny\nz"
         assert [ln.bbox[1] for ln in doc.lines] == [700, 450, 200]
 
+    def test_real_number_forms_in_positioning(self):
+        """PDF reals admit '+5', '.5', and '5.' (32000-1 §7.3.3); a
+        dropped number desyncs the operand stack and silently skips the
+        positioning op."""
+        body = (
+            "BT 1 0 0 1 +72 700. Tm (top) Tj ET\n"
+            "BT .5 0 0 .5 72 300 Tm (bottom) Tj ET\n"
+        )
+        data = f"%PDF-1.4\nstream\n{body}endstream\n%%EOF".encode()
+        doc = parse_pdf(data)
+        assert doc.text() == "top\nbottom"
+        assert [ln.bbox[:2] for ln in doc.lines] == [(72, 700), (72, 300)]
+
     def test_consecutive_shows_join_without_move(self):
         body = "BT 72 700 Td (alpha) Tj (beta) Tj ET\n"
         data = f"%PDF-1.4\nstream\n{body}endstream\n%%EOF".encode()

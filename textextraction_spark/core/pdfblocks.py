@@ -57,7 +57,9 @@ _TOKEN = re.compile(
     rb"\((?P<lit>(?:[^()\\]|\\.)*)\)"  # (literal string)
     rb"|<(?P<hex>[0-9A-Fa-f\s]*)>"  # <hex string>
     rb"|\[(?P<arr>(?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[^\]()])*)\]"
-    rb"|(?P<num>-?\d+(?:\.\d+)?)"
+    # PDF reals admit leading '+', a bare leading dot (.5) and a bare
+    # trailing dot (5.) — PDF 32000-1 §7.3.3
+    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
     rb"|(?P<op>Tj|TJ|Td|TD|Tm|TL|T\*)",
     re.DOTALL,
 )

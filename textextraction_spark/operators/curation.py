@@ -45,17 +45,16 @@ PII_SQL = (
 )
 
 
-def pii_scrub(spark, sf_dir: str):
-    """documents + injected PII -> redacted text + per-kind match counts.
-    Narrow regexp chain (JVM, codegen); the redaction order is fixed
-    (emails first) so the output is deterministic."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def pii_cols() -> list:
+    """Column expressions for PII counting + redaction — shared by
+    ``pii_scrub`` and the gated composite ``doc_quality_signals`` (one
+    source of truth; a drift between the two surfaces would desync the
+    gate from the library operator)."""
     t = F.expr(PII_SQL)
     clean = F.regexp_replace(
         F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
     )
-    return d.select(
-        "doc_id",
+    return [
         # NB: r'...' — a plain SQL string literal would unescape \. to .
         # and silently count a different pattern than the replacement
         F.expr(f"regexp_count({PII_SQL}, r'{EMAIL_RE}')")
@@ -65,7 +64,15 @@ def pii_scrub(spark, sf_dir: str):
         .cast("bigint")
         .alias("n_phones"),
         clean.alias("clean_text"),
-    )
+    ]
+
+
+def pii_scrub(spark, sf_dir: str):
+    """documents + injected PII -> redacted text + per-kind match counts.
+    Narrow regexp chain (JVM, codegen); the redaction order is fixed
+    (emails first) so the output is deterministic."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", *pii_cols())
 
 
 PII_SCRUB_ORACLE = f"""
@@ -102,6 +109,27 @@ aggregate(
 """
 
 
+def gopher_cols() -> list:
+    """Column expressions for the Gopher repetition family — shared by
+    ``gopher_repetition`` and ``doc_quality_signals`` (defined over docs
+    with >= 2 words)."""
+    n_words = F.expr(f"size({_W})").cast("bigint")
+    n_grams = n_words - 1
+    dup_ratio = F.round(
+        1 - F.expr(f"size(array_distinct({_W}))") / n_words, 6
+    )
+    top_frac = F.round(F.expr(_TOP_BIGRAM) / n_grams, 6)
+    return [
+        n_words.alias("n_words"),
+        dup_ratio.alias("dup_word_ratio"),
+        F.expr(_TOP_BIGRAM).cast("bigint").alias("top_bigram_count"),
+        top_frac.alias("top_bigram_frac"),
+        (
+            (dup_ratio <= DUP_WORD_MAX) & (top_frac <= TOP_BIGRAM_MAX)
+        ).alias("keep"),
+    ]
+
+
 def gopher_repetition(spark, sf_dir: str):
     """Per-doc repetition signals (the Gopher repetition family):
     duplicate-word ratio, top-bigram fraction, and the keep verdict —
@@ -110,22 +138,7 @@ def gopher_repetition(spark, sf_dir: str):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.expr(f"size({_W}) >= 2")
     )
-    n_words = F.expr(f"size({_W})").cast("bigint")
-    n_grams = n_words - 1
-    dup_ratio = F.round(
-        1 - F.expr(f"size(array_distinct({_W}))") / n_words, 6
-    )
-    top_frac = F.round(F.expr(_TOP_BIGRAM) / n_grams, 6)
-    return d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        dup_ratio.alias("dup_word_ratio"),
-        F.expr(_TOP_BIGRAM).cast("bigint").alias("top_bigram_count"),
-        top_frac.alias("top_bigram_frac"),
-        (
-            (dup_ratio <= DUP_WORD_MAX) & (top_frac <= TOP_BIGRAM_MAX)
-        ).alias("keep"),
-    )
+    return d.select("doc_id", *gopher_cols())
 
 
 GOPHER_REPETITION_ORACLE = f"""
@@ -214,28 +227,10 @@ def doc_quality_signals(spark, sf_dir: str):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.expr(f"size({_W}) >= 2")
     )
-    t = F.expr(PII_SQL)
-    clean = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
-    n_words = F.expr(f"size({_W})").cast("bigint")
-    n_grams = n_words - 1
-    dup_ratio = F.round(1 - F.expr(f"size(array_distinct({_W}))") / n_words, 6)
-    top_frac = F.round(F.expr(_TOP_BIGRAM) / n_grams, 6)
     return d.select(
         "doc_id",
-        F.expr(f"regexp_count({PII_SQL}, r'{EMAIL_RE}')")
-        .cast("bigint")
-        .alias("n_emails"),
-        F.expr(f"regexp_count({PII_SQL}, r'{PHONE_RE}')")
-        .cast("bigint")
-        .alias("n_phones"),
-        clean.alias("clean_text"),
-        n_words.alias("n_words"),
-        dup_ratio.alias("dup_word_ratio"),
-        F.expr(_TOP_BIGRAM).cast("bigint").alias("top_bigram_count"),
-        top_frac.alias("top_bigram_frac"),
-        ((dup_ratio <= DUP_WORD_MAX) & (top_frac <= TOP_BIGRAM_MAX)).alias("keep"),
+        *pii_cols(),
+        *gopher_cols(),
         F.expr(_COIN_SPARK).cast("bigint").alias("coin"),
         F.expr(_RATE_SQL).cast("bigint").alias("rate_pct"),
         (F.expr(_COIN_SPARK) < F.expr(_RATE_SQL)).alias("in_sample"),

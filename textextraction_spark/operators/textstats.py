@@ -31,7 +31,7 @@ def _docs(spark, sf_dir: str):
 def token_cols() -> list:
     """Column expressions for whitespace + BPE-ish token counts and mean
     token length — shared by ``token_stats`` and the gated composite
-    ``text_profile`` (plans/composites.py)."""
+    ``text_profile`` at the end of this module."""
     words = F.split(F.col("text"), " ")
     n_ws = F.size(words)
     n_chars_nospace = F.length(F.regexp_replace("text", " ", ""))

@@ -72,49 +72,76 @@ def run_extraction_job(spark, pages_df, cfg: JobConfig):
     # re-issuing the same MERGE: pending() would be empty and the write
     # would otherwise overwrite the batch's results with an empty set.
     # (A crashed batch has no _COMMITTED marker, so real resume still
-    # re-runs its urls.)
+    # re-runs its urls.)  The marker is written BEFORE the metrics, so a
+    # crash in that window (or a streaming commit, which writes no
+    # metrics) leaves a committed batch without a metrics dir —
+    # regenerate from the committed results rather than assuming
+    # marker implies metrics.
     if cfg.batch_id in catalog.committed_batches():
-        return spark.read.parquet(str(catalog.root / "metrics" / cfg.batch_id))
+        metrics_dir = catalog.root / "metrics" / cfg.batch_id
+        if (metrics_dir / "_SUCCESS").exists():
+            return spark.read.parquet(str(metrics_dir))
+        return _write_metrics(spark, catalog, cfg.batch_id)
 
     pending = catalog.pending(pages_df.select("url", "warc_ts", "html"), spark)
-    if cfg.dedup_input:
-        # Parallelism via shuffle.partitions, NOT a pre-repartition: an
-        # explicit repartition(url) would satisfy the agg's distribution
-        # requirement, pushing BOTH partial and final HashAggregate after
-        # the exchange — every duplicate capture's full html bytes would
-        # cross the wire.  With the bare groupBy, the PARTIAL max_by runs
-        # map-side (one candidate per url per task reaches the shuffle),
-        # which on a recrawl-heavy batch shrinks the dominant shuffle by
-        # the duplication factor.  (Salting never applies here: the dedup
-        # key MUST be the raw url; a hot HOST is many distinct urls,
-        # which the url hash already spreads.)
-        spark.conf.set("spark.sql.shuffle.partitions", str(cfg.num_partitions))
-        latest = F.max_by(F.struct("warc_ts", "html"), "warc_ts").alias("s")
-        pending = (
-            pending.groupBy("url")
-            .agg(latest)
-            .select("url", F.col("s.warc_ts").alias("warc_ts"), F.col("s.html").alias("html"))
+    # shuffle.partitions is read at PHYSICAL-PLANNING time (i.e. when the
+    # actions below run), so the dedup path sets it for the duration of
+    # this job and restores the caller's value afterwards — a
+    # num_partitions=2 batch must not leave a shared session planning
+    # every later query with 2 partitions.
+    saved_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if cfg.dedup_input:
+            # Parallelism via shuffle.partitions, NOT a pre-repartition:
+            # an explicit repartition(url) would satisfy the agg's
+            # distribution requirement, pushing BOTH partial and final
+            # HashAggregate after the exchange — every duplicate
+            # capture's full html bytes would cross the wire.  With the
+            # bare groupBy, the PARTIAL max_by runs map-side (one
+            # candidate per url per task reaches the shuffle), which on a
+            # recrawl-heavy batch shrinks the dominant shuffle by the
+            # duplication factor.  (Salting never applies here: the dedup
+            # key MUST be the raw url; a hot HOST is many distinct urls,
+            # which the url hash already spreads.)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(cfg.num_partitions)
+            )
+            latest = F.max_by(F.struct("warc_ts", "html"), "warc_ts").alias("s")
+            pending = (
+                pending.groupBy("url")
+                .agg(latest)
+                .select(
+                    "url",
+                    F.col("s.warc_ts").alias("warc_ts"),
+                    F.col("s.html").alias("html"),
+                )
+            )
+            distributed = pending  # already hash-partitioned by url
+        elif cfg.repartition:
+            plan = (
+                salt_plan(pending, cfg.rows_per_task) if cfg.diagnose_skew else None
+            )
+            distributed = salted_repartition(pending, cfg.num_partitions, plan)
+        else:
+            distributed = pending
+
+        extracted = extract_pages(distributed, encrypt_phi=cfg.encrypt_phi).select(
+            "*",
+            F.spark_partition_id().alias("part_id"),
+            F.lit(cfg.batch_id).alias("batch_id"),
         )
-        distributed = pending  # already hash-partitioned by url
-    elif cfg.repartition:
-        plan = (
-            salt_plan(pending, cfg.rows_per_task) if cfg.diagnose_skew else None
-        )
-        distributed = salted_repartition(pending, cfg.num_partitions, plan)
-    else:
-        distributed = pending
 
-    extracted = extract_pages(distributed, encrypt_phi=cfg.encrypt_phi).select(
-        "*",
-        F.spark_partition_id().alias("part_id"),
-        F.lit(cfg.batch_id).alias("batch_id"),
-    )
+        catalog.write_batch(extracted, cfg.batch_id)
+        return _write_metrics(spark, catalog, cfg.batch_id)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_shuffle)
 
-    catalog.write_batch(extracted, cfg.batch_id)
 
-    # Lineage metrics per partition (A3 analog: the reference logs only a
-    # doc count, Worker.cs:98; we record count/ok/err/bytes per task).
-    results = spark.read.parquet(str(catalog.results_dir / cfg.batch_id))
+def _write_metrics(spark, catalog, batch_id: str):
+    """Lineage metrics per partition for a COMMITTED batch (A3 analog:
+    the reference logs only a doc count, Worker.cs:98; we record
+    count/ok/err/bytes per task), written next to the results."""
+    results = spark.read.parquet(str(catalog.results_dir / batch_id))
     metrics = (
         results.groupBy("part_id")
         .agg(
@@ -127,6 +154,6 @@ def run_extraction_job(spark, pages_df, cfg: JobConfig):
         .orderBy("part_id")
     )
     metrics.write.mode("overwrite").parquet(
-        str(catalog.root / "metrics" / cfg.batch_id)
+        str(catalog.root / "metrics" / batch_id)
     )
     return metrics
