@@ -146,33 +146,48 @@ def _jvm_cpus(spark) -> str:
     return "unknown"
 
 
-def _machine_ceiling(sf_dir: str) -> dict[str, float]:
+_CEILING_TEXTS: list[str] | None = None
+
+
+def _ceiling_texts(sf_dir: str) -> list[str]:
+    global _CEILING_TEXTS
+    if _CEILING_TEXTS is None:
+        import duckdb
+
+        _CEILING_TEXTS = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(
+                f"select text from read_parquet('{sf_dir}/documents.parquet') limit 1000"
+            )
+            .fetchall()
+        ]
+    return _CEILING_TEXTS
+
+
+def _machine_ceiling(
+    sf_dir: str, sizes: tuple[int, ...] = (4, 8, 16, 32), iters: int = 25
+) -> dict[str, float]:
     """Bare-multiprocessing scaling of the same kernel: the box's ceiling,
     measured UNPINNED like the canonical pipeline rows (same protocol on
-    both sides of the normalization)."""
+    both sides of the normalization).  ``sizes=(4, 16), iters=12`` is the
+    fast per-pair window probe (~6 s)."""
     import multiprocessing as mp
 
-    import duckdb
-
-    texts = [
-        r[0]
-        for r in duckdb.connect()
-        .execute(
-            f"select text from read_parquet('{sf_dir}/documents.parquet') limit 1000"
-        )
-        .fetchall()
-    ]
+    texts = _ceiling_texts(sf_dir)
     rates: dict[int, float] = {}
-    for procs in (4, 8, 16, 32):
+    for procs in sizes:
         with mp.Pool(procs) as pool:
             pool.map(_mp_work, [(1, texts)] * procs)  # warm imports
             t0 = time.time()
-            total = sum(pool.map(_mp_work, [(25, texts)] * procs))
+            total = sum(pool.map(_mp_work, [(iters, texts)] * procs))
             rates[procs] = total / (time.time() - t0)
-    return {
-        "4_to_16": round(rates[16] / rates[4] / 4.0, 3),
-        "8_to_32": round(rates[32] / rates[8] / 4.0, 3),
-    }
+    out = {}
+    if 4 in rates and 16 in rates:
+        out["4_to_16"] = round(rates[16] / rates[4] / 4.0, 3)
+    if 8 in rates and 32 in rates:
+        out["8_to_32"] = round(rates[32] / rates[8] / 4.0, 3)
+    return out
 
 
 def make_session(cores: int):
@@ -431,6 +446,21 @@ def main() -> None:
         for i in range(3):
             if i > 0 and (time.time() - t_start) > budget_s:
                 break
+            # Per-PAIR window gate: the phase-level gate certifies only
+            # the moment the phase starts, and windows shift mid-phase —
+            # a quick 4/16 mp probe (~6 s) before each pair waits out a
+            # degraded window (bounded), and its value is recorded in
+            # the pair row as a receipt.
+            qc = _machine_ceiling(sf_dir, sizes=(4, 16), iters=12).get(
+                "4_to_16", 0.0
+            )
+            for _try in range(2):
+                if qc >= 0.85 or (time.time() - t_start) > budget_s:
+                    break
+                time.sleep(30)
+                qc = _machine_ceiling(sf_dir, sizes=(4, 16), iters=12).get(
+                    "4_to_16", 0.0
+                )
             r4 = measure(4, max_attempts=2, clean_target=1)
             r16 = measure(16, max_attempts=2, clean_target=1)
             eff = round((r4["sec"] / r16["sec"]) / 4.0, 3)
@@ -438,7 +468,7 @@ def main() -> None:
             pair_rows.append(
                 {"local4_sec": r4["sec"], "local16_sec": r16["sec"],
                  "steal4": r4["steal_pct"], "steal16": r16["steal_pct"],
-                 "efficiency": eff}
+                 "window_ceiling": qc, "efficiency": eff}
             )
             for c, r in ((4, r4), (16, r16)):
                 if c not in results or r["sec"] < results[c]["sec"]:
