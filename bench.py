@@ -462,7 +462,11 @@ def main() -> None:
                     "4_to_16", 0.0
                 )
             r4 = measure(4, max_attempts=2, clean_target=1)
-            r16 = measure(16, max_attempts=2, clean_target=1)
+            # the 16-side is the variable one (fast mode ~8 s, burst mode
+            # ~11 s at sub-1% steal) and a timed run costs only ~9 s —
+            # demand two clean runs and keep the best; the 4-side is
+            # stable and 3x the cost, one clean run suffices
+            r16 = measure(16, max_attempts=3, clean_target=2)
             eff = round((r4["sec"] / r16["sec"]) / 4.0, 3)
             pair_effs.append(eff)
             pair_rows.append(
