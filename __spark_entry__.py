@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url_normalize": D.url_normalize_dedup,
         "dedup_incremental": D.incremental_dedup,
         "dedup_repeated_spans": D.span_dedup,
+        "dedup_clusters": D.dedup_clusters,  # connected components (iterative)
         # --- similarity search ---
         "ann_brute_force_topk": S.brute_force_topk,
         "ann_lsh": S.lsh_ann,  # single-bucket + multiprobe
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_url_normalize": D.URL_NORMALIZE_ORACLE,
         "dedup_incremental": D.INCREMENTAL_DEDUP_ORACLE,
         "dedup_repeated_spans": D.SPAN_DEDUP_ORACLE,
+        "dedup_clusters": D.DEDUP_CLUSTERS_ORACLE,
         "ann_brute_force_topk": S.BRUTE_FORCE_ORACLE,
         "ann_lsh": S.LSH_COMPOSITE_ORACLE,
         "ann_ivf": S.IVF_COMPOSITE_ORACLE,

@@ -158,6 +158,51 @@ class TestIncrementalDedup:
         assert (self_rows.n_bands == D.N_HASHES).all()
 
 
+class TestDedupClusters:
+    def test_components_are_transitive_and_min_labeled(self, spark):
+        """Cluster invariants against the pair graph it was built from:
+        (1) every pair's endpoints share a cluster (edge consistency),
+        (2) cluster_id == min vid of its members (canonical labeling),
+        (3) cluster_size == the member count."""
+        import __spark_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        qs = E.queries()
+        pairs = [
+            (r.vid_a, r.vid_b)
+            for r in qs["dedup_minhash_lsh"](spark, sf).collect()
+        ]
+        rows = qs["dedup_clusters"](spark, sf).collect()
+        cluster = {r.vid: r.cluster_id for r in rows}
+        size = {r.vid: r.cluster_size for r in rows}
+        assert pairs and rows
+        for a, b in pairs:
+            assert cluster[a] == cluster[b], (a, b)
+        members: dict[int, list[int]] = {}
+        for v, c in cluster.items():
+            members.setdefault(c, []).append(v)
+        for c, vs in members.items():
+            assert c == min(vs)
+            for v in vs:
+                assert size[v] == len(vs)
+        # transitivity beyond the raw pairs: build reference components
+        # with a python union-find and compare partition-for-partition
+        parent = {v: v for v in cluster}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for v in cluster:
+            assert cluster[v] == find(v)
+
+
 class TestAnnRecall:
     """Recall@10 of the approximate variants vs the exact brute-force
     scan, at sf0.01 (deterministic — fixed query vector, fixed corpus).

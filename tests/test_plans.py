@@ -215,6 +215,11 @@ SHUFFLE_BUDGETS = {
     "dedup_minhash_lsh": 16,
     "dedup_incremental": 4,
     "dedup_repeated_spans": 1,
+    # iterative label propagation: localCheckpoint truncates lineage per
+    # superstep, so the FINAL plan carries only the size-join + output
+    # projection (2 exchanges) regardless of iteration count — exactly
+    # the bounded-plan property the checkpoint exists to guarantee
+    "dedup_clusters": 2,
 }
 
 

@@ -626,3 +626,103 @@ SELECT lower(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
        min(url) AS representative
 FROM v GROUP BY 1
 """
+
+
+# -------------------------------------------- duplicate-cluster resolution
+def dedup_clusters(spark, sf_dir: str):
+    """Connected components over the verified near-dup pair graph
+    (minhash_lsh's jaccard>=0.5 pairs) via iterative MIN-LABEL
+    PROPAGATION — the real dedup deliverable: "keep one doc per cluster"
+    needs clusters, not pairs, and pairwise output alone cannot answer
+    it when A~B and B~C but A!~C.
+
+    Spark-first iterative-algorithm shape (the Pregel pattern):
+    each superstep is one distributed join+aggregate (label[v] :=
+    min(label[v], min over neighbors' labels)); the driver only checks
+    the CHANGED COUNT for convergence (an aggregate action — no data is
+    collected).  ``localCheckpoint`` truncates the lineage per superstep
+    so the plan does not grow with the iteration count — the standard
+    requirement for iterative dataflows at scale.
+
+    Scale notes (100 TB): supersteps needed = cluster diameter, and
+    near-dup clusters are shallow (variants of one page), so the loop
+    runs ~3-4 times regardless of corpus size; each superstep shuffles
+    only (vertex, label) pairs — never document text.  The reference has
+    no graph stage at all (its dedup is nonexistent; SURVEY.md §2).
+
+    Returns one row per clustered doc: (vid, cluster_id = min vid in its
+    component, cluster_size).
+    """
+    from pyspark.sql import functions as F
+
+    pairs = minhash_lsh(spark, sf_dir).select("vid_a", "vid_b")
+    back = pairs.select(
+        F.col("vid_b").alias("vid_a"), F.col("vid_a").alias("vid_b")
+    )
+    edges = pairs.unionByName(back).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("vid_a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .localCheckpoint()
+    )
+    while True:
+        prop = (
+            edges.join(labels, edges.vid_a == labels.v)
+            .groupBy(F.col("vid_b").alias("v2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(prop, labels.v == prop.v2, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("v").cast("bigint").alias("vid"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+# The oracle computes the same components declaratively: transitive
+# closure by recursive CTE (every label r spreads along the symmetric
+# edges), then min reachable label per vertex == min vid per component.
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT vid_a, vid_b FROM ({MINHASH_LSH_ORACLE})
+),
+edges AS (
+  SELECT vid_a AS a, vid_b AS b FROM pairs
+  UNION
+  SELECT vid_b AS a, vid_a AS b FROM pairs
+),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.b AS v, reach.r FROM reach JOIN edges e ON e.a = reach.v
+),
+comp AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+SELECT c.v::BIGINT AS vid, c.cluster_id::BIGINT AS cluster_id,
+       s.n::BIGINT AS cluster_size
+FROM comp c
+JOIN (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id) s
+  USING (cluster_id)
+"""
