@@ -202,6 +202,30 @@ class TestDedupClusters:
         for v in cluster:
             assert cluster[v] == find(v)
 
+    def test_result_independent_of_parallelism(self, spark):
+        """North-rule determinism for the ITERATIVE operator: the
+        converged labeling must be identical at any shuffle-partition
+        count (a partition-sensitive iterative op would silently break
+        byte-identity on a cluster)."""
+        import __spark_entry__ as E
+
+        sf = "/root/testdata/sf0.001"
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = sorted(
+                (r.vid, r.cluster_id, r.cluster_size)
+                for r in E.queries()["dedup_clusters"](spark, sf).collect()
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = sorted(
+                (r.vid, r.cluster_id, r.cluster_size)
+                for r in E.queries()["dedup_clusters"](spark, sf).collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+        assert a == b and a
+
 
 class TestAnnRecall:
     """Recall@10 of the approximate variants vs the exact brute-force
