@@ -274,7 +274,12 @@ def main() -> None:
     # Soft deadline: once elapsed time passes the budget, remaining
     # measurements drop to single attempts and repair rounds are skipped,
     # so retries during hypervisor bursts cannot run the harness long.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
+    # 480 s: measured end-to-end wall time hovers near 10 minutes with
+    # the 540 s budget (the budget gates ATTEMPTS, not phases, so the
+    # tail still runs) and harness-side caps around 10 minutes are
+    # common — the pinned sensitivity pair and repair rounds are the
+    # first to drop, and both already have recorded ledger entries.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
     t_start = time.time()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
