@@ -266,6 +266,12 @@ def run_extract(spark, pages_dir: str, partitions: int):
     return dt, row["n"], row["b"]
 
 
+def _mark(t_start: float, label: str) -> None:
+    """Phase timestamps on stderr — wall-time receipts for reading a
+    bench emission (and for keeping the harness under external caps)."""
+    print(f"[bench t+{time.time() - t_start:6.1f}s] {label}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -293,8 +299,10 @@ def main() -> None:
 
     spark = make_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    _mark(t_start, "session up")
     materialize_pages(spark, sf_dir, 1, pages_sf)
     materialize_pages(spark, sf_dir, rep, pages_rep)
+    _mark(t_start, "pages materialized")
 
     queries: dict[str, float] = {}
 
@@ -302,6 +310,7 @@ def main() -> None:
     # regex compile happen once per worker process).
     run_extract(spark, pages_sf, cpus * 3)
 
+    _mark(t_start, "workers warm")
     # The hypervisor's interference comes in multi-minute bursts that the
     # steal counter underreports (memory-bandwidth contention shows as
     # user time) — every measurement below is best-of-2 so a burst cannot
@@ -324,17 +333,23 @@ def main() -> None:
         "q1_pricing_summary",
         "media_metadata",
     ):
-        best = None
-        # best-of-3: the first execution pays plan compile + codegen and
-        # a single measurement is at the mercy of a burst window
+        # up to 3 runs (the first pays plan compile + codegen; a single
+        # measurement is at the mercy of a burst window), with an early
+        # exit when two consecutive runs agree within 15% — wall time
+        # must clear external caps
+        times = []
         for _ in range(3):
             t0 = time.time()
             n = qmap[name](spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            times.append(time.time() - t0)
             assert n >= 0
-        queries[name] = round(best, 3)
+            if len(times) >= 2 and abs(times[-1] - times[-2]) < 0.15 * min(
+                times[-2:]
+            ):
+                break
+        queries[name] = round(min(times), 3)
 
+    _mark(t_start, "query phase done")
     # Soft regression gate: warn (never fail) when a headliner runs >1.5x
     # its recorded clean-window baseline — keeps the round-2 operator-suite
     # speedups from silently regressing (VERDICT r02 item 5).
@@ -359,6 +374,7 @@ def main() -> None:
     t2, _, _ = run_extract(spark, pages_rep, cpus * 3)
     t_full = min(t_full, t2)
     queries[f"extract_rep{rep}"] = round(t_full, 3)
+    _mark(t_start, "rep throughput done")
     throughput = {
         "n_docs": int(n_docs),
         "mb": round(n_bytes / 1e6, 1),
@@ -427,15 +443,19 @@ def main() -> None:
         # Window gate first (see ceiling comment below): don't burn the
         # expensive pipeline measurements in a degraded window.
         ceiling = _machine_ceiling(sf_dir)
+        _mark(t_start, f"phase ceiling {ceiling}")
         tries = 0
+        # bounded at 2 retries: a long degraded window must not eat the
+        # wall-time cap — the per-pair probes + median carry the rest
         while (
             ceiling["4_to_16"] < 0.82
-            and tries < 4
+            and tries < 2
             and (time.time() - t_start) < budget_s
         ):
-            time.sleep(45)
+            time.sleep(30)
             tries += 1
             ceiling = _machine_ceiling(sf_dir)
+            _mark(t_start, f"phase ceiling retry {ceiling}")
 
         # ---- Canonical 4->16: INTERLEAVED pairs, median of ratios ----
         # Round-2 lesson: five unpinned 4->16 measurements spanned
@@ -459,10 +479,8 @@ def main() -> None:
             qc = _machine_ceiling(sf_dir, sizes=(4, 16), iters=12).get(
                 "4_to_16", 0.0
             )
-            for _try in range(2):
-                if qc >= 0.85 or (time.time() - t_start) > budget_s:
-                    break
-                time.sleep(30)
+            if qc < 0.85 and (time.time() - t_start) < budget_s:
+                time.sleep(30)  # one bounded wait; the median handles the rest
                 qc = _machine_ceiling(sf_dir, sizes=(4, 16), iters=12).get(
                     "4_to_16", 0.0
                 )
@@ -482,6 +500,7 @@ def main() -> None:
             for c, r in ((4, r4), (16, r16)):
                 if c not in results or r["sec"] < results[c]["sec"]:
                     results[c] = r
+            _mark(t_start, f"pair {i + 1}: {pair_rows[-1]}")
         pair_effs.sort()
         n_p = len(pair_effs)
         # true median: average the middle two when the budget truncated
@@ -495,9 +514,13 @@ def main() -> None:
         )
 
         # 8 / 32 rows once each (table completeness + the SMT-bound
-        # 8->32 sensitivity pairing).
+        # 8->32 sensitivity pairing) — single attempts: these are
+        # sensitivity rows, and wall time must clear external ~10-min caps
         for c in (8, 32):
-            results[c] = measure(c, max_attempts=2, clean_target=1)
+            if (time.time() - t_start) > budget_s:
+                break  # sensitivity rows — dropped first under the cap
+            results[c] = measure(c, max_attempts=1, clean_target=1)
+        _mark(t_start, "8/32 rows done")
         # Monotonicity repair: more cores must not be slower (same job,
         # same input).  A violation means a burst polluted one row —
         # re-measure the suspect configs (bounded: 2 repair rounds).
@@ -506,6 +529,8 @@ def main() -> None:
                 break
             suspects = set()
             for lo, hi in ((4, 8), (8, 16), (16, 32)):
+                if lo not in results or hi not in results:
+                    continue
                 if results[hi]["docs_per_sec"] < results[lo]["docs_per_sec"]:
                     suspects.update((lo, hi))
             if not suspects:
@@ -519,7 +544,7 @@ def main() -> None:
         # not, so pipeline efficiency is reported alongside its ceiling.
         # (Measured up front as the window gate; see above.)
         scaling = {
-            f"local{c}": results[c] for c in (4, 8, 16, 32)
+            f"local{c}": results[c] for c in (4, 8, 16, 32) if c in results
         }
         scaling["pairs_4_to_16"] = pair_rows
         scaling["efficiency_4_to_16"] = eff_median
@@ -528,13 +553,14 @@ def main() -> None:
             scaling["normalized_4_to_16"] = round(
                 eff_median / ceiling["4_to_16"], 3
             )
-        eff_832 = round((results[8]["sec"] / results[32]["sec"]) / 4.0, 3)
-        scaling["efficiency_8_to_32"] = eff_832
-        scaling["machine_ceiling_8_to_32"] = ceiling.get("8_to_32")
-        if ceiling.get("8_to_32"):
-            scaling["normalized_8_to_32"] = round(
-                eff_832 / ceiling["8_to_32"], 3
-            )
+        if 8 in results and 32 in results:
+            eff_832 = round((results[8]["sec"] / results[32]["sec"]) / 4.0, 3)
+            scaling["efficiency_8_to_32"] = eff_832
+            scaling["machine_ceiling_8_to_32"] = ceiling.get("8_to_32")
+            if ceiling.get("8_to_32"):
+                scaling["normalized_8_to_32"] = round(
+                    eff_832 / ceiling["8_to_32"], 3
+                )
         # Pinned sensitivity pair (budget-permitting): the strict-cpuset
         # variant the round-1 verdict asked to evaluate, with jvm_cpus
         # receipts.  It understates cluster scaling by construction
