@@ -54,10 +54,20 @@ class TestTextProfileSlices:
 
 
 class TestDocQualitySlices:
+    # the composite union-tags rows; the signals branch is its tag='signals'
+    # slice (booleans travel as BIGINT 0/1 in the composite — cast back here)
+
+    def _signals(self, spark):
+        from pyspark.sql import functions as F
+
+        return E.queries()["doc_quality_signals"](spark, SF).filter(
+            F.col("tag") == "signals"
+        )
+
     def test_pii_scrub_slice(self, spark):
         from textextraction_spark.operators import curation as C
 
-        comp = E.queries()["doc_quality_signals"](spark, SF).select(
+        comp = self._signals(spark).select(
             "doc_id", "n_emails", "n_phones", "clean_text"
         )
         # composite is restricted to docs with >= 2 words (gopher domain)
@@ -72,15 +82,17 @@ class TestDocQualitySlices:
         assert_df_equal(standalone, comp)
 
     def test_gopher_slice(self, spark):
+        from pyspark.sql import functions as F
+
         from textextraction_spark.operators import curation as C
 
-        comp = E.queries()["doc_quality_signals"](spark, SF).select(
+        comp = self._signals(spark).select(
             "doc_id",
             "n_words",
             "dup_word_ratio",
             "top_bigram_count",
             "top_bigram_frac",
-            "keep",
+            F.col("keep").cast("boolean").alias("keep"),
         )
         assert_df_equal(C.gopher_repetition(spark, SF), comp)
 
@@ -90,8 +102,8 @@ class TestDocQualitySlices:
         from textextraction_spark.operators import curation as C
 
         comp = (
-            E.queries()["doc_quality_signals"](spark, SF)
-            .filter(F.col("in_sample"))
+            self._signals(spark)
+            .filter(F.col("in_sample") == 1)
             .select("doc_id", "coin", "rate_pct")
         )
         standalone = C.hash_sample(spark, SF).join(
@@ -101,6 +113,53 @@ class TestDocQualitySlices:
             "doc_id",
         ).select("doc_id", "coin", "rate_pct")
         assert_df_equal(standalone, comp)
+
+    def test_decontaminate_slice(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import curation as C
+
+        comp = (
+            E.queries()["doc_quality_signals"](spark, SF)
+            .filter(F.col("tag") == "decon")
+            .select(
+                "doc_id",
+                "n_shared_grams",
+                F.col("contaminated").cast("boolean").alias("contaminated"),
+            )
+        )
+        assert_df_equal(C.decontaminate(spark, SF), comp)
+
+    def test_decontaminate_matches_python_recompute(self, spark):
+        """End-to-end semantics pin against a from-scratch pure-python
+        recompute of the n-gram-overlap definition (independent of both
+        SQL dialects)."""
+        import pandas as pd
+
+        from textextraction_spark.operators import curation as C
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+        N = C.NGRAM_N
+
+        def grams(t):
+            w = t.split(" ")
+            return {
+                " ".join(w[i : i + N]) for i in range(len(w) - N + 1)
+            } if len(w) >= N else set()
+
+        bench = set()
+        for _, r in docs[docs.doc_id % C.BENCH_MOD == 0].iterrows():
+            bench |= grams(r.text)
+        want = {}
+        for _, r in docs[docs.doc_id % C.BENCH_MOD != 0].iterrows():
+            g = grams(r.text)
+            if g:
+                want[r.doc_id] = len(g & bench)
+        got = {
+            r.doc_id: r.n_shared_grams
+            for r in C.decontaminate(spark, SF).collect()
+        }
+        assert got == want
 
 
 class TestRelationalSlices:

@@ -161,8 +161,11 @@ SHUFFLE_BUDGETS = {
     # (all constituent signals fold into one projection), and the ANN
     # composites union two broadcast-bucket lookups (no exchange).
     "text_profile": 0,
-    "doc_quality_signals": 0,
     "events_project": 0,
+    # signals branch stays narrow; the decon branch pays exactly its
+    # bounded pair (bench-gram distinct + doc_id hit-count) — the
+    # benchmark side is broadcast, corpus text never crosses the wire
+    "doc_quality_signals": 2,
     "ann_brute_force_topk": 0,
     "ann_lsh": 0,
     "ann_ivf": 0,

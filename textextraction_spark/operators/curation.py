@@ -109,6 +109,15 @@ aggregate(
 """
 
 
+def _keep_expr():
+    """The Gopher keep verdict as a bare boolean expression (shared so the
+    tag-union composite can cast it without re-deriving)."""
+    n_words = F.expr(f"size({_W})").cast("bigint")
+    dup_ratio = F.round(1 - F.expr(f"size(array_distinct({_W}))") / n_words, 6)
+    top_frac = F.round(F.expr(_TOP_BIGRAM) / (n_words - 1), 6)
+    return (dup_ratio <= DUP_WORD_MAX) & (top_frac <= TOP_BIGRAM_MAX)
+
+
 def gopher_cols() -> list:
     """Column expressions for the Gopher repetition family — shared by
     ``gopher_repetition`` and ``doc_quality_signals`` (defined over docs
@@ -215,26 +224,138 @@ WHERE {_COIN_DUCK} < ({_RATE_SQL})
 """
 
 
+# ----------------------------------------------------------- decontaminate
+# Benchmark decontamination: flag training documents that share any
+# word n-gram with a held-out evaluation set (the standard guard against
+# test-set leakage in a training corpus; GPT-3/Gopher-style pipelines use
+# 8-13-gram overlap on natural text).  The synthetic corpus draws from a
+# ~30-word vocabulary, so the statistically equivalent setting here is
+# N=3 (measured: ~35% of training docs share a 3-gram with the eval
+# split; 8-grams never collide at vocab 30).
+#
+# 100 TB shape: the eval-benchmark gram set is bounded by the EVAL SUITE
+# size (thousands of docs), never by corpus size, so broadcasting it is
+# safe by construction — the big side is exploded narrowly, the
+# broadcast join adds no shuffle of corpus bytes, and the only wire
+# traffic is (doc_id, partial hit-count) pairs from the map-side-combined
+# groupBy.
+NGRAM_N = 3
+BENCH_MOD = 97  # docs with doc_id % 97 == 0 form the held-out eval split
+
+# distinct word-N-grams of a doc, as one narrow array expression
+_GRAMS_N_SPARK = (
+    f"array_distinct(transform(sequence(1, size({_W}) - {NGRAM_N - 1}), "
+    f"i -> concat_ws(' ', slice({_W}, i, {NGRAM_N}))))"
+)
+_GRAMS_N_DUCK = (
+    f"list_distinct(list_transform(range(1, len(w) - {NGRAM_N} + 2), "
+    f"i -> array_to_string(w[i:i + {NGRAM_N} - 1], ' ')))"
+)
+
+
+def _decontam_df(spark, sf_dir: str):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.expr(f"size({_W}) >= {NGRAM_N}")
+    )
+    bench = (
+        d.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode(F.expr(_GRAMS_N_SPARK)).alias("gram"))
+        .distinct()
+        .withColumn("bhit", F.lit(1))
+    )
+    train = d.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", F.explode(F.expr(_GRAMS_N_SPARK)).alias("gram")
+    )
+    return (
+        train.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce("bhit", F.lit(0))).cast("bigint").alias("n_shared_grams")
+        )
+        .withColumn("contaminated", F.col("n_shared_grams") > 0)
+    )
+
+
+def decontaminate(spark, sf_dir: str):
+    """Training docs (eval split removed) with the count of distinct
+    word-N-grams they share with the eval split and the contamination
+    verdict.  Broadcast the (bounded) benchmark gram set; one shuffle of
+    (doc_id, partial count) pairs — corpus text never crosses the wire."""
+    return _decontam_df(spark, sf_dir)
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS w FROM documents
+  WHERE len(str_split(text, ' ')) >= {NGRAM_N}
+),
+bench AS (
+  SELECT DISTINCT unnest({_GRAMS_N_DUCK}) AS gram
+  FROM w WHERE doc_id % {BENCH_MOD} = 0
+),
+train AS (
+  SELECT doc_id, unnest({_GRAMS_N_DUCK}) AS gram
+  FROM w WHERE doc_id % {BENCH_MOD} <> 0
+)
+SELECT t.doc_id, count(b.gram)::BIGINT AS n_shared_grams,
+       count(b.gram) > 0 AS contaminated
+FROM train t LEFT JOIN bench b USING (gram)
+GROUP BY t.doc_id
+"""
+
+
 # --------------------------------- gated composite: doc_quality_signals
 def doc_quality_signals(spark, sf_dir: str):
-    """PII counts/redaction + Gopher repetition signals + the hash-sample
-    coin, as ONE zero-shuffle projection per doc — the driver-gated
-    composite covering pii_scrub, gopher_repetition, and hash_sample's
-    deterministic coin (the coin's FILTER shape is separately gated inside
-    curation_pipeline).  Restricted to docs with >= 2 words (the gopher
-    signals' domain); the individual operators above remain the library
-    surface."""
+    """Tag-union composite over per-doc curation signals:
+
+    - ``tag='signals'`` rows: PII counts/redaction + Gopher repetition
+      signals + the hash-sample coin, as ONE zero-shuffle projection per
+      doc (docs with >= 2 words, the gopher domain) — covers pii_scrub,
+      gopher_repetition, and hash_sample's deterministic coin (the
+      coin's FILTER shape is separately gated inside curation_pipeline).
+    - ``tag='decon'`` rows: the benchmark-decontamination verdict per
+      training doc (eval split held out) — covers ``decontaminate``.
+
+    The union adds no exchange beyond decontaminate's own bounded pair
+    (bench-gram distinct + doc_id count); the signals branch stays
+    narrow.  Boolean signals travel as BIGINT 0/1 here (repo convention
+    for tag-union branches: the off-branch NULL slot must be numeric so
+    both engines' pandas bridges normalize it identically — a NULL
+    boolean surfaces as None on the Spark bridge but NaN on DuckDB's).
+    The individual operators remain the library surface."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.expr(f"size({_W}) >= 2")
     )
-    return d.select(
+    signals = d.select(
+        F.lit("signals").alias("tag"),
         "doc_id",
         *pii_cols(),
-        *gopher_cols(),
+        *gopher_cols()[:-1],
+        _keep_expr().cast("bigint").alias("keep"),
         F.expr(_COIN_SPARK).cast("bigint").alias("coin"),
         F.expr(_RATE_SQL).cast("bigint").alias("rate_pct"),
-        (F.expr(_COIN_SPARK) < F.expr(_RATE_SQL)).alias("in_sample"),
+        (F.expr(_COIN_SPARK) < F.expr(_RATE_SQL)).cast("bigint").alias("in_sample"),
+        F.lit(None).cast("bigint").alias("n_shared_grams"),
+        F.lit(None).cast("bigint").alias("contaminated"),
     )
+    decon = _decontam_df(spark, sf_dir).select(
+        F.lit("decon").alias("tag"),
+        "doc_id",
+        F.lit(None).cast("bigint").alias("n_emails"),
+        F.lit(None).cast("bigint").alias("n_phones"),
+        F.lit(None).cast("string").alias("clean_text"),
+        F.lit(None).cast("bigint").alias("n_words"),
+        F.lit(None).cast("double").alias("dup_word_ratio"),
+        F.lit(None).cast("bigint").alias("top_bigram_count"),
+        F.lit(None).cast("double").alias("top_bigram_frac"),
+        F.lit(None).cast("bigint").alias("keep"),
+        F.lit(None).cast("bigint").alias("coin"),
+        F.lit(None).cast("bigint").alias("rate_pct"),
+        F.lit(None).cast("bigint").alias("in_sample"),
+        "n_shared_grams",
+        F.col("contaminated").cast("bigint").alias("contaminated"),
+    )
+    return signals.unionByName(decon)
 
 
 DOC_QUALITY_SIGNALS_ORACLE = f"""
@@ -245,11 +366,19 @@ WITH pii AS ({PII_SCRUB_ORACLE}),
               ({_RATE_SQL})::BIGINT AS rate_pct,
               ({_COIN_DUCK}) < ({_RATE_SQL}) AS in_sample
        FROM documents
-     )
-SELECT gr.doc_id, pii.n_emails, pii.n_phones, pii.clean_text,
+     ),
+     dc AS ({DECONTAMINATE_ORACLE})
+SELECT 'signals' AS tag, gr.doc_id, pii.n_emails, pii.n_phones, pii.clean_text,
        gr.n_words, gr.dup_word_ratio, gr.top_bigram_count,
-       gr.top_bigram_frac, gr.keep, hs.coin, hs.rate_pct, hs.in_sample
+       gr.top_bigram_frac, gr.keep::BIGINT AS keep, hs.coin, hs.rate_pct,
+       hs.in_sample::BIGINT AS in_sample,
+       CAST(NULL AS BIGINT) AS n_shared_grams,
+       CAST(NULL AS BIGINT) AS contaminated
 FROM gr JOIN pii USING (doc_id) JOIN hs USING (doc_id)
+UNION ALL
+SELECT 'decon' AS tag, doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, n_shared_grams, contaminated::BIGINT
+FROM dc
 """
 
 
