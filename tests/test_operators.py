@@ -76,6 +76,60 @@ class TestOracleSubset:
         assert not problems, problems
 
 
+class TestPacking:
+    """pack_sequences (LLM concat-and-chunk packing) is outside the
+    50-query driver gate, so its FULL value oracle runs here instead —
+    same compare as the driver's (rows + schema + value hash)."""
+
+    def test_matches_oracle(self, spark):
+        from textextraction_spark.operators.packing import (
+            PACK_SEQUENCES_ORACLE,
+            pack_sequences,
+        )
+
+        got = pack_sequences(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(PACK_SEQUENCES_ORACLE).df()
+        problems = compare("pack_sequences", got, want)
+        assert not problems, problems
+
+    def test_stream_is_gapless_per_shard(self, spark):
+        """Within a shard, each doc starts exactly where the previous one
+        ended (offset = previous cum_end) and sequence spans agree with
+        token counts — the invariant a shard-parallel writer relies on."""
+        from textextraction_spark.operators.packing import SEQ_LEN, pack_sequences
+
+        rows = pack_sequences(spark, SF).collect()
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, docs in by_shard.items():
+            docs.sort(key=lambda r: r.doc_id)
+            pos = 0
+            for r in docs:
+                assert r.offset == pos, (shard, r.doc_id)
+                assert r.first_seq == r.offset // SEQ_LEN
+                assert r.last_seq == (r.offset + r.n_tokens - 1) // SEQ_LEN
+                assert r.n_seqs == r.last_seq - r.first_seq + 1 >= 1
+                pos += r.n_tokens
+
+    def test_single_exchange_plan(self, spark):
+        """One hash exchange (by shard) — no global sort, no extra
+        shuffle; the 100 TB property the sharding exists to buy."""
+        from textextraction_spark.operators.packing import pack_sequences
+
+        plan = (
+            pack_sequences(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = sum(
+            plan.count(f"Exchange {kind}")
+            for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+        )
+        assert n == 1, plan
+
+
 class TestImageHeaderParse:
     """parse_image_dims is a REAL header decoder — it must handle genuine
     files beyond our minimal fixtures (JPEG with APP0/EXIF/COM segments
