@@ -91,7 +91,10 @@ QUERY_BASELINES = {
     "dedup_incremental": 0.85,
     "ann_brute_force_topk": 0.5,
     "text_profile": 0.55,
-    "doc_quality_signals": 0.7,
+    # moved 0.7 -> 2.1 when the decontamination branch joined the
+    # composite (tag-union adds a broadcast-join + hit-count subplan:
+    # 3 extra Spark stages of fixed overhead at the 500-row test scale)
+    "doc_quality_signals": 2.1,
     "q1_pricing_summary": 0.5,
     "media_metadata": 1.9,
 }
@@ -501,7 +504,42 @@ def main() -> None:
                 if c not in results or r["sec"] < results[c]["sec"]:
                     results[c] = r
             _mark(t_start, f"pair {i + 1}: {pair_rows[-1]}")
-        pair_effs.sort()
+        # ---- Pair repair (bounded): a pair whose BEST runs never went
+        # steal-clean sat entirely inside one hypervisor burst (the
+        # in-pair retries are seconds apart, bursts last minutes) — with
+        # two such pairs the median itself is polluted.  Re-measure the
+        # dirtiest pair after a wait, replace only if the re-run is
+        # cleaner, and mark the row as repaired (receipt honesty).
+        for _repair in range(2):
+            if (time.time() - t_start) > budget_s:
+                break
+            dirty = [
+                (max(p["steal4"], p["steal16"]), idx)
+                for idx, p in enumerate(pair_rows)
+                if max(p["steal4"], p["steal16"]) >= 3.0
+            ]
+            if not dirty:
+                break
+            _, idx = max(dirty)
+            time.sleep(20)
+            r4 = measure(4, max_attempts=2, clean_target=1)
+            r16 = measure(16, max_attempts=3, clean_target=2)
+            new_row = {
+                "local4_sec": r4["sec"], "local16_sec": r16["sec"],
+                "steal4": r4["steal_pct"], "steal16": r16["steal_pct"],
+                "window_ceiling": pair_rows[idx]["window_ceiling"],
+                "efficiency": round((r4["sec"] / r16["sec"]) / 4.0, 3),
+                "repaired": True,
+            }
+            if max(new_row["steal4"], new_row["steal16"]) < max(
+                pair_rows[idx]["steal4"], pair_rows[idx]["steal16"]
+            ):
+                pair_rows[idx] = new_row
+                for c, r in ((4, r4), (16, r16)):
+                    if c not in results or r["sec"] < results[c]["sec"]:
+                        results[c] = r
+            _mark(t_start, f"pair repair {idx}: {pair_rows[idx]}")
+        pair_effs = sorted(p["efficiency"] for p in pair_rows)
         n_p = len(pair_effs)
         # true median: average the middle two when the budget truncated
         # the loop to an even pair count (picking the upper element would
@@ -549,9 +587,13 @@ def main() -> None:
         scaling["pairs_4_to_16"] = pair_rows
         scaling["efficiency_4_to_16"] = eff_median
         scaling["machine_ceiling_4_to_16"] = ceiling.get("4_to_16")
+        # normalization divides by min(ceiling, 1): scaling efficiency
+        # cannot exceed 1, so a probe ceiling ABOVE 1 is its own noise
+        # (superlinear mp probe) and must not deflate the pipeline's
+        # normalized score
         if ceiling.get("4_to_16"):
             scaling["normalized_4_to_16"] = round(
-                eff_median / ceiling["4_to_16"], 3
+                eff_median / min(ceiling["4_to_16"], 1.0), 3
             )
         if 8 in results and 32 in results:
             eff_832 = round((results[8]["sec"] / results[32]["sec"]) / 4.0, 3)
@@ -559,7 +601,7 @@ def main() -> None:
             scaling["machine_ceiling_8_to_32"] = ceiling.get("8_to_32")
             if ceiling.get("8_to_32"):
                 scaling["normalized_8_to_32"] = round(
-                    eff_832 / ceiling["8_to_32"], 3
+                    eff_832 / min(ceiling["8_to_32"], 1.0), 3
                 )
         # Pinned sensitivity pair (budget-permitting): the strict-cpuset
         # variant the round-1 verdict asked to evaluate, with jvm_cpus

@@ -130,6 +130,55 @@ class TestPacking:
         assert n == 1, plan
 
 
+class TestDomainMix:
+    """domain_mix (epoch-weighted source mixing) — outside the 50-query
+    gate, full DuckDB value oracle here + the mix-realization invariant."""
+
+    def test_matches_oracle(self, spark):
+        from textextraction_spark.operators.packing import (
+            DOMAIN_MIX_ORACLE,
+            domain_mix,
+        )
+
+        got = domain_mix(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(DOMAIN_MIX_ORACLE).df()
+        problems = compare("domain_mix", got, want)
+        assert not problems, problems
+
+    def test_realizes_target_token_mix(self, spark):
+        """Replicated token counts per source must land near the target
+        weight shares (the operator's whole purpose).  Tolerance is loose
+        — the fractional part is a per-doc coin over ~25 docs/source."""
+        from textextraction_spark.operators.packing import domain_mix
+
+        rows = domain_mix(spark, SF).collect()
+        toks: dict = {}
+        for r in rows:
+            assert r.n_copies >= 0 and r.factor > 0
+            toks[r.source] = toks.get(r.source, 0) + r.n_tokens * r.n_copies
+        total = sum(toks.values())
+        w = {s: (int(s[3:]) % 4) + 1 for s in toks}
+        wsum = sum(w.values())
+        for s, t in toks.items():
+            assert abs(t / total - w[s] / wsum) < 0.03, (
+                s, t / total, w[s] / wsum)
+
+    def test_big_side_never_shuffles(self, spark):
+        """The corpus side must reach the output through broadcast joins
+        only — the lone exchanges belong to the tiny per-source aggregate
+        (hash by source + the single-row scalar fold)."""
+        from textextraction_spark.operators.packing import domain_mix
+
+        plan = (
+            domain_mix(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning(doc_id") == 0
+        assert "BroadcastHashJoin" in plan
+
+
 class TestImageHeaderParse:
     """parse_image_dims is a REAL header decoder — it must handle genuine
     files beyond our minimal fixtures (JPEG with APP0/EXIF/COM segments
