@@ -10,6 +10,8 @@ Local library use needs no zip (job/packaging.py self-ships).
 
 Modes:
   --input DIR           read a stored pages parquet/Iceberg table
+  --input-format warc   treat --input as a tree of .warc[.gz] segments
+                        (Common Crawl layout) instead of parquet
   --synthetic SF_DIR    build the deterministic pages table from a
                         testdata documents parquet (fixtures/bench)
   --streaming           run the Structured Streaming variant instead
@@ -38,8 +40,12 @@ def build_session(app: str, shuffle_partitions: int):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="pages parquet directory")
+    src.add_argument("--input", help="pages parquet directory (or WARC tree)")
     src.add_argument("--synthetic", help="testdata sf dir to synthesize pages from")
+    ap.add_argument(
+        "--input-format", choices=("parquet", "warc"), default="parquet",
+        help="storage format of --input (warc = Common Crawl segments)",
+    )
     ap.add_argument("--checkpoint", required=True, help="checkpoint root dir")
     ap.add_argument("--batch-id", default="batch-0")
     ap.add_argument("--partitions", type=int, default=64)
@@ -83,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
         from textextraction_spark.sources.pages import build_pages
 
         pages = build_pages(spark, args.synthetic)
+    elif args.input_format == "warc":
+        from textextraction_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input)
     else:
         pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
 

@@ -1,0 +1,113 @@
+"""WARC source/sink: round-trip fidelity, cross-source extraction
+equivalence (the north-rule byte-identical invariant must hold no matter
+which storage format the pages arrive in), parser robustness, and the
+zero-shuffle plan shape."""
+
+import gzip
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from textextraction_spark.job.extract import extract_pages
+from textextraction_spark.sources import build_pages
+from textextraction_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    warc_file_bytes,
+    write_warc_dir,
+)
+
+SF = "/root/testdata/sf0.001"
+TS = datetime(2026, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def _pages_min(spark):
+    return build_pages(spark, SF).select("url", "warc_ts", "html")
+
+
+class TestWarcRoundTrip:
+    def test_write_read_identical(self, spark, tmp_path):
+        src = _pages_min(spark).repartition(3)
+        manifest = write_warc_dir(src, str(tmp_path))
+        assert len(manifest) == 3
+        assert sum(r.n_records for r in manifest) == 500
+        back = read_warc(spark, str(tmp_path))
+        want = sorted(
+            (r.url, r.warc_ts, bytes(r.html)) for r in src.collect()
+        )
+        got = sorted(
+            (r.url, r.warc_ts, bytes(r.html)) for r in back.collect()
+        )
+        assert got == want  # urls, timestamps, AND payload bytes
+
+    def test_uncompressed_variant(self, spark, tmp_path):
+        src = _pages_min(spark).limit(20).coalesce(1)
+        write_warc_dir(src, str(tmp_path), compress=False)
+        assert read_warc(spark, str(tmp_path)).count() == 20
+
+    def test_extraction_identical_across_sources(self, spark, tmp_path):
+        """extract(parquet pages) == extract(the same pages via WARC):
+        the engine's output is a pure function of the document bytes, so
+        the storage format on the way in must not matter."""
+        src = _pages_min(spark).repartition(2)
+        write_warc_dir(src, str(tmp_path))
+        via_parquet = {
+            (r.url, r.extracted_text)
+            for r in extract_pages(src).select("url", "extracted_text").collect()
+        }
+        via_warc = {
+            (r.url, r.extracted_text)
+            for r in extract_pages(read_warc(spark, str(tmp_path)))
+            .select("url", "extracted_text")
+            .collect()
+        }
+        assert via_warc == via_parquet
+
+
+class TestWarcParser:
+    def _file(self, n=3, compress=True):
+        recs = [
+            (f"https://ex.com/{i}", TS, f"<body><p>doc {i}</p></body>".encode())
+            for i in range(n)
+        ]
+        return warc_file_bytes(recs, compress=compress), recs
+
+    def test_skips_warcinfo(self):
+        buf, recs = self._file()
+        got = list(iter_warc_records(buf))
+        assert [u for u, _, _ in got] == [u for u, _, _ in recs]
+        assert got[0][1] == TS
+        assert got[0][2] == recs[0][2]
+
+    def test_truncated_tail_skipped(self):
+        buf, recs = self._file(compress=False)
+        cut = buf[: buf.rfind(b"WARC/") + 40]  # mid-header of the last record
+        got = list(iter_warc_records(cut))
+        assert [u for u, _, _ in got] == [u for u, _, _ in recs[:-1]]
+
+    def test_multimember_gzip_layout(self):
+        # each record must be its OWN gzip member (Common Crawl layout):
+        # the file must contain one magic per record + warcinfo
+        buf, _ = self._file(n=4)
+        assert buf.count(b"\x1f\x8b\x08") == 5
+        assert len(list(iter_warc_records(buf))) == 4
+
+    def test_garbage_and_empty(self):
+        assert list(iter_warc_records(b"")) == []
+        assert list(iter_warc_records(b"not a warc file at all")) == []
+        assert list(iter_warc_records(gzip.compress(b"WARC/1.0\r\nno-length\r\n\r\n"))) == []
+
+
+class TestWarcPlan:
+    def test_zero_shuffle_scan_to_extract(self, spark, tmp_path):
+        """binaryFile scan -> parse -> extract kernel with NO Exchange:
+        file-granular parallelism is the whole scale story, so a shuffle
+        appearing here would be a regression."""
+        write_warc_dir(_pages_min(spark).coalesce(1), str(tmp_path))
+        plan = (
+            extract_pages(read_warc(spark, str(tmp_path)))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan

@@ -1,0 +1,257 @@
+"""WARC source/sink: Common Crawl's on-disk format, parsed straight into
+the ``pages`` table shape (and written back out for fixtures/interchange).
+
+The format is public (ISO 28500 / the WARC 1.1 spec; Common Crawl's
+layout = one gzip member per record, segment files of ~1 GB).  Reference
+parity: the reference service polls a directory for the files as they
+arrive (TextExtraction/Worker.cs FolderMonitor loop); the crawl-scale
+analog of that directory is a tree of WARC segments, which this module
+reads directly into ``pages(url, warc_ts, html)`` — no intermediate
+conversion job, so a user can point the extraction pipeline at a raw
+crawl.
+
+100 TB shape
+------------
+``.warc.gz`` is NOT splittable (gzip members carry no sync markers a
+generic splitter can find), so the unit of parallelism is the FILE —
+which is exactly why Common Crawl caps segments at ~1 GB: 100 TB is
+~100k files, far more tasks than any cluster has cores, so
+file-granular scheduling already saturates it.  The read side is a
+``binaryFile`` scan (one row per file, never split, whole-file bytes)
+followed by ONE ``mapInArrow`` pass (bytes in, record columns out, in
+bounded chunks); there is no shuffle anywhere, and extraction can run
+on the scan partitions directly.  Per-file memory is bounded by the
+segment size — the same bound every WARC consumer accepts — and record
+chunking keeps each emitted Arrow batch small regardless of file size.
+
+Scope: response records with an ``application/http`` payload (the
+record type that carries page bodies).  ``warcinfo`` / ``request`` /
+``metadata`` records are skipped, as is a truncated trailing record
+(crawl files do arrive truncated); ``Transfer-Encoding: chunked``
+payloads are out of scope (Common Crawl stores de-chunked bodies).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+from datetime import datetime, timezone
+
+_CRLF2 = b"\r\n\r\n"
+_TS_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+# pages-minimal schema: what the extraction kernel consumes.
+WARC_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
+
+# records per emitted Arrow batch on the read side (secondary bound —
+# the byte-level bound is the segment size itself)
+_CHUNK_RECORDS = 4096
+
+
+# --------------------------------------------------------------------------
+# record writer (pure function of (url, ts, html): deterministic fixtures)
+# --------------------------------------------------------------------------
+def warc_record_bytes(url: str, ts: datetime, html: bytes) -> bytes:
+    """One uncompressed WARC/1.0 response record wrapping a plain HTTP
+    response.  Deterministic: the record id derives from the url, the
+    date from ``ts`` — no wall clock, no uuid4."""
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Content-Length: " + str(len(html)).encode() + _CRLF2 + html
+    )
+    rec_id = hashlib.md5(url.encode("utf-8")).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime(_TS_FMT)}\r\n"
+        f"WARC-Record-ID: <urn:md5:{rec_id}>\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode("utf-8")
+    return head + b"\r\n" + http + _CRLF2
+
+
+def warcinfo_record_bytes(filename: str) -> bytes:
+    """The file-level warcinfo header record Common Crawl leads with —
+    written so the parser's skip path is exercised by every fixture."""
+    body = f"software: textextraction_spark\nwarc-file: {filename}\n".encode()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        f"WARC-Date: {datetime(2026, 1, 1, tzinfo=timezone.utc).strftime(_TS_FMT)}\r\n"
+        "Content-Type: application/warc-fields\r\n"
+        f"Content-Length: {len(body)}\r\n"
+    ).encode()
+    return head + b"\r\n" + body + _CRLF2
+
+
+def warc_file_bytes(
+    records: list[tuple[str, datetime, bytes]],
+    filename: str = "part.warc.gz",
+    compress: bool = True,
+) -> bytes:
+    """A full WARC file: warcinfo header + one record per page.  With
+    ``compress``, each record is its own gzip member (Common Crawl's
+    layout — members concatenate into a valid multi-member stream);
+    ``mtime=0`` keeps the bytes reproducible."""
+
+    def z(b: bytes) -> bytes:
+        return gzip.compress(b, 6, mtime=0) if compress else b
+
+    out = [z(warcinfo_record_bytes(filename))]
+    out.extend(z(warc_record_bytes(u, t, h)) for u, t, h in records)
+    return b"".join(out)
+
+
+# --------------------------------------------------------------------------
+# record parser (bytes of one file -> (url, ts, html) tuples)
+# --------------------------------------------------------------------------
+def _parse_headers(raw: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in raw.split(b"\r\n")[1:]:  # [0] is the WARC/1.x version line
+        k, sep, v = line.partition(b": ")
+        if sep:
+            headers[k.decode("latin-1").lower()] = v.decode("latin-1").strip()
+    return headers
+
+
+def iter_warc_records(buf: bytes):
+    """Yield ``(url, ts_datetime, html_bytes)`` for each response record.
+
+    Accepts gzipped (single- or multi-member) and plain files.  Non-
+    response records are skipped; a malformed or truncated tail ends the
+    iteration cleanly instead of raising (crawl segments do truncate).
+    """
+    if buf[:2] == b"\x1f\x8b":
+        buf = gzip.decompress(buf)  # stdlib handles concatenated members
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        start = buf.find(b"WARC/", pos)
+        if start < 0:
+            return
+        hend = buf.find(_CRLF2, start)
+        if hend < 0:
+            return
+        headers = _parse_headers(buf[start:hend])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            return  # unparseable record: stop rather than resync blindly
+        block_start = hend + len(_CRLF2)
+        block_end = block_start + length
+        if block_end > n:
+            return  # truncated tail
+        pos = block_end
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        date = headers.get("warc-date")
+        if not url or not date:
+            continue
+        try:
+            ts = datetime.strptime(date, _TS_FMT).replace(tzinfo=timezone.utc)
+        except ValueError:
+            continue
+        block = buf[block_start:block_end]
+        if headers.get("content-type", "").startswith("application/http"):
+            # strip the HTTP status line + headers; body follows \r\n\r\n
+            split = block.find(_CRLF2)
+            body = block[split + len(_CRLF2):] if split >= 0 else b""
+        else:
+            body = block
+        yield url, ts, body
+
+
+# --------------------------------------------------------------------------
+# Spark read: WARC directory -> pages-shaped DataFrame
+# --------------------------------------------------------------------------
+def _parse_file_batches(batches):
+    import pyarrow as pa
+
+    ts_type = pa.timestamp("us", tz="UTC")
+
+    def flush(urls, tss, htmls):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(tss, ts_type),
+                pa.array(htmls, pa.binary()),
+            ],
+            names=["url", "warc_ts", "html"],
+        )
+
+    for batch in batches:
+        for content in batch.column("content").to_pylist():
+            urls: list[str] = []
+            tss: list[datetime] = []
+            htmls: list[bytes] = []
+            for url, ts, html in iter_warc_records(content or b""):
+                urls.append(url)
+                tss.append(ts)
+                htmls.append(html)
+                if len(urls) >= _CHUNK_RECORDS:
+                    yield flush(urls, tss, htmls)
+                    urls, tss, htmls = [], [], []
+            if urls:
+                yield flush(urls, tss, htmls)
+
+
+def read_warc(spark, path: str):
+    """Directory (or glob) of ``.warc`` / ``.warc.gz`` files -> DataFrame
+    ``(url, warc_ts, html)`` ready for ``run_extraction_job`` /
+    ``extract_pages``.  One ``binaryFile`` scan (file-granular tasks, no
+    splitting) + one ``mapInArrow`` parse; zero shuffles."""
+    from textextraction_spark.job.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("content")
+    )
+    return files.mapInArrow(_parse_file_batches, schema=WARC_PAGES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Spark write: pages-shaped DataFrame -> one WARC file per partition
+# --------------------------------------------------------------------------
+def write_warc_dir(df, out_dir: str, compress: bool = True):
+    """Write ``(url, warc_ts, html)`` out as ``part-{pid}.warc.gz`` files,
+    one per partition, returning the (tiny) per-file manifest as a list
+    of Rows ``(path, n_records)``.
+
+    Partition-granular imperative IO is the standard lane for
+    non-columnar sinks (an object-store client would sit in the same
+    loop on a real cluster); the transform itself stays batch-vectorized
+    via ``mapInPandas``, and the only thing collected is the manifest —
+    one row per FILE, never per record."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(pdfs):
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}.warc" + (".gz" if compress else "")
+        records: list[tuple[str, datetime, bytes]] = []
+        for pdf in pdfs:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                if t.tzinfo is None:
+                    t = t.replace(tzinfo=timezone.utc)
+                records.append((url, t, bytes(html)))
+        path = os.path.join(out_dir, name)
+        if records:
+            with open(path, "wb") as f:
+                f.write(warc_file_bytes(records, filename=name, compress=compress))
+            yield pd.DataFrame({"path": [path], "n_records": [len(records)]})
+
+    manifest = df.select("url", "warc_ts", "html").mapInPandas(
+        _write, schema="path string, n_records long"
+    )
+    return manifest.collect()
