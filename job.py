@@ -64,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stream-checkpoint", help="streaming offsets dir")
     args = ap.parse_args(argv)
 
+    if args.input_format == "warc" and (args.streaming or args.synthetic):
+        ap.error("--input-format warc applies only to batch --input")
+
     spark = build_session("textextraction-job", args.partitions)
     spark.sparkContext.setLogLevel("WARN")
 

@@ -45,6 +45,24 @@ class TestWarcRoundTrip:
         write_warc_dir(src, str(tmp_path), compress=False)
         assert read_warc(spark, str(tmp_path)).count() == 20
 
+    def test_nested_segment_tree(self, spark, tmp_path):
+        """Common Crawl nests segments (segments/<seg>/warc/*.warc.gz);
+        the reader must recurse instead of silently yielding 0 rows."""
+        src = _pages_min(spark).limit(30).coalesce(1)
+        write_warc_dir(src, str(tmp_path / "segments" / "s1" / "warc"))
+        assert read_warc(spark, str(tmp_path)).count() == 30
+
+    def test_streaming_warc_combination_rejected(self):
+        import pytest
+
+        from job import main
+
+        with pytest.raises(SystemExit):
+            main([
+                "--streaming", "--input", "/tmp/x", "--input-format", "warc",
+                "--checkpoint", "/tmp/c", "--stream-checkpoint", "/tmp/s",
+            ])
+
     def test_extraction_identical_across_sources(self, spark, tmp_path):
         """extract(parquet pages) == extract(the same pages via WARC):
         the engine's output is a pure function of the document bytes, so
@@ -96,6 +114,40 @@ class TestWarcParser:
         assert list(iter_warc_records(b"")) == []
         assert list(iter_warc_records(b"not a warc file at all")) == []
         assert list(iter_warc_records(gzip.compress(b"WARC/1.0\r\nno-length\r\n\r\n"))) == []
+
+    def test_truncated_gzip_member_tolerated(self):
+        """The real CC truncation mode is a cut GZIP file — earlier
+        members must still parse instead of the task raising EOFError."""
+        buf, recs = self._file(n=4)
+        got = list(iter_warc_records(buf[: len(buf) - 30]))
+        assert 1 <= len(got) < 4
+        assert got[0][0] == recs[0][0]
+
+    def test_trailing_garbage_after_members(self):
+        buf, recs = self._file(n=2)
+        got = list(iter_warc_records(buf + b"\x00garbage tail\xff"))
+        assert [u for u, _, _ in got] == [u for u, _, _ in recs]
+
+    def test_header_without_space_after_colon(self):
+        """WARC grammar: name ':' [SP] value — the space is optional."""
+        rec = warc_file_bytes([("https://x.com/a", TS, b"<p>a</p>")], compress=False)
+        rec = rec.replace(b"Content-Length: ", b"Content-Length:")
+        got = list(iter_warc_records(rec))
+        assert [u for u, _, _ in got] == ["https://x.com/a"]
+
+    def test_fractional_second_warc_date(self):
+        """WARC 1.1 tools (warcio, modern wget) write fractional seconds."""
+        rec = warc_file_bytes([("https://x.com/f", TS, b"<p>f</p>")], compress=False)
+        rec = rec.replace(b"2026-03-01T12:00:00Z", b"2026-03-01T12:00:00.123456Z")
+        got = list(iter_warc_records(rec))
+        assert len(got) == 1
+        assert got[0][1].microsecond == 123456
+
+    def test_non_ascii_url_roundtrip(self):
+        url = "https://ex.com/café/über"
+        buf = warc_file_bytes([(url, TS, b"<p>x</p>")])
+        got = list(iter_warc_records(buf))
+        assert got[0][0] == url
 
 
 class TestWarcPlan:

@@ -36,6 +36,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import os
+import zlib
 from datetime import datetime, timezone
 
 _CRLF2 = b"\r\n\r\n"
@@ -109,13 +110,52 @@ def warc_file_bytes(
 # --------------------------------------------------------------------------
 # record parser (bytes of one file -> (url, ts, html) tuples)
 # --------------------------------------------------------------------------
+def _gunzip_members(buf: bytes) -> bytes:
+    """Concatenated-member gunzip that TOLERATES a truncated final member
+    or trailing garbage (both real Common-Crawl failure modes): whatever
+    decompressed before the defect is returned instead of raising."""
+    out: list[bytes] = []
+    while buf:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(buf))
+            out.append(d.flush())
+        except zlib.error:
+            break  # corrupt member / trailing garbage
+        if not d.eof:
+            break  # truncated final member: keep the partial bytes
+        buf = d.unused_data
+    return b"".join(out)
+
+
+def _hdecode(b: bytes) -> str:
+    # WARC headers are UTF-8 per spec; fall back to latin-1 so a stray
+    # byte degrades one value instead of dropping the record
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _parse_headers(raw: bytes) -> dict[str, str]:
     headers: dict[str, str] = {}
     for line in raw.split(b"\r\n")[1:]:  # [0] is the WARC/1.x version line
-        k, sep, v = line.partition(b": ")
+        # grammar is name ":" [SP] value — the space is optional
+        k, sep, v = line.partition(b":")
         if sep:
-            headers[k.decode("latin-1").lower()] = v.decode("latin-1").strip()
+            headers[_hdecode(k).lower()] = _hdecode(v).strip()
     return headers
+
+
+def _parse_warc_date(date: str) -> datetime | None:
+    try:
+        return datetime.strptime(date, _TS_FMT).replace(tzinfo=timezone.utc)
+    except ValueError:
+        pass
+    try:  # WARC 1.1 allows fractional seconds (warcio, modern wget)
+        return datetime.fromisoformat(date.replace("Z", "+00:00"))
+    except ValueError:
+        return None
 
 
 def iter_warc_records(buf: bytes):
@@ -126,7 +166,7 @@ def iter_warc_records(buf: bytes):
     iteration cleanly instead of raising (crawl segments do truncate).
     """
     if buf[:2] == b"\x1f\x8b":
-        buf = gzip.decompress(buf)  # stdlib handles concatenated members
+        buf = _gunzip_members(buf)
     pos = 0
     n = len(buf)
     while pos < n:
@@ -152,9 +192,8 @@ def iter_warc_records(buf: bytes):
         date = headers.get("warc-date")
         if not url or not date:
             continue
-        try:
-            ts = datetime.strptime(date, _TS_FMT).replace(tzinfo=timezone.utc)
-        except ValueError:
+        ts = _parse_warc_date(date)
+        if ts is None:
             continue
         block = buf[block_start:block_end]
         if headers.get("content-type", "").startswith("application/http"):
@@ -185,7 +224,12 @@ def _parse_file_batches(batches):
         )
 
     for batch in batches:
-        for content in batch.column("content").to_pylist():
+        col = batch.column("content")
+        for i in range(len(col)):
+            # one file's bytes live at a time (as_py per row, never
+            # to_pylist of the whole batch): peak per-task memory is one
+            # segment + its decompressed form, as documented
+            content = col[i].as_py()
             urls: list[str] = []
             tss: list[datetime] = []
             htmls: list[bytes] = []
@@ -211,6 +255,8 @@ def read_warc(spark, path: str):
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
+        # Common Crawl's layout nests segments (segments/<seg>/warc/*)
+        .option("recursiveFileLookup", "true")
         .load(path)
         .select("content")
     )
