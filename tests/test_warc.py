@@ -11,8 +11,11 @@ from pyspark.sql import functions as F
 from textextraction_spark.job.extract import extract_pages
 from textextraction_spark.sources import build_pages
 from textextraction_spark.sources.warc import (
+    cdx_lookup,
     iter_warc_records,
     read_warc,
+    read_warc_member,
+    surt_key,
     warc_file_bytes,
     write_warc_dir,
 )
@@ -148,6 +151,51 @@ class TestWarcParser:
         buf = warc_file_bytes([(url, TS, b"<p>x</p>")])
         got = list(iter_warc_records(buf))
         assert got[0][0] == url
+
+
+class TestCdxIndex:
+    def test_surt_key(self):
+        assert surt_key("https://heavy.example.com/d/1") == "com,example,heavy)/d/1"
+        assert surt_key("http://User@WWW.Ex.COM:8080/a?b=c") == "com,ex,www)/a?b=c"
+        assert surt_key("https://ex.com") == "com,ex)/"
+
+    def test_every_capture_fetchable_by_ranged_read(self, spark, tmp_path):
+        """The CDX contract: each (filename, offset, length) addresses
+        exactly one record's gzip member — a single ranged read must
+        reproduce the capture byte-for-byte."""
+        src = _pages_min(spark).repartition(3)
+        write_warc_dir(src, str(tmp_path))
+        want = {r.url: bytes(r.html) for r in src.collect()}
+        idx = spark.read.parquet(str(tmp_path / "cdx")).collect()
+        assert len(idx) == len(want)
+        for r in idx[::25]:  # sample: 1 ranged read per checked capture
+            url, ts, html = read_warc_member(
+                str(tmp_path / r.filename), r.offset, r.length
+            )
+            assert url == r.url and html == want[r.url]
+            assert surt_key(r.url) == r.surt
+
+    def test_cdx_lookup_pushes_filter(self, spark, tmp_path):
+        src = _pages_min(spark).limit(50).coalesce(1)
+        write_warc_dir(src, str(tmp_path))
+        url = src.collect()[7].url
+        got = cdx_lookup(spark, str(tmp_path), url)
+        assert got is not None and got[0] == url
+        plan = (
+            spark.read.parquet(str(tmp_path / "cdx"))
+            .filter(F.col("url") == url)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [IsNotNull(url), EqualTo(url" in plan, plan
+
+    def test_cdx_excluded_from_page_scan(self, spark, tmp_path):
+        """The cdx/ parquet lives inside the segment tree; the recursive
+        WARC reader must not try to parse it as WARC."""
+        src = _pages_min(spark).limit(40).coalesce(1)
+        write_warc_dir(src, str(tmp_path))
+        assert read_warc(spark, str(tmp_path)).count() == 40
 
 
 class TestWarcPlan:

@@ -89,22 +89,51 @@ def warcinfo_record_bytes(filename: str) -> bytes:
     return head + b"\r\n" + body + _CRLF2
 
 
-def warc_file_bytes(
+def surt_key(url: str) -> str:
+    """Sort-friendly Reversed URI (SURT), the key CDX indexes sort by:
+    ``https://heavy.example.com/d/1`` -> ``com,example,heavy)/d/1``.
+    Reversing the host groups a domain's captures contiguously, which is
+    what makes a range-partitioned index answer per-domain queries with
+    partition pruning instead of a full scan."""
+    rest = url.split("://", 1)[-1]
+    host, slash, path = rest.partition("/")
+    host = host.split("@")[-1].split(":")[0].lower()
+    return ",".join(reversed(host.split("."))) + ")" + (slash + path if slash else "/")
+
+
+def warc_file_with_index(
     records: list[tuple[str, datetime, bytes]],
     filename: str = "part.warc.gz",
     compress: bool = True,
-) -> bytes:
-    """A full WARC file: warcinfo header + one record per page.  With
-    ``compress``, each record is its own gzip member (Common Crawl's
-    layout — members concatenate into a valid multi-member stream);
-    ``mtime=0`` keeps the bytes reproducible."""
+) -> tuple[bytes, list[tuple[str, str, datetime, int, int]]]:
+    """A full WARC file plus its capture index.  With ``compress``, each
+    record is its own gzip member (Common Crawl's layout — members
+    concatenate into a valid multi-member stream) and ``mtime=0`` keeps
+    the bytes reproducible.  The index rows are
+    ``(surt, url, ts, offset, length)`` where offset/length address the
+    record's member inside the file — the CDX contract that makes a
+    single capture fetchable with one ranged read."""
 
     def z(b: bytes) -> bytes:
         return gzip.compress(b, 6, mtime=0) if compress else b
 
     out = [z(warcinfo_record_bytes(filename))]
-    out.extend(z(warc_record_bytes(u, t, h)) for u, t, h in records)
-    return b"".join(out)
+    pos = len(out[0])
+    index: list[tuple[str, str, datetime, int, int]] = []
+    for u, t, h in records:
+        member = z(warc_record_bytes(u, t, h))
+        index.append((surt_key(u), u, t, pos, len(member)))
+        out.append(member)
+        pos += len(member)
+    return b"".join(out), index
+
+
+def warc_file_bytes(
+    records: list[tuple[str, datetime, bytes]],
+    filename: str = "part.warc.gz",
+    compress: bool = True,
+) -> bytes:
+    return warc_file_with_index(records, filename, compress)[0]
 
 
 # --------------------------------------------------------------------------
@@ -266,7 +295,13 @@ def read_warc(spark, path: str):
 # --------------------------------------------------------------------------
 # Spark write: pages-shaped DataFrame -> one WARC file per partition
 # --------------------------------------------------------------------------
-def write_warc_dir(df, out_dir: str, compress: bool = True):
+CDX_SCHEMA = (
+    "surt string, url string, warc_ts timestamp, "
+    "filename string, offset long, length long"
+)
+
+
+def write_warc_dir(df, out_dir: str, compress: bool = True, index: bool = True):
     """Write ``(url, warc_ts, html)`` out as ``part-{pid}.warc.gz`` files,
     one per partition, returning the (tiny) per-file manifest as a list
     of Rows ``(path, n_records)``.
@@ -274,10 +309,16 @@ def write_warc_dir(df, out_dir: str, compress: bool = True):
     Partition-granular imperative IO is the standard lane for
     non-columnar sinks (an object-store client would sit in the same
     loop on a real cluster); the transform itself stays batch-vectorized
-    via ``mapInPandas``, and the only thing collected is the manifest —
-    one row per FILE, never per record."""
+    via ``mapInPandas``.  With ``index=True`` (default) the per-record
+    capture index — ``(surt, url, warc_ts, filename, offset, length)``,
+    the CDX contract Common Crawl publishes alongside its crawls — is
+    the mapInPandas OUTPUT and is written to ``{out_dir}/cdx`` as
+    parquet by Spark itself: the index of a 100 TB crawl is billions of
+    rows and stays fully distributed; the only driver-side collect is
+    the per-FILE manifest aggregated from it."""
     import pandas as pd
     from pyspark import TaskContext
+    from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -291,13 +332,75 @@ def write_warc_dir(df, out_dir: str, compress: bool = True):
                 if t.tzinfo is None:
                     t = t.replace(tzinfo=timezone.utc)
                 records.append((url, t, bytes(html)))
-        path = os.path.join(out_dir, name)
-        if records:
-            with open(path, "wb") as f:
-                f.write(warc_file_bytes(records, filename=name, compress=compress))
-            yield pd.DataFrame({"path": [path], "n_records": [len(records)]})
+        if not records:
+            return
+        buf, idx = warc_file_with_index(records, filename=name, compress=compress)
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(buf)
+        yield pd.DataFrame(
+            {
+                "surt": [r[0] for r in idx],
+                "url": [r[1] for r in idx],
+                "warc_ts": [r[2] for r in idx],
+                "filename": name,
+                "offset": [r[3] for r in idx],
+                "length": [r[4] for r in idx],
+            }
+        )
 
-    manifest = df.select("url", "warc_ts", "html").mapInPandas(
-        _write, schema="path string, n_records long"
+    cdx = df.select("url", "warc_ts", "html").mapInPandas(_write, schema=CDX_SCHEMA)
+    if index:
+        # the parquet write is the action that drives the segment writes
+        cdx.write.mode("overwrite").parquet(os.path.join(out_dir, "cdx"))
+        manifest = (
+            df.sparkSession.read.parquet(os.path.join(out_dir, "cdx"))
+            .groupBy("filename")
+            .agg(F.count("*").alias("n_records"))
+            .collect()
+        )
+    else:
+        manifest = (
+            cdx.groupBy("filename").agg(F.count("*").alias("n_records")).collect()
+        )
+    return sorted(
+        [
+            type(r)(
+                path=os.path.join(out_dir, r.filename), n_records=r.n_records
+            )
+            for r in manifest
+        ]
     )
-    return manifest.collect()
+
+
+# --------------------------------------------------------------------------
+# CDX random access: one ranged read per capture (the reference's
+# single-document readback, at crawl scale)
+# --------------------------------------------------------------------------
+def read_warc_member(path: str, offset: int, length: int):
+    """Fetch ONE capture by its index entry: a single ranged read of the
+    record's gzip member (what an object store serves as a Range GET),
+    parsed in isolation.  Returns ``(url, ts, html)`` or None."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        buf = f.read(length)
+    for rec in iter_warc_records(buf):
+        return rec
+    return None
+
+
+def cdx_lookup(spark, out_dir: str, url: str):
+    """Point lookup through the parquet CDX: the url equality predicate
+    pushes down to the parquet scan (row-group pruning — no full index
+    scan), then ONE ranged read fetches the capture."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(os.path.join(out_dir, "cdx"))
+        .filter(F.col("url") == url)
+        .select("filename", "offset", "length")
+        .collect()
+    )
+    if not rows:
+        return None
+    r = rows[0]
+    return read_warc_member(os.path.join(out_dir, r.filename), r.offset, r.length)
