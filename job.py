@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
         help="after the batch commits, export the corpus as gzip JSONL shards",
     )
     ap.add_argument("--export-shards", type=int, default=8)
+    ap.add_argument(
+        "--export-wet", metavar="DIR",
+        help="after the batch commits, export extracted text as WET "
+        "segments (WARC conversion records + CDX index)",
+    )
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--stream-checkpoint", help="streaming offsets dir")
     args = ap.parse_args(argv)
@@ -119,6 +124,14 @@ def main(argv: list[str] | None = None) -> int:
             results.select("url", "extracted_text", "confidence"),
             args.export_jsonl,
             n_shards=args.export_shards,
+        )
+    if args.export_wet:
+        from textextraction_spark.io.checkpoint import CheckpointCatalog
+        from textextraction_spark.sources.warc import write_wet_dir
+
+        results = CheckpointCatalog(args.checkpoint).results(spark)
+        write_wet_dir(
+            results.select("url", "warc_ts", "extracted_text"), args.export_wet
         )
     return 0
 

@@ -198,6 +198,60 @@ class TestCdxIndex:
         assert read_warc(spark, str(tmp_path)).count() == 40
 
 
+class TestWet:
+    def test_wet_roundtrip_of_extraction_output(self, spark, tmp_path):
+        """extract -> WET segments -> read back: the published text form
+        must reproduce the engine's output exactly."""
+        from textextraction_spark.sources.warc import read_wet, write_wet_dir
+
+        results = extract_pages(_pages_min(spark)).select(
+            "url", "warc_ts", "extracted_text"
+        )
+        manifest = write_wet_dir(results.repartition(2), str(tmp_path))
+        assert sum(r.n_records for r in manifest) == 500
+        assert all(r.path.endswith(".warc.wet.gz") for r in manifest)
+        want = {(r.url, r.extracted_text) for r in results.collect()}
+        got = {
+            (r.url, r.extracted_text)
+            for r in read_wet(spark, str(tmp_path)).collect()
+        }
+        assert got == want
+
+    def test_wet_invisible_to_page_reader_and_vice_versa(self, spark, tmp_path):
+        """response vs conversion record types keep the two readers
+        disjoint even when segments share a tree."""
+        from textextraction_spark.sources.warc import read_wet, write_wet_dir
+
+        pages = _pages_min(spark).limit(25).coalesce(1)
+        write_warc_dir(pages, str(tmp_path / "warc"))
+        write_wet_dir(
+            extract_pages(pages).select("url", "warc_ts", "extracted_text"),
+            str(tmp_path / "wet"),
+        )
+        assert read_warc(spark, str(tmp_path)).count() == 25
+        assert read_wet(spark, str(tmp_path)).count() == 25
+
+    def test_wet_cdx_ranged_read(self, spark, tmp_path):
+        from textextraction_spark.sources.warc import write_wet_dir
+
+        results = extract_pages(_pages_min(spark).limit(30)).select(
+            "url", "warc_ts", "extracted_text"
+        )
+        write_wet_dir(results.coalesce(1), str(tmp_path))
+        want = {r.url: r.extracted_text for r in results.collect()}
+        r = spark.read.parquet(str(tmp_path / "cdx")).collect()[11]
+        got = read_warc_member(str(tmp_path / r.filename), r.offset, r.length)
+        assert got is None  # response reader skips conversion records
+        from textextraction_spark.sources.warc import iter_warc_records
+
+        with open(str(tmp_path / r.filename), "rb") as f:
+            f.seek(r.offset)
+            buf = f.read(r.length)
+        recs = list(iter_warc_records(buf, ("conversion",)))
+        assert recs[0][0] == r.url
+        assert recs[0][2].decode("utf-8") == want[r.url]
+
+
 class TestWarcPlan:
     def test_zero_shuffle_scan_to_extract(self, spark, tmp_path):
         """binaryFile scan -> parse -> extract kernel with NO Exchange:

@@ -1,2 +1,7 @@
 from textextraction_spark.sources.pages import build_pages  # noqa: F401
-from textextraction_spark.sources.warc import read_warc, write_warc_dir  # noqa: F401
+from textextraction_spark.sources.warc import (  # noqa: F401
+    read_warc,
+    read_wet,
+    write_warc_dir,
+    write_wet_dir,
+)

@@ -75,6 +75,24 @@ def warc_record_bytes(url: str, ts: datetime, html: bytes) -> bytes:
     return head + b"\r\n" + http + _CRLF2
 
 
+def wet_record_bytes(url: str, ts: datetime, text: str) -> bytes:
+    """One WARC *conversion* record — the WET form Common Crawl publishes
+    for extracted plain text, i.e. exactly what this engine produces.
+    The payload is the raw UTF-8 text; no HTTP envelope."""
+    body = text.encode("utf-8")
+    rec_id = hashlib.md5(url.encode("utf-8")).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime(_TS_FMT)}\r\n"
+        f"WARC-Refers-To: <urn:md5:{rec_id}>\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n"
+    ).encode("utf-8")
+    return head + b"\r\n" + body + _CRLF2
+
+
 def warcinfo_record_bytes(filename: str) -> bytes:
     """The file-level warcinfo header record Common Crawl leads with —
     written so the parser's skip path is exercised by every fixture."""
@@ -105,6 +123,7 @@ def warc_file_with_index(
     records: list[tuple[str, datetime, bytes]],
     filename: str = "part.warc.gz",
     compress: bool = True,
+    rec_fn=warc_record_bytes,
 ) -> tuple[bytes, list[tuple[str, str, datetime, int, int]]]:
     """A full WARC file plus its capture index.  With ``compress``, each
     record is its own gzip member (Common Crawl's layout — members
@@ -112,7 +131,9 @@ def warc_file_with_index(
     the bytes reproducible.  The index rows are
     ``(surt, url, ts, offset, length)`` where offset/length address the
     record's member inside the file — the CDX contract that makes a
-    single capture fetchable with one ranged read."""
+    single capture fetchable with one ranged read.  ``rec_fn`` selects
+    the record form (response pages by default; ``wet_record_bytes``
+    for extracted-text conversion records)."""
 
     def z(b: bytes) -> bytes:
         return gzip.compress(b, 6, mtime=0) if compress else b
@@ -121,7 +142,7 @@ def warc_file_with_index(
     pos = len(out[0])
     index: list[tuple[str, str, datetime, int, int]] = []
     for u, t, h in records:
-        member = z(warc_record_bytes(u, t, h))
+        member = z(rec_fn(u, t, h))
         index.append((surt_key(u), u, t, pos, len(member)))
         out.append(member)
         pos += len(member)
@@ -187,11 +208,13 @@ def _parse_warc_date(date: str) -> datetime | None:
         return None
 
 
-def iter_warc_records(buf: bytes):
-    """Yield ``(url, ts_datetime, html_bytes)`` for each response record.
+def iter_warc_records(buf: bytes, record_types: tuple[str, ...] = ("response",)):
+    """Yield ``(url, ts_datetime, payload_bytes)`` for each record whose
+    ``WARC-Type`` is in ``record_types`` (responses by default;
+    ``("conversion",)`` reads WET text records).
 
-    Accepts gzipped (single- or multi-member) and plain files.  Non-
-    response records are skipped; a malformed or truncated tail ends the
+    Accepts gzipped (single- or multi-member) and plain files.  Other
+    record types are skipped; a malformed or truncated tail ends the
     iteration cleanly instead of raising (crawl segments do truncate).
     """
     if buf[:2] == b"\x1f\x8b":
@@ -215,7 +238,7 @@ def iter_warc_records(buf: bytes):
         if block_end > n:
             return  # truncated tail
         pos = block_end
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") not in record_types:
             continue
         url = headers.get("warc-target-uri")
         date = headers.get("warc-date")
@@ -237,19 +260,20 @@ def iter_warc_records(buf: bytes):
 # --------------------------------------------------------------------------
 # Spark read: WARC directory -> pages-shaped DataFrame
 # --------------------------------------------------------------------------
-def _parse_file_batches(batches):
+def _parse_batches_gen(batches, record_types, payload_name, text_mode):
     import pyarrow as pa
 
     ts_type = pa.timestamp("us", tz="UTC")
+    payload_type = pa.string() if text_mode else pa.binary()
 
-    def flush(urls, tss, htmls):
+    def flush(urls, tss, payloads):
         return pa.RecordBatch.from_arrays(
             [
                 pa.array(urls, pa.string()),
                 pa.array(tss, ts_type),
-                pa.array(htmls, pa.binary()),
+                pa.array(payloads, payload_type),
             ],
-            names=["url", "warc_ts", "html"],
+            names=["url", "warc_ts", payload_name],
         )
 
     for batch in batches:
@@ -261,16 +285,26 @@ def _parse_file_batches(batches):
             content = col[i].as_py()
             urls: list[str] = []
             tss: list[datetime] = []
-            htmls: list[bytes] = []
-            for url, ts, html in iter_warc_records(content or b""):
+            payloads: list = []
+            for url, ts, body in iter_warc_records(content or b"", record_types):
                 urls.append(url)
                 tss.append(ts)
-                htmls.append(html)
+                payloads.append(
+                    body.decode("utf-8", errors="replace") if text_mode else body
+                )
                 if len(urls) >= _CHUNK_RECORDS:
-                    yield flush(urls, tss, htmls)
-                    urls, tss, htmls = [], [], []
+                    yield flush(urls, tss, payloads)
+                    urls, tss, payloads = [], [], []
             if urls:
-                yield flush(urls, tss, htmls)
+                yield flush(urls, tss, payloads)
+
+
+def _parse_file_batches(batches):
+    yield from _parse_batches_gen(batches, ("response",), "html", False)
+
+
+def _parse_wet_batches(batches):
+    yield from _parse_batches_gen(batches, ("conversion",), "extracted_text", True)
 
 
 def read_warc(spark, path: str):
@@ -301,40 +335,31 @@ CDX_SCHEMA = (
 )
 
 
-def write_warc_dir(df, out_dir: str, compress: bool = True, index: bool = True):
-    """Write ``(url, warc_ts, html)`` out as ``part-{pid}.warc.gz`` files,
-    one per partition, returning the (tiny) per-file manifest as a list
-    of Rows ``(path, n_records)``.
-
-    Partition-granular imperative IO is the standard lane for
-    non-columnar sinks (an object-store client would sit in the same
-    loop on a real cluster); the transform itself stays batch-vectorized
-    via ``mapInPandas``.  With ``index=True`` (default) the per-record
-    capture index — ``(surt, url, warc_ts, filename, offset, length)``,
-    the CDX contract Common Crawl publishes alongside its crawls — is
-    the mapInPandas OUTPUT and is written to ``{out_dir}/cdx`` as
-    parquet by Spark itself: the index of a 100 TB crawl is billions of
-    rows and stays fully distributed; the only driver-side collect is
-    the per-FILE manifest aggregated from it."""
+def _write_segment_dir(
+    df, out_dir: str, compress: bool, index: bool, value_col: str, rec_fn, ext: str
+):
     import pandas as pd
     from pyspark import TaskContext
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    binary = value_col == "html"
 
     def _write(pdfs):
         pid = TaskContext.get().partitionId()
-        name = f"part-{pid:05d}.warc" + (".gz" if compress else "")
-        records: list[tuple[str, datetime, bytes]] = []
+        name = f"part-{pid:05d}{ext}" + (".gz" if compress else "")
+        records: list[tuple[str, datetime, object]] = []
         for pdf in pdfs:
-            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+            for url, ts, val in zip(pdf["url"], pdf["warc_ts"], pdf[value_col]):
                 t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
                 if t.tzinfo is None:
                     t = t.replace(tzinfo=timezone.utc)
-                records.append((url, t, bytes(html)))
+                records.append((url, t, bytes(val) if binary else str(val)))
         if not records:
             return
-        buf, idx = warc_file_with_index(records, filename=name, compress=compress)
+        buf, idx = warc_file_with_index(
+            records, filename=name, compress=compress, rec_fn=rec_fn
+        )
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(buf)
         yield pd.DataFrame(
@@ -348,7 +373,9 @@ def write_warc_dir(df, out_dir: str, compress: bool = True, index: bool = True):
             }
         )
 
-    cdx = df.select("url", "warc_ts", "html").mapInPandas(_write, schema=CDX_SCHEMA)
+    cdx = df.select("url", "warc_ts", value_col).mapInPandas(
+        _write, schema=CDX_SCHEMA
+    )
     if index:
         # the parquet write is the action that drives the segment writes
         cdx.write.mode("overwrite").parquet(os.path.join(out_dir, "cdx"))
@@ -369,6 +396,55 @@ def write_warc_dir(df, out_dir: str, compress: bool = True, index: bool = True):
             )
             for r in manifest
         ]
+    )
+
+
+def write_warc_dir(df, out_dir: str, compress: bool = True, index: bool = True):
+    """Write ``(url, warc_ts, html)`` out as ``part-{pid}.warc.gz`` files,
+    one per partition, returning the (tiny) per-file manifest as a list
+    of Rows ``(path, n_records)``.
+
+    Partition-granular imperative IO is the standard lane for
+    non-columnar sinks (an object-store client would sit in the same
+    loop on a real cluster); the transform itself stays batch-vectorized
+    via ``mapInPandas``.  With ``index=True`` (default) the per-record
+    capture index — ``(surt, url, warc_ts, filename, offset, length)``,
+    the CDX contract Common Crawl publishes alongside its crawls — is
+    the mapInPandas OUTPUT and is written to ``{out_dir}/cdx`` as
+    parquet by Spark itself: the index of a 100 TB crawl is billions of
+    rows and stays fully distributed; the only driver-side collect is
+    the per-FILE manifest aggregated from it."""
+    return _write_segment_dir(
+        df, out_dir, compress, index, "html", warc_record_bytes, ".warc"
+    )
+
+
+def write_wet_dir(df, out_dir: str, compress: bool = True, index: bool = True):
+    """Write extraction RESULTS ``(url, warc_ts, extracted_text)`` as WET
+    segments (``part-{pid}.warc.wet.gz``, WARC *conversion* records) —
+    the format Common Crawl publishes extracted plain text in, i.e. the
+    interchange form of exactly what this engine computes.  Same
+    layout, CDX index, and manifest contract as ``write_warc_dir``."""
+    return _write_segment_dir(
+        df, out_dir, compress, index, "extracted_text", wet_record_bytes, ".warc.wet"
+    )
+
+
+def read_wet(spark, path: str):
+    """WET segments -> DataFrame ``(url, warc_ts, extracted_text)``.
+    Same zero-shuffle binaryFile + mapInArrow shape as ``read_warc``."""
+    from textextraction_spark.job.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet*")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("content")
+    )
+    return files.mapInArrow(
+        _parse_wet_batches, schema="url string, warc_ts timestamp, extracted_text string"
     )
 
 
