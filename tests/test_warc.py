@@ -158,6 +158,8 @@ class TestCdxIndex:
         assert surt_key("https://heavy.example.com/d/1") == "com,example,heavy)/d/1"
         assert surt_key("http://User@WWW.Ex.COM:8080/a?b=c") == "com,ex,www)/a?b=c"
         assert surt_key("https://ex.com") == "com,ex)/"
+        # query with no path segment: ? binds to the host token
+        assert surt_key("https://ex.com?page=2") == "com,ex)/?page=2"
 
     def test_every_capture_fetchable_by_ranged_read(self, spark, tmp_path):
         """The CDX contract: each (filename, offset, length) addresses
@@ -239,7 +241,7 @@ class TestWet:
         )
         write_wet_dir(results.coalesce(1), str(tmp_path))
         want = {r.url: r.extracted_text for r in results.collect()}
-        r = spark.read.parquet(str(tmp_path / "cdx")).collect()[11]
+        r = spark.read.parquet(str(tmp_path / "cdx-wet")).collect()[11]
         got = read_warc_member(str(tmp_path / r.filename), r.offset, r.length)
         assert got is None  # response reader skips conversion records
         from textextraction_spark.sources.warc import iter_warc_records
@@ -250,6 +252,53 @@ class TestWet:
         recs = list(iter_warc_records(buf, ("conversion",)))
         assert recs[0][0] == r.url
         assert recs[0][2].decode("utf-8") == want[r.url]
+
+    def test_shared_tree_indexes_do_not_clobber(self, spark, tmp_path):
+        """Pages and their WET export written to the SAME directory:
+        the two CDX indexes live side by side (cdx/ vs cdx-wet/) and
+        cdx_lookup resolves each through its own index."""
+        from textextraction_spark.sources.warc import write_wet_dir
+
+        pages = _pages_min(spark).limit(20).coalesce(1)
+        write_warc_dir(pages, str(tmp_path))
+        results = extract_pages(pages).select("url", "warc_ts", "extracted_text")
+        write_wet_dir(results.coalesce(1), str(tmp_path))
+
+        url = pages.collect()[5].url
+        want_html = {r.url: bytes(r.html) for r in pages.collect()}[url]
+        want_text = {r.url: r.extracted_text for r in results.collect()}[url]
+        got = cdx_lookup(spark, str(tmp_path), url)
+        assert got is not None and got[2] == want_html
+        wet_row = (
+            spark.read.parquet(str(tmp_path / "cdx-wet"))
+            .filter(F.col("url") == url)
+            .collect()[0]
+        )
+        with open(str(tmp_path / wet_row.filename), "rb") as f:
+            f.seek(wet_row.offset)
+            buf = f.read(wet_row.length)
+        recs = list(iter_warc_records(buf, ("conversion",)))
+        assert recs[0][2].decode("utf-8") == want_text
+
+    def test_wet_record_has_own_record_id(self):
+        """ISO 28500: WARC-Record-ID is mandatory on every record; the
+        conversion record's id must differ from the response record it
+        Refers-To (both are url-derived, so derivations must diverge)."""
+        import re
+
+        from textextraction_spark.sources.warc import (
+            warc_record_bytes,
+            wet_record_bytes,
+        )
+
+        url = "https://ex.com/a"
+        wet = wet_record_bytes(url, TS, "text").decode()
+        page = warc_record_bytes(url, TS, b"<p>x</p>").decode()
+        wet_id = re.search(r"WARC-Record-ID: <(.+)>", wet).group(1)
+        refers = re.search(r"WARC-Refers-To: <(.+)>", wet).group(1)
+        page_id = re.search(r"WARC-Record-ID: <(.+)>", page).group(1)
+        assert refers == page_id  # points at the source response record
+        assert wet_id != page_id  # but carries its own identity
 
 
 class TestWarcPlan:

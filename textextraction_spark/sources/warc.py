@@ -49,6 +49,12 @@ WARC_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
 # the byte-level bound is the segment size itself)
 _CHUNK_RECORDS = 4096
 
+# page-segment glob: matches x.warc / x.warc.gz but NOT x.warc.wet.gz
+_WARC_GLOB = "*.warc{,.gz}"
+# index subdirs: page and WET indexes live side by side, never clobber
+_CDX_DIR = "cdx"
+_CDX_WET_DIR = "cdx-wet"
+
 
 # --------------------------------------------------------------------------
 # record writer (pure function of (url, ts, html): deterministic fixtures)
@@ -80,13 +86,18 @@ def wet_record_bytes(url: str, ts: datetime, text: str) -> bytes:
     for extracted plain text, i.e. exactly what this engine produces.
     The payload is the raw UTF-8 text; no HTTP envelope."""
     body = text.encode("utf-8")
-    rec_id = hashlib.md5(url.encode("utf-8")).hexdigest()
+    # Record-ID is MANDATORY on every record (ISO 28500); Refers-To
+    # points at the response record's id (the same url-derived digest
+    # warc_record_bytes emits), Record-ID gets its own derivation
+    src_id = hashlib.md5(url.encode("utf-8")).hexdigest()
+    rec_id = hashlib.md5(b"wet:" + url.encode("utf-8")).hexdigest()
     head = (
         "WARC/1.0\r\n"
         "WARC-Type: conversion\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {ts.strftime(_TS_FMT)}\r\n"
-        f"WARC-Refers-To: <urn:md5:{rec_id}>\r\n"
+        f"WARC-Record-ID: <urn:md5:{rec_id}>\r\n"
+        f"WARC-Refers-To: <urn:md5:{src_id}>\r\n"
         "Content-Type: text/plain\r\n"
         f"Content-Length: {len(body)}\r\n"
     ).encode("utf-8")
@@ -115,8 +126,13 @@ def surt_key(url: str) -> str:
     partition pruning instead of a full scan."""
     rest = url.split("://", 1)[-1]
     host, slash, path = rest.partition("/")
+    query = ""
+    if "?" in host:  # query with no path: ex.com?page=2
+        host, _, q = host.partition("?")
+        query = "?" + q
     host = host.split("@")[-1].split(":")[0].lower()
-    return ",".join(reversed(host.split("."))) + ")" + (slash + path if slash else "/")
+    tail = (slash + path) if slash else "/"
+    return ",".join(reversed(host.split("."))) + ")" + tail + query
 
 
 def warc_file_with_index(
@@ -317,7 +333,9 @@ def read_warc(spark, path: str):
     ensure_shipped(spark)
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc*")
+        # brace glob EXCLUDES .warc.wet.gz: a shared tree must not pay a
+        # full gunzip+parse of every WET byte on each page scan
+        .option("pathGlobFilter", _WARC_GLOB)
         # Common Crawl's layout nests segments (segments/<seg>/warc/*)
         .option("recursiveFileLookup", "true")
         .load(path)
@@ -336,7 +354,8 @@ CDX_SCHEMA = (
 
 
 def _write_segment_dir(
-    df, out_dir: str, compress: bool, index: bool, value_col: str, rec_fn, ext: str
+    df, out_dir: str, compress: bool, index: bool, value_col: str, rec_fn, ext: str,
+    cdx_dir: str,
 ):
     import pandas as pd
     from pyspark import TaskContext
@@ -378,9 +397,9 @@ def _write_segment_dir(
     )
     if index:
         # the parquet write is the action that drives the segment writes
-        cdx.write.mode("overwrite").parquet(os.path.join(out_dir, "cdx"))
+        cdx.write.mode("overwrite").parquet(os.path.join(out_dir, cdx_dir))
         manifest = (
-            df.sparkSession.read.parquet(os.path.join(out_dir, "cdx"))
+            df.sparkSession.read.parquet(os.path.join(out_dir, cdx_dir))
             .groupBy("filename")
             .agg(F.count("*").alias("n_records"))
             .collect()
@@ -415,7 +434,7 @@ def write_warc_dir(df, out_dir: str, compress: bool = True, index: bool = True):
     rows and stays fully distributed; the only driver-side collect is
     the per-FILE manifest aggregated from it."""
     return _write_segment_dir(
-        df, out_dir, compress, index, "html", warc_record_bytes, ".warc"
+        df, out_dir, compress, index, "html", warc_record_bytes, ".warc", _CDX_DIR
     )
 
 
@@ -424,9 +443,12 @@ def write_wet_dir(df, out_dir: str, compress: bool = True, index: bool = True):
     segments (``part-{pid}.warc.wet.gz``, WARC *conversion* records) —
     the format Common Crawl publishes extracted plain text in, i.e. the
     interchange form of exactly what this engine computes.  Same
-    layout, CDX index, and manifest contract as ``write_warc_dir``."""
+    layout and manifest contract as ``write_warc_dir``; the index lands
+    in ``{out_dir}/cdx-wet`` so page and WET exports can share a tree
+    without clobbering each other's CDX."""
     return _write_segment_dir(
-        df, out_dir, compress, index, "extracted_text", wet_record_bytes, ".warc.wet"
+        df, out_dir, compress, index, "extracted_text", wet_record_bytes,
+        ".warc.wet", _CDX_WET_DIR,
     )
 
 
@@ -464,14 +486,15 @@ def read_warc_member(path: str, offset: int, length: int):
     return None
 
 
-def cdx_lookup(spark, out_dir: str, url: str):
+def cdx_lookup(spark, out_dir: str, url: str, cdx_dir: str = _CDX_DIR):
     """Point lookup through the parquet CDX: the url equality predicate
     pushes down to the parquet scan (row-group pruning — no full index
-    scan), then ONE ranged read fetches the capture."""
+    scan), then ONE ranged read fetches the capture.  ``cdx_dir``
+    selects the index (``cdx`` = page captures, ``cdx-wet`` = WET)."""
     from pyspark.sql import functions as F
 
     rows = (
-        spark.read.parquet(os.path.join(out_dir, "cdx"))
+        spark.read.parquet(os.path.join(out_dir, cdx_dir))
         .filter(F.col("url") == url)
         .select("filename", "offset", "length")
         .collect()
