@@ -300,6 +300,41 @@ class TestWet:
         assert refers == page_id  # points at the source response record
         assert wet_id != page_id  # but carries its own identity
 
+    def test_cli_warc_in_wet_out(self, spark, tmp_path):
+        """The full interchange loop through the spark-submit entry
+        point: raw Common-Crawl-style segments in (--input-format warc),
+        batch commit, WET segments out (--export-wet) — what a user runs
+        to turn a crawl into published extracted text."""
+        from job import main
+        from textextraction_spark.sources.warc import read_wet
+
+        pages = _pages_min(spark).limit(30).coalesce(1)
+        write_warc_dir(pages, str(tmp_path / "crawl"))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            rc = main([
+                "--input", str(tmp_path / "crawl"),
+                "--input-format", "warc",
+                "--checkpoint", str(tmp_path / "ckpt"),
+                "--batch-id", "b1",
+                "--partitions", "4",
+                "--export-wet", str(tmp_path / "wet"),
+            ])
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert rc == 0
+        want = {
+            (r.url, r.extracted_text)
+            for r in extract_pages(pages)
+            .select("url", "extracted_text")
+            .collect()
+        }
+        got = {
+            (r.url, r.extracted_text)
+            for r in read_wet(spark, str(tmp_path / "wet")).collect()
+        }
+        assert got == want
+
 
 class TestWarcPlan:
     def test_zero_shuffle_scan_to_extract(self, spark, tmp_path):
