@@ -15,7 +15,9 @@ Modes:
   --synthetic SF_DIR    build the deterministic pages table from a
                         testdata documents parquet (fixtures/bench)
   --streaming           run the Structured Streaming variant instead
-                        (micro-batch trigger = the reference's 2-min poll)
+                        (micro-batch trigger = the reference's 2-min poll;
+                        combines with --input-format warc to stream raw
+                        crawl segments as they land)
 """
 
 from __future__ import annotations
@@ -69,8 +71,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stream-checkpoint", help="streaming offsets dir")
     args = ap.parse_args(argv)
 
-    if args.input_format == "warc" and (args.streaming or args.synthetic):
-        ap.error("--input-format warc applies only to batch --input")
+    if args.input_format == "warc" and args.synthetic:
+        ap.error("--input-format warc applies only to --input trees")
 
     spark = build_session("textextraction-job", args.partitions)
     spark.sparkContext.setLogLevel("WARN")
@@ -86,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
             args.checkpoint,
             args.stream_checkpoint,
             num_partitions=args.partitions,
+            input_format=args.input_format,
         )
         q.awaitTermination()
         return 0

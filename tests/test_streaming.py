@@ -63,6 +63,63 @@ class TestStreaming:
         assert (m.extracted_text_g == m.extracted_text_w).all()
 
 
+class TestStreamingWarc:
+    def test_warc_segments_stream_and_commit(self, spark, tmp_path):
+        """Raw crawl segments as the STREAM source: segment files arrive
+        over time, Spark's file-source checkpoint tracks consumption
+        (the reference's watched folder at crawl granularity), and the
+        per-micro-batch WARC parse feeds the same exactly-once commit."""
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.sources.warc import write_warc_dir
+
+        crawl = str(tmp_path / "crawl")
+        ckpt = str(tmp_path / "ckpt")
+        sckpt = str(tmp_path / "sckpt")
+        pages = build_pages(spark, SF).withColumn(
+            "doc_id", F.expr(r"cast(regexp_extract(url, '/d/(\\d+)$', 1) as bigint)")
+        )
+        first = pages.filter(F.col("doc_id") < 120).select(
+            "url", "warc_ts", "html"
+        )
+        write_warc_dir(first.coalesce(1), crawl, index=False)
+
+        q = run_streaming_extraction(
+            spark, crawl, ckpt, sckpt, num_partitions=4, input_format="warc"
+        )
+        q.awaitTermination(120)
+        cat = CheckpointCatalog(ckpt)
+        assert cat.results(spark).count() == 120
+
+        # a new segment lands (its own subdir, Common-Crawl style) ->
+        # only IT is parsed on the next cycle
+        second = pages.filter(
+            (F.col("doc_id") >= 120) & (F.col("doc_id") < 180)
+        ).select("url", "warc_ts", "html")
+        write_warc_dir(second.coalesce(1), crawl + "/seg2", index=False)
+        q2 = run_streaming_extraction(
+            spark, crawl, ckpt, sckpt, num_partitions=4, input_format="warc"
+        )
+        q2.awaitTermination(120)
+        res = cat.results(spark)
+        assert res.count() == 180
+        assert res.select("url").distinct().count() == 180
+
+        # streaming-over-WARC output == batch extraction of the same pages
+        both = first.unionByName(second)
+        from textextraction_spark.job.extract import extract_pages
+
+        want = {
+            (r.url, r.extracted_text)
+            for r in extract_pages(both).select("url", "extracted_text").collect()
+        }
+        got = {
+            (r.url, r.extracted_text)
+            for r in res.select("url", "extracted_text").collect()
+        }
+        assert got == want
+
+
 class TestWindowedAggregation:
     def test_watermarked_window_matches_batch(self, spark, tmp_path):
         """Streaming watermark + tumbling window == batch twin on a drained

@@ -55,15 +55,15 @@ class TestWarcRoundTrip:
         write_warc_dir(src, str(tmp_path / "segments" / "s1" / "warc"))
         assert read_warc(spark, str(tmp_path)).count() == 30
 
-    def test_streaming_warc_combination_rejected(self):
+    def test_synthetic_warc_combination_rejected(self):
         import pytest
 
         from job import main
 
         with pytest.raises(SystemExit):
             main([
-                "--streaming", "--input", "/tmp/x", "--input-format", "warc",
-                "--checkpoint", "/tmp/c", "--stream-checkpoint", "/tmp/s",
+                "--synthetic", "/tmp/x", "--input-format", "warc",
+                "--checkpoint", "/tmp/c",
             ])
 
     def test_extraction_identical_across_sources(self, spark, tmp_path):

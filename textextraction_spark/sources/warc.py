@@ -323,6 +323,16 @@ def _parse_wet_batches(batches):
     yield from _parse_batches_gen(batches, ("conversion",), "extracted_text", True)
 
 
+def parse_warc_files(files_df):
+    """``binaryFile``-shaped DataFrame (a ``content`` column of whole
+    segment bytes) -> pages ``(url, warc_ts, html)`` via one
+    ``mapInArrow`` pass.  Works on batch and on the per-micro-batch
+    frames ``foreachBatch`` hands the streaming job."""
+    return files_df.select("content").mapInArrow(
+        _parse_file_batches, schema=WARC_PAGES_SCHEMA
+    )
+
+
 def read_warc(spark, path: str):
     """Directory (or glob) of ``.warc`` / ``.warc.gz`` files -> DataFrame
     ``(url, warc_ts, html)`` ready for ``run_extraction_job`` /
@@ -339,9 +349,34 @@ def read_warc(spark, path: str):
         # Common Crawl's layout nests segments (segments/<seg>/warc/*)
         .option("recursiveFileLookup", "true")
         .load(path)
-        .select("content")
     )
-    return files.mapInArrow(_parse_file_batches, schema=WARC_PAGES_SCHEMA)
+    return parse_warc_files(files)
+
+
+def read_warc_stream(spark, path: str):
+    """Streaming twin of ``read_warc``'s SCAN half: a ``binaryFile``
+    file-source stream over a growing segment tree — Spark's streaming
+    checkpoint tracks which files have been consumed, which is exactly
+    the reference's poll-directory contract (Worker.cs FolderMonitor)
+    at crawl granularity.  Returns the raw files stream; the parse runs
+    per micro-batch via ``parse_warc_files`` (inside ``foreachBatch``
+    the frame is a plain batch DataFrame, so the batch parser is reused
+    verbatim — one code path for both surfaces)."""
+    from textextraction_spark.job.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    return (
+        spark.readStream.format("binaryFile")
+        # streaming sources demand an explicit schema; binaryFile's is
+        # fixed by the format (path/modificationTime/length/content)
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", _WARC_GLOB)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -33,22 +33,37 @@ def run_streaming_extraction(
     stream_checkpoint_dir: str,
     num_partitions: int = 8,
     trigger: dict | None = None,
+    input_format: str = "parquet",
 ):
-    """Start the streaming extraction over a parquet pages directory.
+    """Start the streaming extraction over a pages directory.
 
+    input_format: "parquet" streams a stored pages table; "warc" streams
+    a growing tree of raw Common-Crawl segments (the crawl-scale analog
+    of the reference's watched folder) — file discovery and consumed-file
+    offsets ride Spark's streaming checkpoint, the WARC parse runs per
+    micro-batch through the same ``mapInArrow`` parser as the batch path.
     trigger: e.g. {"processingTime": "2 minutes"} (the reference's poll
     cadence) or {"availableNow": True} (drain-and-stop, used by tests).
     Returns the StreamingQuery; caller awaits/stops it.
     """
     catalog = CheckpointCatalog(checkpoint_root)
 
-    stream = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .parquet(pages_dir)
-        .select("url", "warc_ts", "html")
-    )
+    if input_format == "warc":
+        from textextraction_spark.sources.warc import read_warc_stream
+
+        stream = read_warc_stream(spark, pages_dir)
+    else:
+        stream = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .parquet(pages_dir)
+            .select("url", "warc_ts", "html")
+        )
 
     def commit_batch(batch_df, epoch_id: int) -> None:
+        if input_format == "warc":
+            from textextraction_spark.sources.warc import parse_warc_files
+
+            batch_df = parse_warc_files(batch_df)
         pending = catalog.pending(batch_df, batch_df.sparkSession)
         extracted = extract_pages(salted_repartition(pending, num_partitions))
         from pyspark.sql import functions as F
