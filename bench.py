@@ -640,24 +640,37 @@ def main() -> None:
     # and keep the min; a query stays flagged only if it is slow in both
     # windows.  Cost is bounded: one session + <=2 runs for <=3 queries.
     if regressions and (time.time() - t_start) < budget_s + 60:
-        _reset_jvm()
-        s = make_session(cpus)
-        s.sparkContext.setLogLevel("ERROR")
-        requeried = E.queries()
-        for name in list(regressions)[:3]:
-            best = queries[name]
-            for _ in range(2):
-                t0 = time.time()
-                assert requeried[name](s, sf_dir).count() >= 0
-                best = min(best, time.time() - t0)
-            queries[name] = round(best, 3)
-        s.stop()
-        regressions = {
-            name: {"sec": queries[name], "baseline_sec": base}
-            for name, base in QUERY_BASELINES.items()
-            if name in queries and queries[name] > 1.5 * base
-        }
-        _mark(t_start, f"regression re-check: {regressions or 'clear'}")
+        # Defensive: a crash here must NEVER cost the run its JSON line —
+        # the re-check only ever tightens numbers already measured.
+        try:
+            _reset_jvm()
+            s = make_session(cpus)
+            s.sparkContext.setLogLevel("ERROR")
+            requeried = E.queries()
+            for name in list(regressions)[:3]:
+                best = queries[name]
+                for _ in range(2):
+                    if name in requeried:
+                        t0 = time.time()
+                        assert requeried[name](s, sf_dir).count() >= 0
+                        dt = time.time() - t0
+                    elif name == "extract_e2e":
+                        # bench-internal row, not a queries() entry: its
+                        # re-measure is the extraction runner itself
+                        dt = run_extract(s, pages_sf, cpus * 3)[0]
+                    else:
+                        break
+                    best = min(best, dt)
+                queries[name] = round(best, 3)
+            s.stop()
+            regressions = {
+                name: {"sec": queries[name], "baseline_sec": base}
+                for name, base in QUERY_BASELINES.items()
+                if name in queries and queries[name] > 1.5 * base
+            }
+            _mark(t_start, f"regression re-check: {regressions or 'clear'}")
+        except Exception as e:  # noqa: BLE001
+            _mark(t_start, f"regression re-check failed (kept phase-1 numbers): {e}")
 
     import shutil
 
