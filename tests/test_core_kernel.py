@@ -490,6 +490,99 @@ class TestNormalizeBytes:
         assert r.extracted_text == "" and "TransportError" in r.error
 
 
+class TestCharsetSniff:
+    """HTML5 encoding sniff (core/extract.py normalize_charset): BOM >
+    declared <meta charset>; unknown/identity declarations are no-ops;
+    crawl dirt never raises.  Real Common-Crawl HTML is routinely
+    windows-125x / Shift_JIS / UTF-16 — without the sniff these pages
+    become latin-1 mojibake 'content'."""
+
+    def _text(self, payload: bytes) -> str:
+        return extract_document(payload).extracted_text
+
+    def test_meta_cp1251_decodes_cyrillic(self):
+        html = (
+            '<meta http-equiv="Content-Type" '
+            'content="text/html; charset=windows-1251">'
+            "<body><p>привет мир ОТЧЁТ № 9</p></body>"
+        )
+        assert self._text(html.encode("windows-1251")) == "привет мир ОТЧЁТ № 9"
+
+    def test_meta_shift_jis_decodes(self):
+        html = "<meta charset=shift_jis><body><p>日本語のテキストです</p></body>"
+        assert self._text(html.encode("shift_jis")) == "日本語のテキストです"
+
+    def test_utf16_le_bom(self):
+        import codecs
+
+        html = "<body><p>déjà vu naïve café</p></body>"
+        payload = codecs.BOM_UTF16_LE + html.encode("utf-16-le")
+        assert self._text(payload) == "déjà vu naïve café"
+
+    def test_utf16_be_bom(self):
+        import codecs
+
+        html = "<body><p>ascii words here</p></body>"
+        payload = codecs.BOM_UTF16_BE + html.encode("utf-16-be")
+        assert self._text(payload) == "ascii words here"
+
+    def test_bom_outranks_conflicting_meta(self):
+        """whatwg precedence: a UTF-16 BOM wins over a (wrong) declared
+        meta charset."""
+        import codecs
+
+        html = "<meta charset=windows-1251><body><p>résumé text</p></body>"
+        payload = codecs.BOM_UTF16_LE + html.encode("utf-16-le")
+        assert self._text(payload) == "résumé text"
+
+    def test_gzip_then_utf16(self):
+        """Transport layers compose: gunzip first, then charset sniff."""
+        import codecs
+        import gzip
+
+        html = "<body><p>compressed déjà words</p></body>"
+        payload = gzip.compress(
+            codecs.BOM_UTF16_LE + html.encode("utf-16-le"), mtime=0
+        )
+        assert self._text(payload) == "compressed déjà words"
+
+    def test_declared_utf8_is_noop(self):
+        from textextraction_spark.core.extract import normalize_charset
+
+        b = '<meta charset="utf-8"><body><p>x words</p></body>'.encode()
+        assert normalize_charset(b) is b
+
+    def test_unknown_label_keeps_bytes(self):
+        from textextraction_spark.core.extract import normalize_charset
+
+        b = b'<meta charset="x-no-such-charset"><body><p>ok words</p></body>'
+        assert normalize_charset(b) is b
+        assert self._text(b) == "ok words"
+
+    def test_misdeclared_charset_never_raises(self):
+        """A page declaring cp1251 but carrying bytes undefined in cp1251
+        (0x98) must extract with replacement, not crash the batch."""
+        payload = b"<meta charset=windows-1251><body><p>bad \x98 byte</p></body>"
+        r = extract_document(payload)
+        assert r.error == ""
+        assert "bad" in r.extracted_text and "byte" in r.extracted_text
+
+    def test_pdf_bytes_never_transcoded(self):
+        from textextraction_spark.core.extract import normalize_bytes
+
+        pdf = b"%PDF-1.4\nstream\nBT 72 700 Td (charset=x \xff) Tj ET\nendstream\n%%EOF"
+        assert normalize_bytes(pdf) is pdf
+
+    def test_meta_outside_prescan_window_ignored(self):
+        """The sniff reads a bounded prefix (O(1) per doc at crawl scale);
+        a declaration buried past it falls back to utf-8/latin-1."""
+        from textextraction_spark.core.extract import normalize_charset
+
+        filler = b"<!--" + b"x" * 2100 + b"-->"
+        b = filler + b"<meta charset=windows-1251><p>late words</p>"
+        assert normalize_charset(b) is b
+
+
 class TestFlateDecodePdf:
     TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu"
 

@@ -10,6 +10,7 @@ block path, everything else the HTML DOM path.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 from textextraction_spark.core.boilerplate import extract_html
@@ -57,6 +58,32 @@ PHI_FIELDS = ("patient.name", "patient.birth_date")
 _GZIP_MAGIC = b"\x1f\x8b"
 _UTF8_BOM = b"\xef\xbb\xbf"
 
+# HTML5 encoding sniff (whatwg "determining the character encoding"):
+# a BOM outranks every other signal; with no BOM, a ``<meta charset=...>``
+# / ``http-equiv Content-Type`` declaration in the prescan window decides.
+# UTF-32 BOMs are checked before UTF-16 (the UTF-32-LE BOM *starts with*
+# the UTF-16-LE BOM).
+_UNICODE_BOMS: tuple[tuple[bytes, str], ...] = (
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+# Spec prescan reads the first 1024 bytes; real pages routinely declare
+# late, so use a 2048-byte window (still O(1) per doc).
+_META_PRESCAN_BYTES = 2048
+
+_META_CHARSET = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:\-]+)",
+    re.IGNORECASE,
+)
+
+# Codecs that already match the downstream scanner's native decode
+# (UTF-8 with latin-1 fallback) — declaring them is a no-op, so skip the
+# transcode round-trip.
+_UTF8_ALIASES = frozenset({"utf-8", "ascii", "iso8859-1", "latin-1"})
+
 # Bounded inflate: a crawled payload claiming gzip may be a decompression
 # bomb; cap the inflated size so one row can never OOM an executor.  A
 # payload that is corrupt, truncated, or inflates past the cap is rejected
@@ -100,6 +127,43 @@ def _bounded_gunzip(data: bytes, limit: int) -> bytes:
     return b"".join(out)
 
 
+def normalize_charset(data: bytes) -> bytes:
+    """Transcode a non-UTF-8 HTML payload to UTF-8 bytes, following the
+    HTML5 sniffing precedence (BOM > declared ``<meta charset>``), so the
+    downstream byte-level scanner sees one canonical encoding.
+
+    Real Common-Crawl HTML is far from uniformly UTF-8 — windows-125x,
+    KOI8-R, Shift_JIS, GB2312, and UTF-16-with-BOM pages are all common,
+    and the previous utf-8→latin-1 fallback silently turned every one of
+    them into mojibake "content".  The reference never faces this (its
+    OCR path rasterizes pixels), so the behavior here follows the web
+    platform spec rather than the reference.
+
+    Robustness contract: pure function, never raises; an unknown or
+    undecodable declared charset leaves the bytes untouched (the
+    scanner's own utf-8/latin-1 fallback still applies), and decode uses
+    errors="replace" so a single mis-declared page cannot kill a batch.
+    """
+    import codecs
+
+    for bom, codec in _UNICODE_BOMS:
+        if data.startswith(bom):
+            return data[len(bom):].decode(codec, "replace").encode("utf-8")
+    m = _META_CHARSET.search(data[:_META_PRESCAN_BYTES])
+    if m:
+        label = m.group(1).decode("ascii", "replace")
+        try:
+            name = codecs.lookup(label).name
+        except LookupError:
+            return data  # unknown label: keep bytes, scanner falls back
+        if name not in _UTF8_ALIASES:
+            try:
+                return data.decode(name, "replace").encode("utf-8")
+            except Exception:
+                return data  # non-stream-safe codec edge: keep bytes
+    return data
+
+
 def normalize_bytes(data: bytes) -> bytes:
     """Common-Crawl payload normalization, applied before routing: WARC
     payloads are frequently stored gzip-compressed (possibly as multiple
@@ -110,11 +174,18 @@ def normalize_bytes(data: bytes) -> bytes:
     the gzip magic but fails to inflate — corrupt, truncated, or past the
     MAX_INFLATE_BYTES bomb guard — raises TransportError: compressed junk
     must land in the ``error`` column, not flow through the HTML parser
-    as gibberish "content"."""
+    as gibberish "content".  Non-PDF payloads additionally pass the HTML5
+    charset sniff (normalize_charset) so UTF-16-with-BOM and
+    meta-declared-windows-125x/Shift_JIS/... pages decode as their
+    authors intended instead of as latin-1 mojibake."""
     if data[:2] == _GZIP_MAGIC:
         data = _bounded_gunzip(data, MAX_INFLATE_BYTES)
     if data[:3] == _UTF8_BOM:
         data = data[3:]
+    if not is_pdf(data):
+        # HTML route only: PDF bytes carry their own string encodings and
+        # must reach the layout parser untouched.
+        data = normalize_charset(data)
     return data
 
 

@@ -14,7 +14,10 @@ Document families by ``doc_id % 20`` (FIXTURES.md §2):
     1-6    invoice  — field lines A..F (+ doc_id%20==1: later duplicates,
                       asserting first-match-wins)
     7-12   medical  — decoy person line (no key), patient name, DOB
-    13-18  plain    — main text only
+    13-18  plain    — main text only (13 gzip transport, 14 UTF-8 BOM,
+                      15 pretty-printed, 16 entity-escaped '&',
+                      17 windows-1251 + <meta charset> w/ Cyrillic line,
+                      18 UTF-16-LE + BOM w/ accented line)
     19     empty    — empty <body> (edge case)
 
 One heavy host owns ~30% of urls (``doc_id % 100 < 30`` -> heavy.example.com)
@@ -143,6 +146,10 @@ def expected_text_sql(engine: str) -> str:
         || chr(10) || 'PATIENT NAME: ' || {person}
         || chr(10) || 'DOB ' || {MED_DATE_SQL}
     WHEN doc_id % 20 = 16 THEN text || chr(10) || 'COPYRIGHT & TRADEMARK'
+    WHEN doc_id % 20 = 17 THEN
+        text || chr(10) || 'ОТЧЁТ № ' || CAST(doc_id AS STRING) || ' — МОСКВА'
+    WHEN doc_id % 20 = 18 THEN
+        text || chr(10) || 'RÉSUMÉ ' || CAST(doc_id AS STRING) || ' — déjà vu naïve café'
     WHEN doc_id % 20 = 19 THEN ''
     ELSE text
     END"""
@@ -330,13 +337,49 @@ def build_pages(spark, sf_dir: str, with_pdf: bool = True):
     ).withColumn("_html_str", F.expr(html_from_expected_sql("_expected")))
     html_col = F.col("_html_str")
 
-    # Transport-artifact families (Common-Crawl realism; extracted text is
-    # unchanged, so every oracle transitively gates the normalization):
+    # Transport-artifact families (Common-Crawl realism; the extraction
+    # oracles compute the same expected text, so they transitively gate
+    # each normalization path):
     #   doc_id % 20 == 13 -> payload stored gzip-compressed (mtime=0)
     #   doc_id % 20 == 14 -> payload leads with a UTF-8 BOM
+    #   doc_id % 20 == 17 -> windows-1251 bytes + declared <meta charset>
+    #                        (Cyrillic payload line: invalid as UTF-8 and
+    #                        mojibake as latin-1, so only the HTML5 meta
+    #                        sniff recovers the oracle text)
+    #   doc_id % 20 == 18 -> UTF-16-LE bytes with BOM (even ASCII turns
+    #                        to NUL-riddled tag soup without the BOM
+    #                        sniff; the accented payload line pins the
+    #                        decode, not just the tag scan)
     @F.pandas_udf(T.BinaryType())
     def gzip_udf(html: pd.Series) -> pd.Series:
         return html.map(lambda s: gzip.compress(s.encode("utf-8"), mtime=0))
+
+    _META_1251 = (
+        '<meta http-equiv="Content-Type" '
+        'content="text/html; charset=windows-1251">'
+    )
+
+    # Spark evaluates a CASE branch's pandas UDF over the WHOLE batch
+    # before the CASE selects, so each encoder must gate on doc_id itself
+    # (strict cp1251 encode over family-18's accented line would throw).
+    @F.pandas_udf(T.BinaryType())
+    def cp1251_udf(html: pd.Series, doc_id: pd.Series) -> pd.Series:
+        # strict encode: every char in this family is cp1251-mapped by
+        # construction, so a failure here is a fixture bug, not crawl dirt
+        return pd.Series(
+            [
+                (_META_1251 + s).encode("windows-1251")
+                if int(d) % 20 == 17
+                else b""
+                for s, d in zip(html, doc_id)
+            ]
+        )
+
+    @F.pandas_udf(T.BinaryType())
+    def utf16_udf(html: pd.Series) -> pd.Series:
+        import codecs
+
+        return html.map(lambda s: codecs.BOM_UTF16_LE + s.encode("utf-16-le"))
 
     binary = (
         F.when(F.col("doc_id") % 20 == 13, gzip_udf(html_col))
@@ -344,6 +387,10 @@ def build_pages(spark, sf_dir: str, with_pdf: bool = True):
             F.col("doc_id") % 20 == 14,
             F.encode(F.concat(F.lit("\ufeff"), html_col), "UTF-8"),
         )
+        .when(
+            F.col("doc_id") % 20 == 17, cp1251_udf(html_col, F.col("doc_id"))
+        )
+        .when(F.col("doc_id") % 20 == 18, utf16_udf(html_col))
         .otherwise(F.encode(html_col, "UTF-8"))
     )
 
