@@ -152,6 +152,53 @@ class TestWarcParser:
         got = list(iter_warc_records(buf))
         assert got[0][0] == url
 
+    def test_http_header_charset_transcodes_payload(self):
+        """HTML5 precedence: a charset in the HTTP Content-Type header
+        (the transport signal real crawl records carry) decodes the
+        payload even with NO in-document <meta> declaration."""
+        from textextraction_spark.core.extract import extract_document
+        from textextraction_spark.sources.warc import warc_record_bytes
+
+        html = "<body><p>привет мир ОТЧЁТ</p></body>".encode("windows-1251")
+        rec = warc_record_bytes(
+            "https://ru.example.com/a",
+            TS,
+            html,
+            http_content_type="text/html; charset=windows-1251",
+        )
+        got = list(iter_warc_records(rec))
+        assert len(got) == 1
+        body = got[0][2]
+        assert "привет мир ОТЧЁТ".encode("utf-8") in body
+        assert extract_document(body).extracted_text == "привет мир ОТЧЁТ"
+
+    def test_http_charset_unknown_label_keeps_bytes(self):
+        from textextraction_spark.sources.warc import warc_record_bytes
+
+        html = b"<body><p>plain ascii words</p></body>"
+        rec = warc_record_bytes(
+            "https://x.com/u", TS, html,
+            http_content_type="text/html; charset=x-not-a-charset",
+        )
+        got = list(iter_warc_records(rec))
+        assert got[0][2] == html
+
+    def test_bom_outranks_http_header_charset(self):
+        """whatwg: a payload BOM wins over a (wrong) transport charset."""
+        import codecs
+
+        from textextraction_spark.sources.warc import warc_record_bytes
+
+        html = codecs.BOM_UTF16_LE + "<body><p>résumé</p></body>".encode(
+            "utf-16-le"
+        )
+        rec = warc_record_bytes(
+            "https://x.com/b", TS, html,
+            http_content_type="text/html; charset=windows-1251",
+        )
+        body = list(iter_warc_records(rec))[0][2]
+        assert "résumé".encode("utf-8") in body
+
 
 class TestCdxIndex:
     def test_surt_key(self):

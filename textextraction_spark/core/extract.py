@@ -127,6 +127,36 @@ def _bounded_gunzip(data: bytes, limit: int) -> bytes:
     return b"".join(out)
 
 
+def _transcode(data: bytes, label: str) -> bytes | None:
+    """UTF-8 bytes for ``data`` decoded as ``label``, or None when the
+    label is unknown (caller keeps the original bytes) or already an
+    identity encoding for the downstream scanner."""
+    import codecs
+
+    try:
+        name = codecs.lookup(label).name
+    except LookupError:
+        return None
+    if name in _UTF8_ALIASES:
+        return None
+    try:
+        return data.decode(name, "replace").encode("utf-8")
+    except Exception:
+        return None  # non-stream-safe codec edge: keep original bytes
+
+
+def transcode_declared(data: bytes, label: str) -> bytes:
+    """Apply a TRANSPORT-declared charset (e.g. an HTTP ``Content-Type:
+    text/html; charset=...`` header from a WARC record) with HTML5
+    precedence: a BOM in the payload still outranks the header, an
+    unknown label is ignored.  Never raises."""
+    for bom, codec in _UNICODE_BOMS:
+        if data.startswith(bom):
+            return data[len(bom):].decode(codec, "replace").encode("utf-8")
+    out = _transcode(data, label)
+    return data if out is None else out
+
+
 def normalize_charset(data: bytes) -> bytes:
     """Transcode a non-UTF-8 HTML payload to UTF-8 bytes, following the
     HTML5 sniffing precedence (BOM > declared ``<meta charset>``), so the
@@ -144,23 +174,14 @@ def normalize_charset(data: bytes) -> bytes:
     scanner's own utf-8/latin-1 fallback still applies), and decode uses
     errors="replace" so a single mis-declared page cannot kill a batch.
     """
-    import codecs
-
     for bom, codec in _UNICODE_BOMS:
         if data.startswith(bom):
             return data[len(bom):].decode(codec, "replace").encode("utf-8")
     m = _META_CHARSET.search(data[:_META_PRESCAN_BYTES])
     if m:
-        label = m.group(1).decode("ascii", "replace")
-        try:
-            name = codecs.lookup(label).name
-        except LookupError:
-            return data  # unknown label: keep bytes, scanner falls back
-        if name not in _UTF8_ALIASES:
-            try:
-                return data.decode(name, "replace").encode("utf-8")
-            except Exception:
-                return data  # non-stream-safe codec edge: keep bytes
+        out = _transcode(data, m.group(1).decode("ascii", "replace"))
+        if out is not None:
+            return out
     return data
 
 

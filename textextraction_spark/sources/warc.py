@@ -36,10 +36,17 @@ from __future__ import annotations
 import gzip
 import hashlib
 import os
+import re
 import zlib
 from datetime import datetime, timezone
 
 _CRLF2 = b"\r\n\r\n"
+
+# charset parameter of an HTTP Content-Type header (case-insensitive,
+# multiline over the raw header block)
+_HTTP_CHARSET = re.compile(
+    rb"(?im)^content-type:[^\r\n]*?charset\s*=\s*[\"']?([A-Za-z0-9_.:\-]+)"
+)
 _TS_FMT = "%Y-%m-%dT%H:%M:%SZ"
 
 # pages-minimal schema: what the extraction kernel consumes.
@@ -59,13 +66,20 @@ _CDX_WET_DIR = "cdx-wet"
 # --------------------------------------------------------------------------
 # record writer (pure function of (url, ts, html): deterministic fixtures)
 # --------------------------------------------------------------------------
-def warc_record_bytes(url: str, ts: datetime, html: bytes) -> bytes:
+def warc_record_bytes(
+    url: str,
+    ts: datetime,
+    html: bytes,
+    http_content_type: str = "text/html",
+) -> bytes:
     """One uncompressed WARC/1.0 response record wrapping a plain HTTP
     response.  Deterministic: the record id derives from the url, the
-    date from ``ts`` — no wall clock, no uuid4."""
+    date from ``ts`` — no wall clock, no uuid4.  ``http_content_type``
+    lets tests emit records whose HTTP header declares a charset (the
+    transport-level encoding signal real crawls carry)."""
     http = (
         b"HTTP/1.1 200 OK\r\n"
-        b"Content-Type: text/html\r\n"
+        b"Content-Type: " + http_content_type.encode("ascii") + b"\r\n"
         b"Content-Length: " + str(len(html)).encode() + _CRLF2 + html
     )
     rec_id = hashlib.md5(url.encode("utf-8")).hexdigest()
@@ -268,6 +282,19 @@ def iter_warc_records(buf: bytes, record_types: tuple[str, ...] = ("response",))
             # strip the HTTP status line + headers; body follows \r\n\r\n
             split = block.find(_CRLF2)
             body = block[split + len(_CRLF2):] if split >= 0 else b""
+            # HTML5 precedence: a charset declared by the HTTP header
+            # outranks any in-document <meta> (BOM still wins over both —
+            # transcode_declared enforces that), so apply it here while
+            # the envelope is still in hand.  Crawl-robust: unknown or
+            # identity labels are no-ops, mis-declared bytes decode with
+            # replacement, never an exception.
+            m = _HTTP_CHARSET.search(block[:split] if split >= 0 else b"")
+            if m:
+                from textextraction_spark.core.extract import transcode_declared
+
+                body = transcode_declared(
+                    body, m.group(1).decode("ascii", "replace")
+                )
         else:
             body = block
         yield url, ts, body
