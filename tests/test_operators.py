@@ -179,6 +179,65 @@ class TestDomainMix:
         assert "BroadcastHashJoin" in plan
 
 
+class TestCanonicalize:
+    """text_canonicalize (NFC + separator/control collapse — the
+    cross-encoding dedup key) — outside the 50-query gate, full DuckDB
+    value oracle here (nfc_normalize is the oracle twin)."""
+
+    def test_matches_oracle(self, spark):
+        from textextraction_spark.operators.curation import (
+            TEXT_CANONICALIZE_ORACLE,
+            text_canonicalize,
+        )
+
+        got = text_canonicalize(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(TEXT_CANONICALIZE_ORACLE).df()
+        problems = compare("text_canonicalize", got, want)
+        assert not problems, problems
+
+    def test_cross_encoding_duplicates_collapse(self, spark):
+        """The operator's whole purpose: the same sentence arriving as
+        NFC, NFD, NBSP-spaced, zero-width-infested, or control-padded
+        must produce ONE canon_hash (so exact dedup catches it), while a
+        genuinely different sentence must not."""
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators.curation import canonicalize_col
+
+        variants = [
+            "d\u00e9j\u00e0 vu caf\u00e9",               # NFC composed
+            "de\u0301ja\u0300 vu cafe\u0301",            # NFD decomposed
+            "d\u00e9j\u00e0\u00a0vu\u00a0caf\u00e9",   # NBSP separators
+            "d\u00e9j\u00e0 vu\u200b caf\u00e9\u200b",  # zero-width spaces
+            "\td\u00e9j\u00e0  vu \r\n caf\u00e9 ",   # controls + runs
+        ]
+        rows = [(i, v) for i, v in enumerate(variants)] + [
+            (99, "d\u00e9j\u00e0 vu caf\u00e9s")         # genuinely different
+        ]
+        df = spark.createDataFrame(rows, ["id", "t"]).select(
+            "id", canonicalize_col(F.col("t")).alias("canon")
+        )
+        got = {r.id: r.canon for r in df.collect()}
+        assert len({got[i] for i in range(len(variants))}) == 1
+        assert got[0] == "d\u00e9j\u00e0 vu caf\u00e9"
+        assert got[99] != got[0]
+
+    def test_zero_shuffle_narrow_plan(self, spark):
+        """Pure narrow projection: no exchange anywhere (100 TB shape),
+        and the NFC step runs as an Arrow-batched eval, not row-Python."""
+        from textextraction_spark.operators.curation import text_canonicalize
+
+        plan = (
+            text_canonicalize(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan  # the row-at-a-time slow path
+
+
 class TestImageHeaderParse:
     """parse_image_dims is a REAL header decoder — it must handle genuine
     files beyond our minimal fixtures (JPEG with APP0/EXIF/COM segments

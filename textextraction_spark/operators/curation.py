@@ -25,6 +25,7 @@ these are part of the beyond-reference training-data suite.)
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 # --------------------------------------------------------------- pii_scrub
@@ -444,4 +445,81 @@ SELECT doc_id, lang,
                       '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
        len(str_split({PII_SQL}, ' '))::BIGINT AS n_tokens
 FROM gated
+"""
+
+
+# ------------------------------------------------------ text_canonicalize
+# Canonical text form for cross-encoding dedup: after the extraction
+# layer's charset sniff (core/extract.py), the same page served as
+# windows-1251 vs UTF-8 NFD vs UTF-16 yields Unicode-equal but not
+# byte-equal text (composed vs decomposed accents, NBSP vs space,
+# zero-width joiners) — exact dedup then misses true duplicates.  The
+# canon form is NFC + every Unicode separator/control run (\p{Z}, \p{C})
+# collapsed to one ASCII space + trim; its md5 is the cross-encoding
+# dedup key.
+#
+# 100 TB shape: a pure narrow projection (zero shuffle, zero collect).
+# NFC is the one step Spark's JVM functions cannot express, so it is a
+# single Arrow-batched pandas UDF (pandas Series.str.normalize — C-loop
+# over the batch, not per-row Python); the whitespace/control collapse
+# stays JVM-side regexp_replace.  Both Java regex and RE2 support the
+# one-letter Unicode classes, so the collapse pattern is dialect-shared
+# verbatim.
+#
+# (The driver gate is capped at 50 queries, so this operator is
+# value-gated locally: tests/test_operators.py::TestCanonicalize runs
+# the full DuckDB compare; DuckDB's nfc_normalize is the oracle twin of
+# the pandas normalize.)
+
+_CANON_WS_RE = r"[\p{Z}\p{C}]+"
+
+# Dirty-text synthesis (dialect-shared; literal unicode chars embedded
+# because Spark's chr() is ASCII-only): per doc_id%4, append composed-
+# vs-decomposed accents, NBSP + zero-width joins, or tab/newline runs.
+_DIRTY_SQL = (
+    "text || CASE CAST(doc_id % 4 AS INT)"
+    " WHEN 0 THEN ' cafe\u0301  fin'"  # e + combining acute, double space
+    " WHEN 1 THEN ' bonus\u00a0\u200bline'"  # NBSP, zero-width space
+    " WHEN 2 THEN chr(9) || ' spaced ' || chr(10) || '\u2003out'"  # tab, nl, em-space
+    " ELSE '' END"
+)
+
+
+def canonicalize_col(col):
+    """Canonical-form expression over a string column: NFC (vectorized
+    pandas UDF) + separator/control collapse + trim.  Reusable by any
+    pipeline stage; returns a Column."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return F.trim(F.regexp_replace(_nfc(col), _CANON_WS_RE, " "))
+
+
+def text_canonicalize(spark, sf_dir: str):
+    """(doc_id, canon_text, canon_hash) over synthetically-dirtied
+    documents text — the cross-encoding dedup key derivation."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.expr(_DIRTY_SQL).alias("dirty")
+    )
+    canon = canonicalize_col(F.col("dirty"))
+    return d.select(
+        "doc_id",
+        canon.alias("canon_text"),
+        F.md5(canon).alias("canon_hash"),
+    )
+
+
+TEXT_CANONICALIZE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DIRTY_SQL} AS dirty FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(nfc_normalize(dirty), '{_CANON_WS_RE}', ' ', 'g'))
+           AS canon_text,
+       md5(trim(regexp_replace(nfc_normalize(dirty), '{_CANON_WS_RE}', ' ', 'g')))
+           AS canon_hash
+FROM d
 """
