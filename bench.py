@@ -451,16 +451,14 @@ def main() -> None:
         # expensive pipeline measurements in a degraded window.
         ceiling = _machine_ceiling(sf_dir)
         _mark(t_start, f"phase ceiling {ceiling}")
-        tries = 0
-        # bounded at 2 retries: a long degraded window must not eat the
-        # wall-time cap — the per-pair probes + median carry the rest
-        while (
-            ceiling["4_to_16"] < 0.82
-            and tries < 2
-            and (time.time() - t_start) < budget_s
-        ):
+        # Bounded at ONE retry (ledger run 11): in a genuinely degraded
+        # window two retries burned ~100 s of budget and left room for
+        # only a single dirty pair — the median protocol needs PAIRS more
+        # than it needs a third ceiling probe, and each pair carries its
+        # own ~6 s window gate anyway.  A persistent sub-0.82 ceiling is
+        # the normalization denominator doing its job, not a gate failure.
+        if ceiling["4_to_16"] < 0.82 and (time.time() - t_start) < budget_s:
             time.sleep(30)
-            tries += 1
             ceiling = _machine_ceiling(sf_dir)
             _mark(t_start, f"phase ceiling retry {ceiling}")
 
