@@ -586,3 +586,54 @@ class TestMediaDecoderRobustness:
         rate, x = decode_wav(make_wav(7))
         assert rate == 16000 and len(x) == 64 + 7 % 64
         assert int(x[0]) == ((0 + 7) % 1000) - 500
+
+
+class TestRobots:
+    """robots_filter (RFC 9309 frontier gate) — outside the 50-query
+    gate, full DuckDB value oracle here + semantic pins."""
+
+    def test_matches_oracle(self, spark):
+        from textextraction_spark.operators.scheduling import (
+            ROBOTS_FILTER_ORACLE,
+            robots_filter,
+        )
+
+        got = robots_filter(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(ROBOTS_FILTER_ORACLE).df()
+        problems = compare("robots_filter", got, want)
+        assert not problems, problems
+
+    def test_rfc9309_semantics(self, spark):
+        """The three behaviors that make it robots.txt and not a grep:
+        (1) a non-* agent group (googlebot: Disallow /) is attributed and
+        IGNORED; (2) longest-match wins — Allow /d/44 re-allows under
+        Disallow /d/4; (3) no matching rule = allowed."""
+        from textextraction_spark.operators.scheduling import robots_filter
+
+        got = {
+            r.url: r.allowed for r in robots_filter(spark, SF).collect()
+        }
+        # h3.example.com (len 14 -> digit 4): Disallow /d/4, Allow /d/44
+        assert got["https://h3.example.com/d/43"] == 0    # Disallow /d/4
+        assert got["https://h3.example.com/d/443"] == 1   # Allow /d/44 longer
+        assert got["https://h4.example.com/d/44"] == 1    # tie-free allow
+        # if the googlebot 'Disallow: /' group leaked into *, EVERYTHING
+        # would be blocked:
+        vals = list(got.values())
+        assert sum(vals) > len(vals) * 0.8
+
+    def test_frontier_side_never_shuffles(self, spark):
+        """Rules broadcast onto the frontier: the url side must reach the
+        output without an exchange (the only exchanges belong to the
+        tiny per-host robots derivation)."""
+        from textextraction_spark.operators.scheduling import robots_filter
+
+        plan = (
+            robots_filter(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange hashpartitioning(url") == 0

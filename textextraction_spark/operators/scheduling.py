@@ -138,3 +138,169 @@ SELECT 'window' AS impl, * FROM ({POLITENESS_ORACLE})
 UNION ALL
 SELECT 'grouped' AS impl, * FROM ({POLITENESS_ORACLE})
 """
+
+
+# --------------------------------------------------------------- robots.txt
+# RFC 9309 (Robots Exclusion Protocol) filtering — the gate between a
+# crawl frontier and the fetcher.  FULLY RELATIONAL on both engines: the
+# robots.txt parse (line split -> User-agent group attribution -> rule
+# extraction) and the match (longest-path rule wins, Allow wins ties,
+# no matching rule = allowed) are plain DataFrame/SQL ops — no UDF, no
+# python in the loop.  Scope: prefix rules for the ``User-agent: *``
+# group (no ``*``/``$`` wildcards), which is RFC 9309 minus the optional
+# wildcard extension; other agent groups are correctly attributed and
+# ignored, empty patterns match nothing (per the RFC).
+#
+# 100 TB shape: rules live per HOST (tiny: one robots.txt per domain),
+# collapse to one array<struct> row per host, and broadcast onto the
+# frontier — the trillion-row url side stays shuffle-free (the only
+# exchanges belong to the 21-row robots derivation).  Longest-match is
+# evaluated per url with array functions (filter + array_max over
+# (len, allow) structs — struct comparison is lexicographic), so no
+# per-url window, no per-url shuffle.
+#
+# (The reference crawls nothing — its input folder is local; this is
+# part of the beyond-reference crawl-pipeline suite.  Outside the full
+# 50-query driver gate; full DuckDB value oracle in
+# tests/test_operators.py::TestRobots.)
+
+# Deterministic robots.txt per host, shared-dialect SQL (digit derives
+# from the host-string length so every engine reconstructs it):
+#   User-agent: googlebot   Disallow: /          (must be IGNORED)
+#   User-agent: *           Disallow: /d/<digit>
+#                           Allow: /d/<digit><digit>   (longest wins)
+#                           Disallow:                  (empty: no-op)
+_ROBOTS_TXT_SQL = (
+    "'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10) || "
+    "chr(10) || 'User-agent: *' || chr(10) || "
+    "'Disallow: /d/' || CAST(length(host) % 10 AS STRING) || chr(10) || "
+    "'Allow: /d/' || CAST(length(host) % 10 AS STRING) "
+    "|| CAST(length(host) % 10 AS STRING) || chr(10) || "
+    "'Disallow:' || chr(10)"
+)
+
+_HOST_RE = "^https?://([^/]+)"
+_PATH_RE = "^https?://[^/]+(/.*)$"
+
+
+def robots_filter(spark, sf_dir: str):
+    """(url, host, allowed 0/1) for every frontier url under the host's
+    robots.txt rules.  Url side: one broadcast join, zero shuffles."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from textextraction_spark.sources.pages import URL_SQL
+
+    urls = d.select(F.expr(URL_SQL).alias("url")).select(
+        "url",
+        F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("url", _PATH_RE, 1), F.lit("")),
+            F.lit("/"),
+        ).alias("path"),
+    )
+
+    # ---- robots side (tiny: one row per host) -------------------------
+    robots = (
+        urls.select("host")
+        .distinct()  # partial-agg first: ~rows-per-partition, then 21
+        .withColumn("robots_txt", F.expr(_ROBOTS_TXT_SQL))
+    )
+    lines = robots.select(
+        "host", F.posexplode(F.split("robots_txt", "\n")).alias("pos", "line")
+    )
+    low = F.lower(F.col("line"))
+    agent_decl = F.when(
+        low.startswith("user-agent:"),
+        F.trim(F.expr("substring(line, instr(line, ':') + 1)")),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rules = (
+        lines.withColumn("agent", F.last(agent_decl, ignorenulls=True).over(w))
+        .filter(F.col("agent") == "*")
+        .withColumn(
+            "allow",
+            F.when(low.startswith("allow:"), F.lit(True)).when(
+                low.startswith("disallow:"), F.lit(False)
+            ),
+        )
+        .filter(F.col("allow").isNotNull())
+        .withColumn(
+            "rpath", F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
+        )
+        .filter(F.col("rpath") != "")  # RFC: empty pattern matches nothing
+    )
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("rpath").alias("plen"),
+                F.col("allow").alias("allow"),
+                F.col("rpath").alias("rpath"),
+            )
+        ).alias("rules")
+    )
+
+    # ---- match: longest rule wins, Allow wins ties, no rule = allowed -
+    j = urls.join(F.broadcast(per_host), "host", "left")
+    best = F.array_max(F.expr("filter(rules, r -> startswith(path, r.rpath))"))
+    return j.select(
+        "url",
+        "host",
+        F.when(best.isNull(), F.lit(1))
+        .otherwise(best["allow"].cast("bigint"))
+        .cast("bigint")
+        .alias("allowed"),
+    )
+
+
+from textextraction_spark.sources.pages import URL_SQL as _URL_SQL
+
+ROBOTS_FILTER_ORACLE = f"""
+WITH u AS (
+  SELECT url,
+         regexp_extract(url, '{_HOST_RE}', 1) AS host,
+         coalesce(nullif(regexp_extract(url, '{_PATH_RE}', 1), ''), '/') AS path
+  FROM (SELECT {_URL_SQL} AS url FROM documents)
+),
+robots AS (
+  SELECT host, {_ROBOTS_TXT_SQL} AS robots_txt
+  FROM (SELECT DISTINCT host FROM u)
+),
+lines AS (
+  SELECT host,
+         generate_subscripts(string_split(robots_txt, chr(10)), 1) AS pos,
+         unnest(string_split(robots_txt, chr(10))) AS line
+  FROM robots
+),
+attributed AS (
+  SELECT host, line,
+         last_value(CASE WHEN lower(line) LIKE 'user-agent:%'
+                         THEN trim(substr(line, strpos(line, ':') + 1)) END
+                    IGNORE NULLS)
+             OVER (PARTITION BY host ORDER BY pos ROWS UNBOUNDED PRECEDING)
+             AS agent
+  FROM lines
+),
+rules AS (
+  SELECT host,
+         (lower(line) LIKE 'allow:%') AS allow,
+         trim(substr(line, strpos(line, ':') + 1)) AS rpath
+  FROM attributed
+  WHERE agent = '*'
+    AND (lower(line) LIKE 'allow:%' OR lower(line) LIKE 'disallow:%')
+    AND trim(substr(line, strpos(line, ':') + 1)) != ''
+),
+best AS (
+  SELECT url, allow,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY len(rpath) DESC, allow DESC) AS rn
+  FROM u JOIN rules USING (host)
+  WHERE starts_with(u.path, rules.rpath)
+)
+SELECT u.url, u.host,
+       (CASE WHEN b.allow IS NULL THEN 1
+             WHEN b.allow THEN 1 ELSE 0 END)::BIGINT AS allowed
+FROM u LEFT JOIN (SELECT url, allow FROM best WHERE rn = 1) b USING (url)
+"""
