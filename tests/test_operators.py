@@ -637,3 +637,35 @@ class TestRobots:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert plan.count("Exchange hashpartitioning(url") == 0
+
+
+class TestSitemap:
+    """sitemap_frontier (XML sitemap ingestion via JVM-side XPath) —
+    outside the 50-query gate, full DuckDB value oracle here
+    (regexp_extract_all is the oracle twin of the XPath)."""
+
+    def test_matches_oracle(self, spark):
+        from textextraction_spark.operators.scheduling import (
+            SITEMAP_FRONTIER_ORACLE,
+            sitemap_frontier,
+        )
+
+        got = sitemap_frontier(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(SITEMAP_FRONTIER_ORACLE).df()
+        problems = compare("sitemap_frontier", got, want)
+        assert not problems, problems
+
+    def test_seen_and_new_classes_both_present(self, spark):
+        """Entries 0/1 are urls the host genuinely owns (already
+        crawled), entry 2 is never-crawled — both classes must appear or
+        the seen-join is vacuous."""
+        from textextraction_spark.operators.scheduling import sitemap_frontier
+
+        rows = sitemap_frontier(spark, SF).collect()
+        assert len(rows) == 63  # 21 hosts x 3 entries
+        new = [r for r in rows if r.is_new == 1]
+        seen = [r for r in rows if r.is_new == 0]
+        assert len(new) == 21 and len(seen) == 42
+        assert all("/d/10000" in r.url for r in new)
+        for r in rows:
+            assert r.lastmod is not None and 0.0 <= r.priority <= 0.9

@@ -304,3 +304,114 @@ SELECT u.url, u.host,
              WHEN b.allow THEN 1 ELSE 0 END)::BIGINT AS allowed
 FROM u LEFT JOIN (SELECT url, allow FROM best WHERE rn = 1) b USING (url)
 """
+
+
+# ----------------------------------------------------------------- sitemaps
+# XML sitemap ingestion: the other half of frontier construction (robots
+# gates it, sitemaps feed it).  The parse is Spark's JVM-side XPath
+# (``xpath(xml, '//url/loc/text()')`` — whole-stage-codegen adjacent, no
+# python), zipped + exploded to one row per <url> entry, then joined
+# against the already-crawled url set to flag what is genuinely new.
+#
+# 100 TB shape: sitemap XML is per-host and tiny; the big side is the
+# SEEN set (the crawl's url catalog).  The join is a plain equi-join on
+# url with no hint — at test scale AQE broadcasts the small side, at
+# crawl scale it degrades to a shuffle join, which is the correct plan
+# when both sides are large.  Scope: plain (non-namespaced, non-index)
+# sitemaps; real-world xmlns handling needs a namespace-aware parse
+# that XPath 1.0's default-namespace rules make environment-dependent.
+#
+# (Outside the 50-query driver gate; full DuckDB value oracle in
+# tests/test_operators.py::TestSitemap — regexp_extract_all is the
+# oracle twin of the XPath.)
+
+# Three entries per host, ids derived from the host string so both
+# engines reconstruct them.  Entries 0/1 are urls the host GENUINELY
+# owns (host hN owns doc_ids with id%20==N and id%100>=30; N+40 and
+# N+60 satisfy both, and the heavy host owns 0/1 outright), so they
+# test the already-crawled class; entry 2 is offset by 1_000_000 so
+# every sitemap also carries a never-crawled url at any scale factor.
+_SM_N = "CAST(nullif(regexp_extract(host, 'h([0-9]+)', 1), '') AS BIGINT)"
+_SM_IDS = (
+    f"coalesce({_SM_N} + 40, 0)",
+    f"coalesce({_SM_N} + 60, 1)",
+    "1000000 + length(host)",
+)
+
+
+def _sm_entry(i: int) -> str:
+    sid = f"CAST({_SM_IDS[i]} AS STRING)"
+    num = _SM_IDS[i]
+    return (
+        f"'<url><loc>https://' || host || '/d/' || {sid} || '</loc>"
+        f"<lastmod>2026-01-' || lpad(CAST(1 + ({num}) % 28 AS STRING), 2, '0') || '</lastmod>"
+        f"<priority>0.' || CAST(({num}) % 10 AS STRING) || '</priority></url>'"
+    )
+
+
+_SITEMAP_XML_SQL = (
+    "'<?xml version=\"1.0\"?><urlset>' || "
+    + " || ".join([_sm_entry(0), _sm_entry(1), _sm_entry(2)])
+    + " || '</urlset>'"
+)
+
+
+def sitemap_frontier(spark, sf_dir: str):
+    """(host, url, lastmod, priority, is_new 0/1): every sitemap entry
+    across hosts, flagged against the already-crawled url set."""
+    from textextraction_spark.sources.pages import URL_SQL
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = d.select(F.expr(URL_SQL).alias("url"), F.lit(1).alias("seen"))
+    hosts = (
+        seen.select(F.regexp_extract("url", _HOST_RE, 1).alias("host"))
+        .distinct()
+        .withColumn("xml", F.expr(_SITEMAP_XML_SQL))
+    )
+    entries = hosts.select(
+        "host",
+        F.explode(
+            F.arrays_zip(
+                F.expr("xpath(xml, '//url/loc/text()')").alias("url"),
+                F.expr("xpath(xml, '//url/lastmod/text()')").alias("lastmod"),
+                F.expr("xpath(xml, '//url/priority/text()')").alias("priority"),
+            )
+        ).alias("e"),
+    ).select(
+        "host",
+        F.col("e.url").alias("url"),
+        F.col("e.lastmod").alias("lastmod"),  # ISO string as served
+        F.col("e.priority").cast("double").alias("priority"),
+    )
+    return entries.join(seen, "url", "left").select(
+        "host",
+        "url",
+        "lastmod",
+        "priority",
+        F.when(F.col("seen").isNull(), 1).otherwise(0).cast("bigint").alias("is_new"),
+    )
+
+
+SITEMAP_FRONTIER_ORACLE = f"""
+WITH seen AS (
+  SELECT {_URL_SQL} AS url FROM documents
+),
+hosts AS (
+  SELECT DISTINCT regexp_extract(url, '{_HOST_RE}', 1) AS host FROM seen
+),
+sm AS (
+  SELECT host, {_SITEMAP_XML_SQL} AS xml FROM hosts
+),
+entries AS (
+  SELECT host,
+         unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS url,
+         unnest(regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1)) AS lastmod,
+         unnest(regexp_extract_all(xml, '<priority>([^<]*)</priority>', 1)) AS priority
+  FROM sm
+)
+SELECT e.host, e.url,
+       e.lastmod,
+       CAST(e.priority AS DOUBLE) AS priority,
+       (CASE WHEN s.url IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_new
+FROM entries e LEFT JOIN seen s ON e.url = s.url
+"""
