@@ -573,6 +573,39 @@ class TestCharsetSniff:
         pdf = b"%PDF-1.4\nstream\nBT 72 700 Td (charset=x \xff) Tj ET\nendstream\n%%EOF"
         assert normalize_bytes(pdf) is pdf
 
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("C",), exclude_characters="<>&"
+            ),
+            min_size=1,
+            max_size=80,
+        ),
+        st.sampled_from(["utf-16-le", "utf-16-be", "windows-1251", "shift_jis"]),
+    )
+    def test_roundtrip_property(self, words, codec):
+        """ANY text a codec can represent, served in that codec (BOM for
+        UTF-16, meta declaration otherwise), must extract char-identical
+        to the same text served as UTF-8."""
+        import codecs as C
+
+        text = " ".join(words.split())  # canonical spacing survives the DOM
+        if not text:
+            return
+        html = f"<body><p>{text}</p></body>"
+        try:
+            if codec.startswith("utf-16"):
+                bom = C.BOM_UTF16_LE if codec.endswith("le") else C.BOM_UTF16_BE
+                payload = bom + html.encode(codec)
+            else:
+                payload = (f"<meta charset={codec}>" + html).encode(codec)
+        except UnicodeEncodeError:
+            return  # text outside the codec's repertoire: not this case
+        want = extract_document(html.encode("utf-8")).extracted_text
+        got = extract_document(payload).extracted_text
+        assert got == want
+
     def test_meta_outside_prescan_window_ignored(self):
         """The sniff reads a bounded prefix (O(1) per doc at crawl scale);
         a declaration buried past it falls back to utf-8/latin-1."""

@@ -669,3 +669,30 @@ class TestSitemap:
         assert all("/d/10000" in r.url for r in new)
         for r in rows:
             assert r.lastmod is not None and 0.0 <= r.priority <= 0.9
+
+
+class TestRecrawl:
+    """recrawl_candidates (if-modified-since crawl economics) — outside
+    the 50-query gate, full DuckDB value oracle here."""
+
+    def test_matches_oracle(self, spark):
+        from textextraction_spark.operators.scheduling import (
+            RECRAWL_CANDIDATES_ORACLE,
+            recrawl_candidates,
+        )
+
+        got = recrawl_candidates(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(RECRAWL_CANDIDATES_ORACLE).df()
+        problems = compare("recrawl_candidates", got, want)
+        assert not problems, problems
+
+    def test_all_three_reasons_fire(self, spark):
+        from textextraction_spark.operators.scheduling import recrawl_candidates
+
+        rows = recrawl_candidates(spark, SF).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.reason, []).append(r)
+            assert r.fetch == (0 if r.reason == "fresh" else 1)
+        assert set(by) == {"new", "stale", "fresh"}
+        assert all(r.is_new if hasattr(r, "is_new") else True for r in by["new"])

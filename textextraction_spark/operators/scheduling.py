@@ -256,6 +256,9 @@ def robots_filter(spark, sf_dir: str):
 
 
 from textextraction_spark.sources.pages import URL_SQL as _URL_SQL
+from textextraction_spark.sources.pages import warc_ts_sql as _warc_ts_sql
+
+_warc_ts_duck = _warc_ts_sql("duckdb")
 
 ROBOTS_FILTER_ORACLE = f"""
 WITH u AS (
@@ -414,4 +417,64 @@ SELECT e.host, e.url,
        CAST(e.priority AS DOUBLE) AS priority,
        (CASE WHEN s.url IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_new
 FROM entries e LEFT JOIN seen s ON e.url = s.url
+"""
+
+
+# ---------------------------------------------------------------- recrawl
+# Recrawl scheduling: join the sitemap frontier against the crawl
+# catalog's capture timestamps and decide, per url, whether to fetch —
+# 'new' (never captured), 'stale' (sitemap lastmod is newer than the
+# capture date), or 'fresh' (skip).  The if-modified-since economics of
+# a continuous crawl, as one narrow join: the frontier side is the
+# sitemap_frontier output, the catalog side projects (url, capture day)
+# only, and the date comparison is a lexicographic ISO-string compare so
+# both engines evaluate it identically.
+#
+# (Outside the 50-query driver gate; full DuckDB value oracle in
+# tests/test_operators.py::TestRecrawl.)
+
+
+def recrawl_candidates(spark, sf_dir: str):
+    """(host, url, lastmod, reason, fetch 0/1) for every sitemap entry."""
+    from textextraction_spark.sources.pages import URL_SQL, warc_ts_sql
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    catalog = d.select(
+        F.expr(URL_SQL).alias("url"),
+        F.date_format(F.expr(warc_ts_sql("spark")), "yyyy-MM-dd").alias(
+            "cap_day"
+        ),
+    )
+    entries = sitemap_frontier(spark, sf_dir).join(catalog, "url", "left")
+    reason = (
+        F.when(F.col("is_new") == 1, F.lit("new"))
+        .when(F.col("lastmod") > F.col("cap_day"), F.lit("stale"))
+        .otherwise(F.lit("fresh"))
+    )
+    return entries.select(
+        "host",
+        "url",
+        "lastmod",
+        reason.alias("reason"),
+        (reason != "fresh").cast("bigint").alias("fetch"),
+    )
+
+
+RECRAWL_CANDIDATES_ORACLE = f"""
+WITH frontier AS ({SITEMAP_FRONTIER_ORACLE}),
+catalog AS (
+  SELECT {_URL_SQL} AS url,
+         strftime(CAST({_warc_ts_duck} AS TIMESTAMP), '%Y-%m-%d') AS cap_day
+  FROM documents
+),
+j AS (
+  SELECT f.*, c.cap_day FROM frontier f LEFT JOIN catalog c USING (url)
+)
+SELECT host, url, lastmod,
+       CASE WHEN is_new = 1 THEN 'new'
+            WHEN lastmod > cap_day THEN 'stale'
+            ELSE 'fresh' END AS reason,
+       (CASE WHEN is_new = 1 OR lastmod > cap_day THEN 1 ELSE 0 END)::BIGINT
+           AS fetch
+FROM j
 """
