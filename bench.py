@@ -640,6 +640,7 @@ def main() -> None:
     if regressions and (time.time() - t_start) < budget_s + 60:
         # Defensive: a crash here must NEVER cost the run its JSON line —
         # the re-check only ever tightens numbers already measured.
+        s = None
         try:
             _reset_jvm()
             s = make_session(cpus)
@@ -660,7 +661,6 @@ def main() -> None:
                         break
                     best = min(best, dt)
                 queries[name] = round(best, 3)
-            s.stop()
             regressions = {
                 name: {"sec": queries[name], "baseline_sec": base}
                 for name, base in QUERY_BASELINES.items()
@@ -669,6 +669,14 @@ def main() -> None:
             _mark(t_start, f"regression re-check: {regressions or 'clear'}")
         except Exception as e:  # noqa: BLE001
             _mark(t_start, f"regression re-check failed (kept phase-1 numbers): {e}")
+        finally:
+            if s is not None:
+                # the leak path: an exception above must not leave an
+                # orphaned JVM running next to the JSON-emit tail
+                try:
+                    s.stop()
+                except Exception:  # noqa: BLE001
+                    pass
 
     import shutil
 

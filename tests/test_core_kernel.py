@@ -606,6 +606,43 @@ class TestCharsetSniff:
         got = extract_document(payload).extracted_text
         assert got == want
 
+    def test_meta_utf16_label_means_utf8(self):
+        """whatwg prescan: a BOM-less document whose <meta> was readable
+        as ASCII-compatible bytes cannot BE UTF-16 — the label must be
+        read as UTF-8, not honored literally (review finding: honoring
+        it turned valid pages into CJK garbage)."""
+        for label in ("utf-16", "utf-16le", "utf-16be", "utf-32"):
+            payload = (
+                f"<meta charset={label}><body><p>plain english words</p></body>"
+            ).encode("utf-8")
+            assert self._text(payload) == "plain english words", label
+
+    def test_charset_mention_in_comment_ignored(self):
+        """Prescan skips comments: a commented-out legacy declaration
+        must not override the real one (review finding)."""
+        payload = (
+            b"<!-- <meta charset=shift_jis> -->"
+            b"<meta charset=utf-8><body><p>d\xc3\xa9j\xc3\xa0 page</p></body>"
+        )
+        assert self._text(payload) == "déjà page"
+
+    def test_charset_mention_in_attribute_value_ignored(self):
+        """Only a charset attribute or an http-equiv Content-Type content
+        attribute counts — 'charset=' inside a meta DESCRIPTION is page
+        text about charsets, not a declaration (review finding)."""
+        payload = (
+            b'<meta name="description" '
+            b'content="how to set charset=koi8-r in pages">'
+            b"<body><p>d\xc3\xa9j\xc3\xa0 valid utf-8</p></body>"
+        )
+        assert self._text(payload) == "déjà valid utf-8"
+
+    def test_x_user_defined_maps_to_cp1252(self):
+        """Encoding Standard: x-user-defined is decoded like a
+        windows-1252 superset for legacy pages."""
+        payload = b"<meta charset=x-user-defined><body><p>caf\xe9 legacy</p></body>"
+        assert self._text(payload) == "café legacy"
+
     def test_meta_outside_prescan_window_ignored(self):
         """The sniff reads a bounded prefix (O(1) per doc at crawl scale);
         a declaration buried past it falls back to utf-8/latin-1."""

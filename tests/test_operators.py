@@ -695,4 +695,8 @@ class TestRecrawl:
             by.setdefault(r.reason, []).append(r)
             assert r.fetch == (0 if r.reason == "fresh" else 1)
         assert set(by) == {"new", "stale", "fresh"}
-        assert all(r.is_new if hasattr(r, "is_new") else True for r in by["new"])
+        # 'new' rows must be exactly the never-crawled sitemap entries
+        # (the 1_000_000-offset family) — a regression that labels seen
+        # urls 'new' fails here
+        assert all("/d/10000" in r.url for r in by["new"])
+        assert not any("/d/10000" in r.url for r in by["stale"] + by["fresh"])

@@ -85,6 +85,46 @@ class TestWarcRoundTrip:
         assert via_warc == via_parquet
 
 
+    def test_transport_charset_end_to_end(self, spark, tmp_path):
+        """Spark surface: a raw WARC segment whose record declares
+        charset=windows-1251 ONLY in the HTTP header flows through
+        read_warc (charset column) -> extract_pages (kernel applies
+        whatwg precedence) into correct Cyrillic text."""
+        import gzip as _gz
+
+        from textextraction_spark.sources.warc import (
+            warc_record_bytes,
+            warcinfo_record_bytes,
+        )
+
+        raw = "<body><p>новости дня сегодня</p></body>".encode("windows-1251")
+        recs = [
+            warc_record_bytes(
+                "https://ru.example.com/p1", TS, raw,
+                http_content_type="text/html; charset=windows-1251",
+            ),
+            warc_record_bytes(
+                "https://en.example.com/p2", TS,
+                b"<body><p>plain english page</p></body>",
+            ),
+        ]
+        seg = tmp_path / "seg-00000.warc.gz"
+        seg.write_bytes(
+            b"".join(
+                _gz.compress(r, mtime=0)
+                for r in [warcinfo_record_bytes(seg.name)] + recs
+            )
+        )
+        pages = read_warc(spark, str(tmp_path))
+        assert "charset" in pages.columns
+        got = {
+            r.url: r.extracted_text
+            for r in extract_pages(pages).collect()
+        }
+        assert got["https://ru.example.com/p1"] == "новости дня сегодня"
+        assert got["https://en.example.com/p2"] == "plain english page"
+
+
 class TestWarcParser:
     def _file(self, n=3, compress=True):
         recs = [
@@ -96,7 +136,7 @@ class TestWarcParser:
     def test_skips_warcinfo(self):
         buf, recs = self._file()
         got = list(iter_warc_records(buf))
-        assert [u for u, _, _ in got] == [u for u, _, _ in recs]
+        assert [u for u, *_ in got] == [u for u, _, _ in recs]
         assert got[0][1] == TS
         assert got[0][2] == recs[0][2]
 
@@ -104,7 +144,7 @@ class TestWarcParser:
         buf, recs = self._file(compress=False)
         cut = buf[: buf.rfind(b"WARC/") + 40]  # mid-header of the last record
         got = list(iter_warc_records(cut))
-        assert [u for u, _, _ in got] == [u for u, _, _ in recs[:-1]]
+        assert [u for u, *_ in got] == [u for u, _, _ in recs[:-1]]
 
     def test_multimember_gzip_layout(self):
         # each record must be its OWN gzip member (Common Crawl layout):
@@ -129,14 +169,14 @@ class TestWarcParser:
     def test_trailing_garbage_after_members(self):
         buf, recs = self._file(n=2)
         got = list(iter_warc_records(buf + b"\x00garbage tail\xff"))
-        assert [u for u, _, _ in got] == [u for u, _, _ in recs]
+        assert [u for u, *_ in got] == [u for u, _, _ in recs]
 
     def test_header_without_space_after_colon(self):
         """WARC grammar: name ':' [SP] value — the space is optional."""
         rec = warc_file_bytes([("https://x.com/a", TS, b"<p>a</p>")], compress=False)
         rec = rec.replace(b"Content-Length: ", b"Content-Length:")
         got = list(iter_warc_records(rec))
-        assert [u for u, _, _ in got] == ["https://x.com/a"]
+        assert [u for u, *_ in got] == ["https://x.com/a"]
 
     def test_fractional_second_warc_date(self):
         """WARC 1.1 tools (warcio, modern wget) write fractional seconds."""
@@ -152,27 +192,79 @@ class TestWarcParser:
         got = list(iter_warc_records(buf))
         assert got[0][0] == url
 
-    def test_http_header_charset_transcodes_payload(self):
-        """HTML5 precedence: a charset in the HTTP Content-Type header
-        (the transport signal real crawl records carry) decodes the
-        payload even with NO in-document <meta> declaration."""
+    def test_http_header_charset_reaches_kernel(self):
+        """The parser SURFACES the HTTP Content-Type charset (column
+        semantics) and the kernel applies it: a cp1251 page declared only
+        at the transport level extracts correctly, with the raw payload
+        bytes untouched at the parse layer."""
         from textextraction_spark.core.extract import extract_document
         from textextraction_spark.sources.warc import warc_record_bytes
 
-        html = "<body><p>привет мир ОТЧЁТ</p></body>".encode("windows-1251")
+        raw = "<body><p>привет мир ОТЧЁТ</p></body>".encode("windows-1251")
         rec = warc_record_bytes(
             "https://ru.example.com/a",
             TS,
-            html,
+            raw,
             http_content_type="text/html; charset=windows-1251",
         )
-        got = list(iter_warc_records(rec))
-        assert len(got) == 1
-        body = got[0][2]
-        assert "привет мир ОТЧЁТ".encode("utf-8") in body
-        assert extract_document(body).extracted_text == "привет мир ОТЧЁТ"
+        [(url, ts, body, charset)] = list(iter_warc_records(rec))
+        assert body == raw  # parse layer never rewrites payload bytes
+        assert charset == "windows-1251"
+        got = extract_document(body, declared_charset=charset)
+        assert got.extracted_text == "привет мир ОТЧЁТ"
 
-    def test_http_charset_unknown_label_keeps_bytes(self):
+    def test_header_charset_with_gzip_stored_body(self):
+        """Round-3 regression (found in review): the transport charset
+        describes the INFLATED text — a gzip-stored body must gunzip
+        first, then transcode, never the other way around."""
+        import gzip as _gz
+
+        from textextraction_spark.core.extract import extract_document
+        from textextraction_spark.sources.warc import warc_record_bytes
+
+        raw = "<body><p>сжатый текст тут</p></body>".encode("windows-1251")
+        rec = warc_record_bytes(
+            "https://ru.example.com/gz", TS, _gz.compress(raw, mtime=0),
+            http_content_type="text/html; charset=windows-1251",
+        )
+        [(url, ts, body, charset)] = list(iter_warc_records(rec))
+        got = extract_document(body, declared_charset=charset)
+        assert got.error == ""
+        assert got.extracted_text == "сжатый текст тут"
+
+    def test_header_plus_meta_double_declaration(self):
+        """Round-3 regression (found in review): header AND meta both
+        declaring cp1251 must transcode ONCE — consulting the meta after
+        the transport pass re-transcoded UTF-8 output into mojibake."""
+        from textextraction_spark.core.extract import extract_document
+        from textextraction_spark.sources.warc import warc_record_bytes
+
+        raw = (
+            '<meta http-equiv="Content-Type" '
+            'content="text/html; charset=windows-1251">'
+            "<body><p>привет мир</p></body>"
+        ).encode("windows-1251")
+        rec = warc_record_bytes(
+            "https://ru.example.com/b", TS, raw,
+            http_content_type="text/html; charset=windows-1251",
+        )
+        [(url, ts, body, charset)] = list(iter_warc_records(rec))
+        got = extract_document(body, declared_charset=charset)
+        assert got.extracted_text == "привет мир"
+
+    def test_transport_utf8_outranks_stale_meta(self):
+        """whatwg precedence: transport(utf-8) > meta(cp1251) — a page
+        served as UTF-8 with a stale cp1251 meta must NOT be mangled."""
+        from textextraction_spark.core.extract import extract_document
+
+        raw = (
+            "<meta charset=windows-1251><body><p>déjà utf-8 page</p></body>"
+        ).encode("utf-8")
+        got = extract_document(raw, declared_charset="utf-8")
+        assert got.extracted_text == "déjà utf-8 page"
+
+    def test_http_charset_unknown_label_surfaced_but_harmless(self):
+        from textextraction_spark.core.extract import extract_document
         from textextraction_spark.sources.warc import warc_record_bytes
 
         html = b"<body><p>plain ascii words</p></body>"
@@ -180,24 +272,30 @@ class TestWarcParser:
             "https://x.com/u", TS, html,
             http_content_type="text/html; charset=x-not-a-charset",
         )
-        got = list(iter_warc_records(rec))
-        assert got[0][2] == html
+        [(url, ts, body, charset)] = list(iter_warc_records(rec))
+        assert body == html and charset == "x-not-a-charset"
+        assert (
+            extract_document(body, declared_charset=charset).extracted_text
+            == "plain ascii words"
+        )
 
     def test_bom_outranks_http_header_charset(self):
         """whatwg: a payload BOM wins over a (wrong) transport charset."""
         import codecs
 
+        from textextraction_spark.core.extract import extract_document
         from textextraction_spark.sources.warc import warc_record_bytes
 
-        html = codecs.BOM_UTF16_LE + "<body><p>résumé</p></body>".encode(
+        raw = codecs.BOM_UTF16_LE + "<body><p>résumé</p></body>".encode(
             "utf-16-le"
         )
         rec = warc_record_bytes(
-            "https://x.com/b", TS, html,
+            "https://x.com/b", TS, raw,
             http_content_type="text/html; charset=windows-1251",
         )
-        body = list(iter_warc_records(rec))[0][2]
-        assert "résumé".encode("utf-8") in body
+        [(url, ts, body, charset)] = list(iter_warc_records(rec))
+        got = extract_document(body, declared_charset=charset)
+        assert got.extracted_text == "résumé"
 
 
 class TestCdxIndex:
@@ -218,7 +316,7 @@ class TestCdxIndex:
         idx = spark.read.parquet(str(tmp_path / "cdx")).collect()
         assert len(idx) == len(want)
         for r in idx[::25]:  # sample: 1 ranged read per checked capture
-            url, ts, html = read_warc_member(
+            url, ts, html, _cs = read_warc_member(
                 str(tmp_path / r.filename), r.offset, r.length
             )
             assert url == r.url and html == want[r.url]

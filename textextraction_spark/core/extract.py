@@ -74,15 +74,59 @@ _UNICODE_BOMS: tuple[tuple[bytes, str], ...] = (
 # late, so use a 2048-byte window (still O(1) per doc).
 _META_PRESCAN_BYTES = 2048
 
-_META_CHARSET = re.compile(
-    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:\-]+)",
-    re.IGNORECASE,
+# Prescan tokenization (whatwg "prescan a byte stream"): comments are
+# skipped, and only an actual <meta> tag's attributes count — a bare
+# regex over the window matched 'charset=' inside comments and inside
+# arbitrary attribute values (e.g. a meta description MENTIONING a
+# charset) and mangled valid pages.
+_PRESCAN_COMMENT = re.compile(rb"<!--.*?(?:-->|\Z)", re.DOTALL)
+_META_TAG = re.compile(rb"<meta[\s/][^>]{0,1024}?>", re.IGNORECASE)
+_META_ATTR = re.compile(
+    rb"""([a-zA-Z-]+)\s*=\s*("[^"]*"|'[^']*'|[^\s"'>]+)""",
+)
+_CONTENT_CHARSET = re.compile(
+    rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:\-]+)", re.IGNORECASE
 )
 
 # Codecs that already match the downstream scanner's native decode
 # (UTF-8 with latin-1 fallback) — declaring them is a no-op, so skip the
 # transcode round-trip.
 _UTF8_ALIASES = frozenset({"utf-8", "ascii", "iso8859-1", "latin-1"})
+
+# whatwg encoding labels Python's codec registry doesn't know or maps
+# differently: x-user-defined is defined by the Encoding Standard as a
+# windows-1252-superset for legacy form submission — cp1252 is the
+# closest stream decode.
+_LABEL_ALIASES = {"x-user-defined": "cp1252", "unicode": "utf-16-le"}
+
+
+def _sniff_meta_charset(window: bytes) -> str | None:
+    """The declared charset per the prescan rules, or None: comments
+    stripped, then the first <meta> carrying either a ``charset``
+    attribute or an ``http-equiv=Content-Type`` + ``content=...charset``
+    pair."""
+    window = _PRESCAN_COMMENT.sub(b"", window)
+    for tag in _META_TAG.finditer(window):
+        attrs: dict[bytes, bytes] = {}
+        for m in _META_ATTR.finditer(tag.group(0)):
+            v = m.group(2)
+            if v[:1] in (b'"', b"'"):
+                v = v[1:-1]
+            attrs.setdefault(m.group(1).lower(), v)
+        if b"charset" in attrs:
+            label = attrs[b"charset"]
+        elif (
+            attrs.get(b"http-equiv", b"").lower() == b"content-type"
+            and b"content" in attrs
+        ):
+            cm = _CONTENT_CHARSET.search(attrs[b"content"])
+            if not cm:
+                continue
+            label = cm.group(1)
+        else:
+            continue
+        return label.strip(b" \t'\"").decode("ascii", "replace")
+    return None
 
 # Bounded inflate: a crawled payload claiming gzip may be a decompression
 # bomb; cap the inflated size so one row can never OOM an executor.  A
@@ -127,16 +171,26 @@ def _bounded_gunzip(data: bytes, limit: int) -> bytes:
     return b"".join(out)
 
 
-def _transcode(data: bytes, label: str) -> bytes | None:
+def _transcode(
+    data: bytes, label: str, from_meta: bool = False
+) -> bytes | None:
     """UTF-8 bytes for ``data`` decoded as ``label``, or None when the
     label is unknown (caller keeps the original bytes) or already an
-    identity encoding for the downstream scanner."""
+    identity encoding for the downstream scanner.
+
+    ``from_meta``: the whatwg prescan mandates that a META-declared
+    UTF-16/32 label be read as UTF-8 — a BOM-less document whose meta
+    tag was prescannable as ASCII-compatible bytes cannot actually BE
+    UTF-16, and honoring the label literally destroys valid pages."""
     import codecs
 
+    label = _LABEL_ALIASES.get(label.lower(), label)
     try:
         name = codecs.lookup(label).name
     except LookupError:
         return None
+    if from_meta and (name.startswith("utf-16") or name.startswith("utf-32")):
+        return None  # spec: prescanned UTF-16 label means UTF-8
     if name in _UTF8_ALIASES:
         return None
     try:
@@ -145,19 +199,7 @@ def _transcode(data: bytes, label: str) -> bytes | None:
         return None  # non-stream-safe codec edge: keep original bytes
 
 
-def transcode_declared(data: bytes, label: str) -> bytes:
-    """Apply a TRANSPORT-declared charset (e.g. an HTTP ``Content-Type:
-    text/html; charset=...`` header from a WARC record) with HTML5
-    precedence: a BOM in the payload still outranks the header, an
-    unknown label is ignored.  Never raises."""
-    for bom, codec in _UNICODE_BOMS:
-        if data.startswith(bom):
-            return data[len(bom):].decode(codec, "replace").encode("utf-8")
-    out = _transcode(data, label)
-    return data if out is None else out
-
-
-def normalize_charset(data: bytes) -> bytes:
+def normalize_charset(data: bytes, declared: str | None = None) -> bytes:
     """Transcode a non-UTF-8 HTML payload to UTF-8 bytes, following the
     HTML5 sniffing precedence (BOM > declared ``<meta charset>``), so the
     downstream byte-level scanner sees one canonical encoding.
@@ -173,19 +215,37 @@ def normalize_charset(data: bytes) -> bytes:
     undecodable declared charset leaves the bytes untouched (the
     scanner's own utf-8/latin-1 fallback still applies), and decode uses
     errors="replace" so a single mis-declared page cannot kill a batch.
+
+    ``declared`` is a TRANSPORT-level charset label (an HTTP
+    ``Content-Type: ...; charset=`` header carried alongside the payload,
+    e.g. from a WARC record's envelope).  whatwg precedence: BOM >
+    transport > meta — when a transport label is present and KNOWN, the
+    in-document meta is not consulted at all (consulting both was the
+    round-3 double-transcode bug: the transport pass yields UTF-8 bytes
+    whose stale meta then re-transcoded them into mojibake).
     """
     for bom, codec in _UNICODE_BOMS:
         if data.startswith(bom):
             return data[len(bom):].decode(codec, "replace").encode("utf-8")
-    m = _META_CHARSET.search(data[:_META_PRESCAN_BYTES])
-    if m:
-        out = _transcode(data, m.group(1).decode("ascii", "replace"))
+    if declared:
+        import codecs
+
+        try:
+            codecs.lookup(_LABEL_ALIASES.get(declared.lower(), declared))
+        except LookupError:
+            pass  # unknown transport label: fall through to the meta sniff
+        else:
+            out = _transcode(data, declared)
+            return data if out is None else out
+    label = _sniff_meta_charset(data[:_META_PRESCAN_BYTES])
+    if label:
+        out = _transcode(data, label, from_meta=True)
         if out is not None:
             return out
     return data
 
 
-def normalize_bytes(data: bytes) -> bytes:
+def normalize_bytes(data: bytes, declared_charset: str | None = None) -> bytes:
     """Common-Crawl payload normalization, applied before routing: WARC
     payloads are frequently stored gzip-compressed (possibly as multiple
     concatenated members), and real-world HTML often leads with a UTF-8
@@ -205,19 +265,29 @@ def normalize_bytes(data: bytes) -> bytes:
         data = data[3:]
     if not is_pdf(data):
         # HTML route only: PDF bytes carry their own string encodings and
-        # must reach the layout parser untouched.
-        data = normalize_charset(data)
+        # must reach the layout parser untouched.  Ordering matters: the
+        # charset sniff runs on DECODED content bytes (a gzip-stored
+        # body's transport charset describes the inflated text, and
+        # transcoding compressed bytes would corrupt them — round-3 bug).
+        data = normalize_charset(data, declared=declared_charset)
     return data
 
 
-def extract_document(data: bytes, encrypt_phi: bool = False) -> ExtractResult:
-    """Pure function of the document bytes (north_rule determinism).
+def extract_document(
+    data: bytes,
+    encrypt_phi: bool = False,
+    declared_charset: str | None = None,
+) -> ExtractResult:
+    """Pure function of the document bytes (north_rule determinism) —
+    plus, optionally, the transport-declared charset label that real
+    crawl envelopes (HTTP headers inside WARC records) carry alongside
+    the payload.
 
     encrypt_phi mirrors the reference's ``EnableEncryption`` flag
     (``Worker.cs:238-250``): patient fields' span text is replaced by its
     deterministic fixed-IV AES ciphertext (core/crypt.py, F9)."""
     try:
-        data = normalize_bytes(data)
+        data = normalize_bytes(data, declared_charset=declared_charset)
         doc = parse_pdf(data) if is_pdf(data) else extract_html(data)
         spans = extract_spans(doc)
         if encrypt_phi:

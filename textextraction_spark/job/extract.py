@@ -35,11 +35,17 @@ from textextraction_spark.job.schemas import EXTRACT_OUTPUT_SCHEMA
 def extract_batch(
     batches: Iterator[pd.DataFrame], encrypt_phi: bool = False
 ) -> Iterator[pd.DataFrame]:
-    """Iterator[pd.DataFrame(url, warc_ts, html)] -> extraction results."""
+    """Iterator[pd.DataFrame(url, warc_ts, html[, charset])] -> extraction
+    results.  ``charset`` (optional, from transport envelopes like WARC
+    HTTP headers) rides next to the payload and reaches the kernel as the
+    transport-declared label (whatwg: BOM > transport > meta)."""
     for pdf in batches:
         n = len(pdf)
         if n == 0:
             continue
+        charsets = (
+            pdf["charset"].values if "charset" in pdf.columns else [None] * n
+        )
         texts: list[str] = [""] * n
         spans: list[list[dict]] = [[]] * n
         conf = [0.0] * n
@@ -49,7 +55,9 @@ def extract_batch(
         errors = [""] * n
         for i, data in enumerate(pdf["html"].values):
             b = bytes(data) if data is not None else b""
-            r = extract_document(b, encrypt_phi=encrypt_phi)
+            r = extract_document(
+                b, encrypt_phi=encrypt_phi, declared_charset=charsets[i]
+            )
             texts[i] = r.extracted_text
             # vars().copy() beats dataclasses.asdict ~8x (no recursion)
             spans[i] = [vars(s).copy() for s in r.spans]
@@ -104,6 +112,11 @@ def extract_batch_arrow(batches, encrypt_phi: bool = False):
         if n == 0:
             continue
         htmls = batch.column("html").to_pylist()
+        charsets = (
+            batch.column("charset").to_pylist()
+            if "charset" in batch.schema.names
+            else [None] * n
+        )
         texts: list[str] = []
         spans: list[list[dict]] = []
         conf: list[float] = []
@@ -111,9 +124,9 @@ def extract_batch_arrow(batches, encrypt_phi: bool = False):
         n_bytes: list[int] = []
         is_pdf: list[bool] = []
         errors: list[str] = []
-        for data in htmls:
+        for data, cs in zip(htmls, charsets):
             b = data if data is not None else b""
-            r = extract_document(b, encrypt_phi=encrypt_phi)
+            r = extract_document(b, encrypt_phi=encrypt_phi, declared_charset=cs)
             texts.append(r.extracted_text)
             spans.append([vars(s).copy() for s in r.spans])
             conf.append(r.confidence)
@@ -159,7 +172,10 @@ def extract_pages(pages_df, encrypt_phi: bool = False, use_arrow: bool = True):
     from textextraction_spark.job.packaging import ensure_shipped
 
     ensure_shipped(pages_df.sparkSession)
-    projected = pages_df.select("url", "warc_ts", "html")
+    cols = ["url", "warc_ts", "html"]
+    if "charset" in pages_df.columns:
+        cols.append("charset")  # transport label (WARC envelopes) -> kernel
+    projected = pages_df.select(*cols)
     if use_arrow:
         fn = (
             partial(extract_batch_arrow, encrypt_phi=encrypt_phi)

@@ -167,12 +167,18 @@ SELECT 'grouped' AS impl, * FROM ({POLITENESS_ORACLE})
 # Deterministic robots.txt per host, shared-dialect SQL (digit derives
 # from the host-string length so every engine reconstructs it):
 #   User-agent: googlebot   Disallow: /          (must be IGNORED)
-#   User-agent: *           Disallow: /d/<digit>
+#   User-agent: *
+#   User-agent: bingbot     <- STACKED group (RFC 9309 §2.2.1): the
+#                              rules below belong to BOTH agents — an
+#                              implementation that attributes them only
+#                              to the last declaration loses the whole
+#                              '*' group and allows everything
+#                           Disallow: /d/<digit>
 #                           Allow: /d/<digit><digit>   (longest wins)
 #                           Disallow:                  (empty: no-op)
 _ROBOTS_TXT_SQL = (
     "'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10) || "
-    "chr(10) || 'User-agent: *' || chr(10) || "
+    "chr(10) || 'User-agent: *' || chr(10) || 'User-agent: bingbot' || chr(10) || "
     "'Disallow: /d/' || CAST(length(host) % 10 AS STRING) || chr(10) || "
     "'Allow: /d/' || CAST(length(host) % 10 AS STRING) "
     "|| CAST(length(host) % 10 AS STRING) || chr(10) || "
@@ -208,18 +214,31 @@ def robots_filter(spark, sf_dir: str):
         "host", F.posexplode(F.split("robots_txt", "\n")).alias("pos", "line")
     )
     low = F.lower(F.col("line"))
+    is_ua = low.startswith("user-agent:")
     agent_decl = F.when(
-        low.startswith("user-agent:"),
-        F.trim(F.expr("substring(line, instr(line, ':') + 1)")),
+        is_ua, F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
     )
-    w = (
-        Window.partitionBy("host")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_ord = Window.partitionBy("host").orderBy("pos")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # RFC 9309 §2.2.1 group attribution: CONSECUTIVE User-agent lines
+    # form one group whose rules apply to ALL listed agents — so a rule
+    # belongs to a UA *run*, not to the last UA line above it.  run_id =
+    # cumulative count of run STARTS (a UA line not preceded by one);
+    # non-UA lines inherit the latest run's id via the same cumsum.
+    attributed = lines.withColumn(
+        "run_id",
+        F.sum(
+            (is_ua & ~F.coalesce(F.lag(is_ua).over(w_ord), F.lit(False)))
+            .cast("int")
+        ).over(w_cum),
+    ).withColumn("agent", agent_decl)
+    star_groups = (
+        attributed.filter(F.col("agent") == "*")
+        .select("host", "run_id")
+        .distinct()
     )
     rules = (
-        lines.withColumn("agent", F.last(agent_decl, ignorenulls=True).over(w))
-        .filter(F.col("agent") == "*")
+        attributed.join(star_groups, ["host", "run_id"])  # tiny x tiny
         .withColumn(
             "allow",
             F.when(low.startswith("allow:"), F.lit(True)).when(
@@ -277,23 +296,34 @@ lines AS (
          unnest(string_split(robots_txt, chr(10))) AS line
   FROM robots
 ),
-attributed AS (
-  SELECT host, line,
-         last_value(CASE WHEN lower(line) LIKE 'user-agent:%'
-                         THEN trim(substr(line, strpos(line, ':') + 1)) END
-                    IGNORE NULLS)
-             OVER (PARTITION BY host ORDER BY pos ROWS UNBOUNDED PRECEDING)
-             AS agent
+flagged AS (
+  -- RFC 9309 2.2.1: consecutive User-agent lines form ONE group; a
+  -- rule attaches to the run of UA lines above it (run_id = cumulative
+  -- count of run starts), and applies to every agent in that run
+  SELECT host, pos, line,
+         (lower(line) LIKE 'user-agent:%') AS is_ua,
+         coalesce(lag(lower(line) LIKE 'user-agent:%')
+                    OVER (PARTITION BY host ORDER BY pos), false) AS prev_ua
   FROM lines
+),
+runs AS (
+  SELECT host, pos, line, is_ua,
+         sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS run_id
+  FROM flagged
 ),
 rules AS (
   SELECT host,
          (lower(line) LIKE 'allow:%') AS allow,
          trim(substr(line, strpos(line, ':') + 1)) AS rpath
-  FROM attributed
-  WHERE agent = '*'
-    AND (lower(line) LIKE 'allow:%' OR lower(line) LIKE 'disallow:%')
+  FROM runs r
+  WHERE (lower(line) LIKE 'allow:%' OR lower(line) LIKE 'disallow:%')
     AND trim(substr(line, strpos(line, ':') + 1)) != ''
+    AND EXISTS (
+      SELECT 1 FROM runs u
+      WHERE u.host = r.host AND u.run_id = r.run_id AND u.is_ua
+        AND trim(substr(u.line, strpos(u.line, ':') + 1)) = '*')
 ),
 best AS (
   SELECT url, allow,

@@ -83,7 +83,12 @@ def run_extraction_job(spark, pages_df, cfg: JobConfig):
             return spark.read.parquet(str(metrics_dir))
         return _write_metrics(spark, catalog, cfg.batch_id)
 
-    pending = catalog.pending(pages_df.select("url", "warc_ts", "html"), spark)
+    # transport charset (WARC envelopes) rides with the payload when the
+    # source provides it; parquet pages tables don't have the column
+    extra_cols = ["charset"] if "charset" in pages_df.columns else []
+    pending = catalog.pending(
+        pages_df.select("url", "warc_ts", "html", *extra_cols), spark
+    )
     # shuffle.partitions is read at PHYSICAL-PLANNING time (i.e. when the
     # actions below run), so the dedup path sets it for the duration of
     # this job and restores the caller's value afterwards — a
@@ -106,7 +111,9 @@ def run_extraction_job(spark, pages_df, cfg: JobConfig):
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(cfg.num_partitions)
             )
-            latest = F.max_by(F.struct("warc_ts", "html"), "warc_ts").alias("s")
+            latest = F.max_by(
+                F.struct("warc_ts", "html", *extra_cols), "warc_ts"
+            ).alias("s")
             pending = (
                 pending.groupBy("url")
                 .agg(latest)
@@ -114,6 +121,7 @@ def run_extraction_job(spark, pages_df, cfg: JobConfig):
                     "url",
                     F.col("s.warc_ts").alias("warc_ts"),
                     F.col("s.html").alias("html"),
+                    *[F.col(f"s.{c}").alias(c) for c in extra_cols],
                 )
             )
             distributed = pending  # already hash-partitioned by url

@@ -50,7 +50,7 @@ _HTTP_CHARSET = re.compile(
 _TS_FMT = "%Y-%m-%dT%H:%M:%SZ"
 
 # pages-minimal schema: what the extraction kernel consumes.
-WARC_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
+WARC_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, charset string"
 
 # records per emitted Arrow batch on the read side (secondary bound —
 # the byte-level bound is the segment size itself)
@@ -278,26 +278,24 @@ def iter_warc_records(buf: bytes, record_types: tuple[str, ...] = ("response",))
         if ts is None:
             continue
         block = buf[block_start:block_end]
+        charset = None
         if headers.get("content-type", "").startswith("application/http"):
             # strip the HTTP status line + headers; body follows \r\n\r\n
             split = block.find(_CRLF2)
             body = block[split + len(_CRLF2):] if split >= 0 else b""
-            # HTML5 precedence: a charset declared by the HTTP header
-            # outranks any in-document <meta> (BOM still wins over both —
-            # transcode_declared enforces that), so apply it here while
-            # the envelope is still in hand.  Crawl-robust: unknown or
-            # identity labels are no-ops, mis-declared bytes decode with
-            # replacement, never an exception.
+            # Surface (don't apply) the HTTP-header charset: the payload
+            # may still be gzip-wrapped here, and the in-document meta
+            # must be suppressed when the transport declares — both are
+            # decisions only the extraction kernel's normalize pipeline
+            # can make in the right order, so the label travels as a
+            # column and is applied exactly once there (whatwg: BOM >
+            # transport > meta).
             m = _HTTP_CHARSET.search(block[:split] if split >= 0 else b"")
             if m:
-                from textextraction_spark.core.extract import transcode_declared
-
-                body = transcode_declared(
-                    body, m.group(1).decode("ascii", "replace")
-                )
+                charset = m.group(1).decode("ascii", "replace")
         else:
             body = block
-        yield url, ts, body
+        yield url, ts, body, charset
 
 
 # --------------------------------------------------------------------------
@@ -308,16 +306,22 @@ def _parse_batches_gen(batches, record_types, payload_name, text_mode):
 
     ts_type = pa.timestamp("us", tz="UTC")
     payload_type = pa.string() if text_mode else pa.binary()
+    # pages carry the envelope's charset label onward (the kernel applies
+    # it with BOM > transport > meta precedence); WET text is UTF-8 by
+    # definition, no column needed
+    with_charset = not text_mode
 
-    def flush(urls, tss, payloads):
-        return pa.RecordBatch.from_arrays(
-            [
-                pa.array(urls, pa.string()),
-                pa.array(tss, ts_type),
-                pa.array(payloads, payload_type),
-            ],
-            names=["url", "warc_ts", payload_name],
-        )
+    def flush(urls, tss, payloads, charsets):
+        arrays = [
+            pa.array(urls, pa.string()),
+            pa.array(tss, ts_type),
+            pa.array(payloads, payload_type),
+        ]
+        names = ["url", "warc_ts", payload_name]
+        if with_charset:
+            arrays.append(pa.array(charsets, pa.string()))
+            names.append("charset")
+        return pa.RecordBatch.from_arrays(arrays, names=names)
 
     for batch in batches:
         col = batch.column("content")
@@ -329,17 +333,21 @@ def _parse_batches_gen(batches, record_types, payload_name, text_mode):
             urls: list[str] = []
             tss: list[datetime] = []
             payloads: list = []
-            for url, ts, body in iter_warc_records(content or b"", record_types):
+            charsets: list = []
+            for url, ts, body, charset in iter_warc_records(
+                content or b"", record_types
+            ):
                 urls.append(url)
                 tss.append(ts)
                 payloads.append(
                     body.decode("utf-8", errors="replace") if text_mode else body
                 )
+                charsets.append(charset)
                 if len(urls) >= _CHUNK_RECORDS:
-                    yield flush(urls, tss, payloads)
-                    urls, tss, payloads = [], [], []
+                    yield flush(urls, tss, payloads, charsets)
+                    urls, tss, payloads, charsets = [], [], [], []
             if urls:
-                yield flush(urls, tss, payloads)
+                yield flush(urls, tss, payloads, charsets)
 
 
 def _parse_file_batches(batches):
@@ -539,7 +547,7 @@ def read_wet(spark, path: str):
 def read_warc_member(path: str, offset: int, length: int):
     """Fetch ONE capture by its index entry: a single ranged read of the
     record's gzip member (what an object store serves as a Range GET),
-    parsed in isolation.  Returns ``(url, ts, html)`` or None."""
+    parsed in isolation.  Returns ``(url, ts, html, charset)`` or None."""
     with open(path, "rb") as f:
         f.seek(offset)
         buf = f.read(length)
