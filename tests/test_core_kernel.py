@@ -259,6 +259,25 @@ class TestPdf:
 
 
 # ------------------------------------------------------------ span extract
+class TestPdfQuoteOps:
+    """PDF 9.4.3 compact show operators: (s) ' = T*-then-show and
+    aw ac (s) \" = set-spacing-then-T*-then-show, with leading re-sets
+    mid-block — the per-line form older producers emit."""
+
+    def test_quote_operators_advance_by_leading(self):
+        pdf = (
+            b"%PDF-1.4\nstream\nBT 400 TL 72 700 Td (first line) Tj"
+            b" (second line) ' 200 TL 1 2 (third line) \" ET\n"
+            b"endstream\n%%EOF"
+        )
+        d = parse_pdf(pdf)
+        assert d.text() == "first line\nsecond line\nthird line"
+
+    def test_quote_without_string_is_noop(self):
+        pdf = b"%PDF-1.4\nstream\nBT 72 700 Td (x words) Tj ' ET\nendstream\n%%EOF"
+        assert parse_pdf(pdf).text() == "x words"
+
+
 class TestSpans:
     def _doc(self, *lines):
         html = "".join(f"<p>{ln}</p>" for ln in lines)

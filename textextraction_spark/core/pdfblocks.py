@@ -16,6 +16,7 @@ SEQUENTIALLY with the standard text-positioning operator set —
     T* / TL   line advance by leading / set leading
     Tm        absolute text matrix position
     Tj / TJ   show literal ``(s)``, hex ``<73>``, or array mixing both
+    ' / "     move-to-next-line-and-show (9.4.3; " also sets spacing)
 
 with PDF string escapes (named + octal) and hex-string whitespace/odd-
 digit rules, stored either raw or as a
@@ -60,7 +61,7 @@ _TOKEN = re.compile(
     # PDF reals admit leading '+', a bare leading dot (.5) and a bare
     # trailing dot (5.) — PDF 32000-1 §7.3.3
     rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
-    rb"|(?P<op>Tj|TJ|Td|TD|Tm|TL|T\*)",
+    rb"|(?P<op>Tj|TJ|Td|TD|Tm|TL|T\*|'|\")",
     re.DOTALL,
 )
 # strings inside a TJ show-array: literal or hex, kerning numbers skipped
@@ -195,6 +196,12 @@ def _parse_block(body: bytes) -> list[tuple[int, int, str]]:
         elif op == b"Tm" and len(nums) >= 6:
             x, y = nums[-2], nums[-1]
         elif op == b"Tj" and last_str is not None:
+            show(last_str)
+        elif op in (b"'", b'"') and last_str is not None:
+            # PDF 32000-1 9.4.3: ' = T* then show; " = set word/char
+            # spacing (operands ignored here) then T* then show — the
+            # compact per-line form older producers emit
+            y -= leading
             show(last_str)
         elif op == b"TJ" and last_arr is not None:
             parts = [

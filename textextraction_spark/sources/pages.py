@@ -254,10 +254,13 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
     hex-string form** (`TL` leading, absolute first `Td`, `T*` line
     advance, chained relative `Td`, `<hex> Tj`, and a TJ array mixing
     literal and hex members — the other half of how real producers emit
-    text).  The TOTAL block in that family lands at its y only if T* and
-    relative-Td chaining are computed correctly, so the
-    pdf_highlight_rects oracle gates the positioning arithmetic, not
-    just the text.  Extracted text is unchanged across all variants, so
+    text); doc_id % 240 = 120 writes the page with the **compact
+    per-line show operators** (``(s) '`` = next-line-and-show and
+    ``aw ac (s) "`` with a mid-block TL re-set — PDF 9.4.3, the form
+    older producers emit).  The TOTAL block in these families lands at
+    its y only if T*/quote leading math and relative-Td chaining are
+    computed correctly, so the pdf_highlight_rects oracle gates the
+    positioning arithmetic, not just the text.  Extracted text is unchanged across all variants, so
     the same oracles transitively gate every parse path."""
     import zlib
 
@@ -275,7 +278,19 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
     def hexstr(t: str) -> str:
         return "<" + t.encode("latin-1").hex() + ">"
 
-    if doc_id % 240 == 200 and head is not None:
+    if doc_id % 240 == 120 and head is not None:
+        # compact per-line show operators (' and ") — how pre-2000s
+        # producers and many report generators emit text: head
+        # absolutely positioned, tail via (s) ' at leading 400
+        # (700-400=300), TOTAL via the "-form at a re-set leading 200
+        # (300-200 = TOTAL_BLOCK_Y = 100); the rect oracle gates the
+        # leading arithmetic of both quote forms
+        body = (
+            f"BT 400 TL 72 700 Td ({head}) Tj"
+            f" ({tail}) '"
+            f" 200 TL 0 0 ({'TOTAL ' + total_amount_str(doc_id)}) \" ET\n"
+        )
+    elif doc_id % 240 == 200 and head is not None:
         # one BT block, sequential positioning: head at y=700 (absolute
         # Td), tail via T* (leading 400), TOTAL via chained relative Td
         # (700 - 400 - 200 = TOTAL_BLOCK_Y = 100); tail as a TJ array
