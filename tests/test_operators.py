@@ -700,3 +700,84 @@ class TestRecrawl:
         # urls 'new' fails here
         assert all("/d/10000" in r.url for r in by["new"])
         assert not any("/d/10000" in r.url for r in by["stale"] + by["fresh"])
+
+
+class TestHostGraph:
+    """Link-graph suite (operators/graph.py) — outside the 50-query
+    gate, full DuckDB value oracle here at sf0.001 and sf0.01."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_pagerank_matches_oracle(self, spark, sf):
+        from textextraction_spark.operators.graph import (
+            HOST_PAGERANK_ORACLE,
+            host_pagerank,
+        )
+
+        got = host_pagerank(spark, sf).toPandas()
+        want = connect_duckdb(sf).execute(HOST_PAGERANK_ORACLE).df()
+        problems = compare("host_pagerank", got, want)
+        assert not problems, problems
+
+    def test_profile_matches_oracle(self, spark):
+        from textextraction_spark.operators.graph import (
+            HOST_GRAPH_PROFILE_ORACLE,
+            host_graph_profile,
+        )
+
+        got = host_graph_profile(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(HOST_GRAPH_PROFILE_ORACLE).df()
+        problems = compare("host_graph_profile", got, want)
+        assert not problems, problems
+
+    def test_pagerank_properties(self, spark):
+        """Ranks form a sub-stochastic vector (no dangling hosts in the
+        fixture → mass conserved to ~1), every host present, heavy host
+        (extra in-links by construction) ranks top-3."""
+        from textextraction_spark.operators.graph import host_pagerank
+
+        rows = host_pagerank(spark, SF).collect()
+        assert len(rows) == 21  # heavy + h0..h19
+        total = sum(r["rank"] for r in rows)
+        assert abs(total - 1.0) < 1e-3
+        top = sorted(rows, key=lambda r: -r["rank"])[:3]
+        assert "heavy.example.com" in {r["host"] for r in top}
+
+    def test_no_collect_in_plan(self, spark):
+        """The iteration must stay lazy: a 5-iteration plan builds and
+        explains without executing a job, and the scalar N is a
+        broadcast, not a collected literal."""
+        from textextraction_spark.operators.graph import host_pagerank
+
+        plan = host_pagerank(spark, SF)._jdf.queryExecution().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestLmPerplexity:
+    """CCNet-style bigram-LM scoring (operators/lm.py) — outside the
+    50-query gate, full DuckDB value oracle here."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_matches_oracle(self, spark, sf):
+        from textextraction_spark.operators.lm import (
+            LM_PERPLEXITY_ORACLE,
+            lm_perplexity,
+        )
+
+        got = lm_perplexity(spark, sf).toPandas()
+        want = connect_duckdb(sf).execute(LM_PERPLEXITY_ORACLE).df()
+        problems = compare("lm_perplexity", got, want)
+        assert not problems, problems
+
+    def test_scores_are_sane(self, spark):
+        """Every scored doc has >= 1 bigram, nll > 0 (probabilities < 1)
+        and ppl = exp(nll) within rounding."""
+        import math
+
+        from textextraction_spark.operators.lm import lm_perplexity
+
+        rows = lm_perplexity(spark, SF).collect()
+        assert rows, "no docs scored"
+        for r in rows:
+            assert r.n_bigrams >= 1
+            assert r.nll > 0
+            assert abs(r.ppl - math.exp(r.nll)) / r.ppl < 1e-3
