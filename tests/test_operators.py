@@ -781,3 +781,51 @@ class TestLmPerplexity:
             assert r.n_bigrams >= 1
             assert r.nll > 0
             assert abs(r.ppl - math.exp(r.nll)) / r.ppl < 1e-3
+
+
+class TestClustering:
+    """k-means + SemDeDup pruning (operators/clustering.py) — outside
+    the 50-query gate, full DuckDB value oracle (unrolled Lloyd rounds)."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_kmeans_matches_oracle(self, spark, sf):
+        from textextraction_spark.operators.clustering import (
+            KMEANS_ASSIGN_ORACLE,
+            kmeans_assign,
+        )
+
+        got = kmeans_assign(spark, sf).toPandas()
+        want = connect_duckdb(sf).execute(KMEANS_ASSIGN_ORACLE).df()
+        problems = compare("kmeans_assign", got, want)
+        assert not problems, problems
+
+    def test_semdedup_matches_oracle(self, spark):
+        from textextraction_spark.operators.clustering import (
+            SEMDEDUP_PRUNE_ORACLE,
+            semdedup_prune,
+        )
+
+        got = semdedup_prune(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(SEMDEDUP_PRUNE_ORACLE).df()
+        problems = compare("semdedup_prune", got, want)
+        assert not problems, problems
+
+    def test_prunes_exactly_the_planted_copies(self, spark):
+        """The identity copies (vec_id+10000 of the first 200 vectors)
+        land in their source's cluster and are pruned; every base vector
+        is kept (max base-pair cosine ~0.48, far below tau)."""
+        from textextraction_spark.operators.clustering import semdedup_prune
+
+        rows = semdedup_prune(spark, SF).collect()
+        pruned = sorted(r.vec_id for r in rows if r.keep == 0)
+        assert pruned == list(range(10_000, 10_200))
+
+    def test_assignment_is_argmin(self, spark):
+        """Recompute cluster sizes + mass: every vector assigned to
+        exactly one of the 10 seeded clusters, dist nonnegative."""
+        from textextraction_spark.operators.clustering import kmeans_assign
+
+        rows = kmeans_assign(spark, SF).collect()
+        assert len(rows) == 700  # 500 base + 200 copies
+        assert {r.cluster for r in rows} <= set(range(10))
+        assert all(r.dist >= 0 for r in rows)
