@@ -829,3 +829,65 @@ class TestClustering:
         assert len(rows) == 700  # 500 base + 200 copies
         assert {r.cluster for r in rows} <= set(range(10))
         assert all(r.dist >= 0 for r in rows)
+
+
+class TestKeywords:
+    """TF-IDF keyword extraction (operators/keywords.py) — outside the
+    50-query gate, full DuckDB value oracle here."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_matches_oracle(self, spark, sf):
+        from textextraction_spark.operators.keywords import (
+            DOC_KEYWORDS_ORACLE,
+            doc_keywords,
+        )
+
+        got = doc_keywords(spark, sf).toPandas()
+        want = connect_duckdb(sf).execute(DOC_KEYWORDS_ORACLE).df()
+        problems = compare("doc_keywords", got, want)
+        assert not problems, problems
+
+    def test_topk_shape(self, spark):
+        from textextraction_spark.operators.keywords import TOP_K, doc_keywords
+
+        rows = doc_keywords(spark, SF).collect()
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r.doc_id, []).append(r.rk)
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())
+        assert all(len(v) <= TOP_K for v in per_doc.values())
+
+
+class TestBloomFrontier:
+    """Bloom seen-set pre-filter (operators/frontier.py).  The sketch
+    bit layout is Spark-native, so the gate pins the exact guarantees
+    instead of a value hash: zero false negatives vs the exact
+    anti-join, and a bounded false-positive rate."""
+
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        from textextraction_spark.operators.frontier import (
+            FPP,
+            bloom_new_urls,
+            exact_new_urls,
+        )
+
+        bloom_new = {r.url for r in bloom_new_urls(spark, SF).collect()}
+        exact_new = {r.url for r in exact_new_urls(spark, SF).collect()}
+        # no false negatives: anything the Bloom path emits is truly new
+        assert bloom_new <= exact_new
+        # false positives only shrink the Bloom output, boundedly
+        missed = len(exact_new - bloom_new)
+        assert missed <= max(4, 4 * FPP * len(exact_new)), (
+            missed,
+            len(exact_new),
+        )
+
+    def test_seen_urls_never_pass(self, spark):
+        from textextraction_spark.operators.frontier import (
+            bloom_new_urls,
+            seen_urls,
+        )
+
+        seen = {r.url for r in seen_urls(spark, SF).collect()}
+        out = {r.url for r in bloom_new_urls(spark, SF).collect()}
+        assert not (out & seen)
