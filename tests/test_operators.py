@@ -891,3 +891,32 @@ class TestBloomFrontier:
         seen = {r.url for r in seen_urls(spark, SF).collect()}
         out = {r.url for r in bloom_new_urls(spark, SF).collect()}
         assert not (out & seen)
+
+
+class TestNewOperatorPlans:
+    """Shuffle-shape pins for the late-round-3 operators that live
+    outside the gated SHUFFLE_BUDGETS table (tests/test_plans.py)."""
+
+    def test_bloom_probe_is_map_side(self, spark):
+        """The Bloom path's whole point: the frontier side has ZERO
+        exchanges and exactly one Arrow-batched eval (the membership
+        UDF) — a shuffle or a per-row BatchEvalPython here means the
+        pre-filter stopped being a pre-filter."""
+        from textextraction_spark.operators.frontier import bloom_new_urls
+
+        p = bloom_new_urls(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange") == 0, p
+        assert p.count("ArrowEvalPython") == 1
+        assert "BatchEvalPython" not in p
+
+    def test_keywords_and_lm_shuffle_budget(self, spark):
+        """tf/df/count-table aggs and joins only — budget chosen from
+        the audited plans (BENCH/PLAN_AUDIT.md); growth means a new
+        unplanned shuffle slipped in."""
+        from textextraction_spark.operators.keywords import doc_keywords
+        from textextraction_spark.operators.lm import lm_perplexity
+
+        for fn, budget in ((doc_keywords, 8), (lm_perplexity, 9)):
+            p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            assert p.count("Exchange") <= budget, (fn.__name__, p.count("Exchange"))
+            assert "BatchEvalPython" not in p
