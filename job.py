@@ -67,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
         help="after the batch commits, export extracted text as WET "
         "segments (WARC conversion records + CDX index)",
     )
+    ap.add_argument(
+        "--profile-output", metavar="DIR",
+        help="after the batch commits, write the per-url curation "
+        "profile (token/quality/lang/fingerprint/PII/repetition "
+        "signals over the extracted text) as parquet",
+    )
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--stream-checkpoint", help="streaming offsets dir")
     args = ap.parse_args(argv)
@@ -135,6 +141,14 @@ def main(argv: list[str] | None = None) -> int:
         results = CheckpointCatalog(args.checkpoint).results(spark)
         write_wet_dir(
             results.select("url", "warc_ts", "extracted_text"), args.export_wet
+        )
+    if args.profile_output:
+        from textextraction_spark.io.checkpoint import CheckpointCatalog
+        from textextraction_spark.io.export import profile_results
+
+        results = CheckpointCatalog(args.checkpoint).results(spark)
+        profile_results(results).write.mode("overwrite").parquet(
+            args.profile_output
         )
     return 0
 

@@ -464,10 +464,19 @@ class TestWet:
                 "--batch-id", "b1",
                 "--partitions", "4",
                 "--export-wet", str(tmp_path / "wet"),
+                "--profile-output", str(tmp_path / "profile"),
             ])
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert rc == 0
+        # curation profile rides the same commit: one row per committed
+        # url with the operator suite's signal columns over the
+        # EXTRACTED text (not the fixture documents table)
+        prof = spark.read.parquet(str(tmp_path / "profile"))
+        assert prof.count() == 30
+        for c in ("quality_score", "lang_guess", "fp_band", "n_emails",
+                  "dup_word_ratio"):
+            assert c in prof.columns, c
         want = {
             (r.url, r.extracted_text)
             for r in extract_pages(pages)

@@ -47,3 +47,41 @@ def read_jsonl(spark, out_dir: str):
         .select(F.from_json("value", schema).alias("d"))
         .select("d.*")
     )
+
+
+def profile_results(results_df):
+    """Per-url curation profile over EXTRACTED text: token stats,
+    quality score, language id, fingerprint, PII counts, and Gopher
+    repetition signals — the operator suite's column builders applied
+    to the pipeline's own output instead of the documents fixture.
+
+    One narrow projection (all-JVM expressions, zero shuffles, no
+    Python), so profiling rides free on whatever partitioning the
+    results table already has; at 100 TB it is a second pass over the
+    extracted table only (never the raw html)."""
+    from textextraction_spark.operators.curation import (
+        gopher_cols,
+        pii_cols_generic,
+    )
+    from textextraction_spark.operators.textstats import (
+        fingerprint_cols,
+        lang_cols,
+        quality_cols,
+        token_cols,
+    )
+
+    base = results_df.select(
+        "url", F.col("extracted_text").alias("text"), "confidence"
+    )
+    return base.select(
+        "url",
+        "confidence",
+        *token_cols(),
+        *quality_cols(),
+        # lang_cols()[-1] compares against the fixture's lang label,
+        # which extraction output does not carry — keep guess + hits
+        *lang_cols()[:2],
+        *fingerprint_cols(),
+        *pii_cols_generic(),
+        *gopher_cols(),
+    )

@@ -68,6 +68,26 @@ def pii_cols() -> list:
     ]
 
 
+def pii_cols_generic(src: str = "text") -> list:
+    """The same count/scrub expressions over a PLAIN text column — for
+    real pipeline output (io/export.py::profile_results), where the PII
+    is whatever the page actually contained.  ``pii_cols`` above is the
+    fixture-injected variant the value oracle gates (the synthetic
+    documents carry no organic PII, so the gate plants some)."""
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(src), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return [
+        F.expr(f"regexp_count({src}, r'{EMAIL_RE}')")
+        .cast("bigint")
+        .alias("n_emails"),
+        F.expr(f"regexp_count({src}, r'{PHONE_RE}')")
+        .cast("bigint")
+        .alias("n_phones"),
+        clean.alias("clean_text"),
+    ]
+
+
 def pii_scrub(spark, sf_dir: str):
     """documents + injected PII -> redacted text + per-kind match counts.
     Narrow regexp chain (JVM, codegen); the redaction order is fixed
@@ -94,8 +114,14 @@ _W = "split(text, ' ')"
 # longest equal run in the SORTED bigram array == max bigram multiplicity,
 # as a narrow fold (struct accumulator: prev value, current run, best run)
 _GRAMS = (
+    # total over ANY input: Spark's sequence(1, n-1) DESCENDS for n = 1
+    # ([1, 0] → element_at out of bounds), so single-word docs guard to
+    # an empty gram array.  Gated surfaces pre-filter size >= 2 and are
+    # untouched; the guard makes the expression safe for real pipeline
+    # text (io/export.py::profile_results).
+    f"if(size({_W}) < 2, array(), "
     f"transform(sequence(1, size({_W}) - 1), "
-    f"i -> concat(element_at({_W}, i), ' ', element_at({_W}, i + 1)))"
+    f"i -> concat(element_at({_W}, i), ' ', element_at({_W}, i + 1))))"
 )
 _TOP_BIGRAM = f"""
 aggregate(
@@ -115,7 +141,9 @@ def _keep_expr():
     tag-union composite can cast it without re-deriving)."""
     n_words = F.expr(f"size({_W})").cast("bigint")
     dup_ratio = F.round(1 - F.expr(f"size(array_distinct({_W}))") / n_words, 6)
-    top_frac = F.round(F.expr(_TOP_BIGRAM) / (n_words - 1), 6)
+    top_frac = F.when(
+        n_words > 1, F.round(F.expr(_TOP_BIGRAM) / (n_words - 1), 6)
+    ).otherwise(F.lit(0.0))
     return (dup_ratio <= DUP_WORD_MAX) & (top_frac <= TOP_BIGRAM_MAX)
 
 
@@ -128,7 +156,12 @@ def gopher_cols() -> list:
     dup_ratio = F.round(
         1 - F.expr(f"size(array_distinct({_W}))") / n_words, 6
     )
-    top_frac = F.round(F.expr(_TOP_BIGRAM) / n_grams, 6)
+    # guarded like _GRAMS: single-word docs (possible in real pipeline
+    # text, never in the pre-filtered gated surfaces) have no bigrams —
+    # frac 0 rather than a divide-by-zero under ANSI mode
+    top_frac = F.when(n_grams > 0, F.round(F.expr(_TOP_BIGRAM) / n_grams, 6)).otherwise(
+        F.lit(0.0)
+    )
     return [
         n_words.alias("n_words"),
         dup_ratio.alias("dup_word_ratio"),
