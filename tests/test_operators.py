@@ -920,3 +920,33 @@ class TestNewOperatorPlans:
             p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
             assert p.count("Exchange") <= budget, (fn.__name__, p.count("Exchange"))
             assert "BatchEvalPython" not in p
+
+
+class TestAnchorCorpus:
+    """Anchor-text mining from the stored html bytes (operators/graph.py)
+    — outside the 50-query gate, full DuckDB value oracle."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_matches_oracle(self, spark, sf):
+        from textextraction_spark.operators.graph import (
+            ANCHOR_CORPUS_ORACLE,
+            anchor_corpus,
+        )
+
+        got = anchor_corpus(spark, sf).toPandas()
+        want = connect_duckdb(sf).execute(ANCHOR_CORPUS_ORACLE).df()
+        problems = compare("anchor_corpus", got, want)
+        assert not problems, problems
+
+    def test_pairs_stay_aligned(self, spark):
+        """The two regexp passes must yield paired (href, anchor): every
+        shell-A nav anchor lands with its own text, never a neighbor's."""
+        from textextraction_spark.operators.graph import anchor_corpus
+
+        rows = anchor_corpus(spark, SF).collect()
+        by = {(r.host, r.href): r.anchor for r in rows if r.href in ("/", "/b")}
+        # shell A (even doc_ids): <a href=/>Home</a> <a href=/b>Blog</a>;
+        # shell B (odd): <a href=/>BrandB</a> <a href=/b>jobs</a> — both
+        # parities exist on every host, so both anchors appear
+        anchors = {r.anchor for r in rows if r.href == "/"}
+        assert anchors == {"Home", "BrandB"}

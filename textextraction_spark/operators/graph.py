@@ -252,3 +252,74 @@ SELECT COALESCE(o.host, i.host) AS host,
        COALESCE(in_hosts, 0)::BIGINT AS in_hosts
 FROM o FULL OUTER JOIN i ON o.host = i.host
 """
+
+
+# ------------------------------------------------- anchor-text corpus
+# Real link extraction (companion to the synthetic edge fixture above):
+# anchor-text corpora from crawl html are standard training data for
+# retrieval/query-document models, and per-target anchor aggregation is
+# the classic web-graph text signal.
+ANCHOR_RE = "<a href=([^>]*)>([^<]*)</a>"
+# families stored as plain UTF-8 html; pdf (0), gzip (13), BOM (14) and
+# legacy-charset (17, 18) transport families are excluded — production
+# runs anchor mining AFTER the charset layer has materialized decoded
+# html, which these fixtures reach only through the extraction kernel
+_ANCHOR_FAMILIES = "(0, 13, 14, 17, 18)"
+
+
+def anchor_corpus(spark, sf_dir: str) -> DataFrame:
+    """(host, href, anchor, n): anchor texts mined from the REAL stored
+    html bytes, aggregated per source host and link target.
+
+    Shape: pruned scan → narrow decode + two-group regexp (JVM codegen,
+    zip'd so href/anchor stay paired) → explode → ONE partial-aggregated
+    shuffle.  The html bytes never cross an exchange — only
+    (host, href, anchor) triples do.
+    """
+    from textextraction_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    did = F.regexp_extract("url", r"/d/(\d+)$", 1).cast("bigint")
+    entries = (
+        pages.withColumn("_id", did)
+        .where(~F.expr(f"_id % 20 in {_ANCHOR_FAMILIES}"))
+        .select(
+            F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
+            F.explode(
+                F.arrays_zip(
+                    F.expr(
+                        f"regexp_extract_all(decode(html, 'UTF-8'), '{ANCHOR_RE}', 1)"
+                    ).alias("href"),
+                    F.expr(
+                        f"regexp_extract_all(decode(html, 'UTF-8'), '{ANCHOR_RE}', 2)"
+                    ).alias("anchor"),
+                )
+            ).alias("z"),
+        )
+        .select("host", F.col("z.href").alias("href"), F.col("z.anchor").alias("anchor"))
+    )
+    return entries.groupBy("host", "href", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+def _anchor_oracle() -> str:
+    from textextraction_spark.sources.pages import html_str_sql
+
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {html_str_sql('duckdb')} AS page FROM documents
+  WHERE doc_id % 20 NOT IN {_ANCHOR_FAMILIES}
+),
+entries AS (
+  SELECT ({SRC_HOST_SQL}) AS host,
+         unnest(list_zip(regexp_extract_all(page, '{ANCHOR_RE}', 1),
+                         regexp_extract_all(page, '{ANCHOR_RE}', 2))) AS z
+  FROM pages
+)
+SELECT host, z[1] AS href, z[2] AS anchor, COUNT(*)::BIGINT AS n
+FROM entries GROUP BY 1, 2, 3
+"""
+
+
+ANCHOR_CORPUS_ORACLE = _anchor_oracle()
