@@ -950,3 +950,48 @@ class TestAnchorCorpus:
         # parities exist on every host, so both anchors appear
         anchors = {r.anchor for r in rows if r.href == "/"}
         assert anchors == {"Home", "BrandB"}
+
+
+class TestDomainFilter:
+    """Host-level quality rollup + domain filtering (operators/domains.py)
+    — outside the 50-query gate, full DuckDB value oracle."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_rollup_matches_oracle(self, spark, sf):
+        from textextraction_spark.operators.domains import (
+            HOST_QUALITY_ROLLUP_ORACLE,
+            host_quality_rollup,
+        )
+
+        got = host_quality_rollup(spark, sf).toPandas()
+        want = connect_duckdb(sf).execute(HOST_QUALITY_ROLLUP_ORACLE).df()
+        problems = compare("host_quality_rollup", got, want)
+        assert not problems, problems
+
+    def test_filter_matches_oracle(self, spark):
+        from textextraction_spark.operators.domains import (
+            DOMAIN_FILTER_ORACLE,
+            domain_filter,
+        )
+
+        got = domain_filter(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(DOMAIN_FILTER_ORACLE).df()
+        problems = compare("domain_filter", got, want)
+        assert not problems, problems
+
+    def test_filter_consistency(self, spark):
+        """Every surviving doc's host carries keep=true in the rollup,
+        and survivors = sum of n_docs over kept hosts."""
+        from textextraction_spark.operators.domains import (
+            domain_filter,
+            host_quality_rollup,
+        )
+
+        roll = {r.host: r for r in host_quality_rollup(spark, SF).collect()}
+        survivors = domain_filter(spark, SF).collect()
+        assert all(roll[r.host].keep for r in survivors)
+        assert len(survivors) == sum(r.n_docs for r in roll.values() if r.keep)
+        # the verdict must SPLIT the fixture (some hosts kept, some
+        # dropped) — a vacuous all-drop/all-keep filter tests nothing
+        kept = {h for h, r in roll.items() if r.keep}
+        assert kept and kept != set(roll)
