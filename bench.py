@@ -319,48 +319,17 @@ def main() -> None:
     # user time) — every measurement below is best-of-2 so a burst cannot
     # scramble a single number.
     # Headline: the extraction pipeline end-to-end (unreplicated sf).
-    t = min(run_extract(spark, pages_sf, cpus * 3)[0] for _ in range(2))
+    t = run_extract(spark, pages_sf, cpus * 3)[0]
+    if (time.time() - t_start) < budget_s * 0.3:
+        t = min(t, run_extract(spark, pages_sf, cpus * 3)[0])
     queries["extract_e2e"] = round(t, 3)
 
-    # Operator headliners (text_profile / doc_quality_signals are the
-    # round-3 gated composites covering the former token_stats/fingerprint
-    # and gopher_repetition entries).
-    qmap = E.queries()
-    for name in (
-        "dedup_minhash_lsh",
-        "dedup_exact",
-        "dedup_incremental",
-        "ann_brute_force_topk",
-        "text_profile",
-        "doc_quality_signals",
-        "q1_pricing_summary",
-        "media_metadata",
-    ):
-        # up to 3 runs (the first pays plan compile + codegen; a single
-        # measurement is at the mercy of a burst window), with an early
-        # exit when two consecutive runs agree within 15% — wall time
-        # must clear external caps
-        times = []
-        for _ in range(3):
-            t0 = time.time()
-            n = qmap[name](spark, sf_dir).count()
-            times.append(time.time() - t0)
-            assert n >= 0
-            if len(times) >= 2 and abs(times[-1] - times[-2]) < 0.15 * min(
-                times[-2:]
-            ):
-                break
-        queries[name] = round(min(times), 3)
-
-    _mark(t_start, "query phase done")
-    # Soft regression gate: warn (never fail) when a headliner runs >1.5x
-    # its recorded clean-window baseline — keeps the round-2 operator-suite
-    # speedups from silently regressing (VERDICT r02 item 5).
-    regressions = {
-        name: {"sec": queries[name], "baseline_sec": base}
-        for name, base in QUERY_BASELINES.items()
-        if name in queries and queries[name] > 1.5 * base
-    }
+    # (The operator query phase runs LAST — see below.  Ledger runs 11,
+    # 13-15: in degraded windows the query phase's retries ate the whole
+    # soft budget BEFORE the scaling pairs ran, collapsing the median
+    # protocol to a single polluted pair.  The scaling phase is the
+    # north-rule headline; budget exhaustion must truncate query retries,
+    # never the pairs.)
 
     # Replicated throughput at full cores (the 100TB-shaped measurement).
     # FRESH JVM first: in round 2 this same job measured 18.1 s here vs
@@ -374,8 +343,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     run_extract(spark, pages_sf, cpus * 3)  # re-warm python workers
     t_full, n_docs, n_bytes = run_extract(spark, pages_rep, cpus * 3)
-    t2, _, _ = run_extract(spark, pages_rep, cpus * 3)
-    t_full = min(t_full, t2)
+    # best-of-2 only while the budget is healthy: in burst windows a
+    # second ~60 s rep run starves the scaling pairs downstream
+    if (time.time() - t_start) < budget_s * 0.5:
+        t2, _, _ = run_extract(spark, pages_rep, cpus * 3)
+        t_full = min(t_full, t2)
     queries[f"extract_rep{rep}"] = round(t_full, 3)
     _mark(t_start, "rep throughput done")
     throughput = {
@@ -451,16 +423,11 @@ def main() -> None:
         # expensive pipeline measurements in a degraded window.
         ceiling = _machine_ceiling(sf_dir)
         _mark(t_start, f"phase ceiling {ceiling}")
-        # Bounded at ONE retry (ledger run 11): in a genuinely degraded
-        # window two retries burned ~100 s of budget and left room for
-        # only a single dirty pair — the median protocol needs PAIRS more
-        # than it needs a third ceiling probe, and each pair carries its
-        # own ~6 s window gate anyway.  A persistent sub-0.82 ceiling is
-        # the normalization denominator doing its job, not a gate failure.
-        if ceiling["4_to_16"] < 0.82 and (time.time() - t_start) < budget_s:
-            time.sleep(30)
-            ceiling = _machine_ceiling(sf_dir)
-            _mark(t_start, f"phase ceiling retry {ceiling}")
+        # No phase-level retry (ledger runs 11 and 16): the retry's ~55 s
+        # came straight out of the pair budget, and every pair carries
+        # its OWN ~6 s window gate with a bounded wait — the per-pair
+        # gates subsume the phase gate.  A persistent low ceiling is the
+        # normalization denominator doing its job, not a gate failure.
 
         # ---- Canonical 4->16: INTERLEAVED pairs, median of ratios ----
         # Round-2 lesson: five unpinned 4->16 measurements spanned
@@ -474,7 +441,12 @@ def main() -> None:
         pair_effs: list[float] = []
         pair_rows = []
         for i in range(3):
-            if i > 0 and (time.time() - t_start) > budget_s:
+            # A 1-pair "median" is a single exposed measurement — the
+            # protocol's whole point is lost (ledger runs 11/13/15).
+            # Guarantee TWO pairs regardless of budget; only pair 3
+            # yields to it.  The downstream 8/32 + pinned sensitivity
+            # rows and the query re-check absorb the overage.
+            if i > 1 and (time.time() - t_start) > budget_s:
                 break
             # Per-PAIR window gate: the phase-level gate certifies only
             # the moment the phase starts, and windows shift mid-phase —
@@ -513,7 +485,13 @@ def main() -> None:
         # dirtiest pair after a wait, replace only if the re-run is
         # cleaner, and mark the row as repaired (receipt honesty).
         for _repair in range(2):
-            if (time.time() - t_start) > budget_s:
+            # the FIRST repair may overrun the soft budget by one bounded
+            # window (ledger run 17: a steal-dirty pair survived to the
+            # median because the repair was budget-skipped); the second
+            # stays strictly budget-gated.  The +180 s overage keeps the
+            # worst case clear of the external harness wall.
+            over = (time.time() - t_start) - budget_s
+            if over > (180 if _repair == 0 else 0):
                 break
             dirty = [
                 (max(p["steal4"], p["steal16"]), idx)
@@ -630,13 +608,58 @@ def main() -> None:
         )
         scaling["north_rule_efficiency"] = eff_median
 
+    # ---- Operator query phase (LAST on purpose — see note above) ----
+    # Headliners: text_profile / doc_quality_signals are the round-3
+    # gated composites covering the former token_stats/fingerprint and
+    # gopher_repetition entries.
+    _reset_jvm()
+    spark = make_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = E.queries()
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_exact",
+        "dedup_incremental",
+        "ann_brute_force_topk",
+        "text_profile",
+        "doc_quality_signals",
+        "q1_pricing_summary",
+        "media_metadata",
+    ):
+        # up to 3 runs (the first pays plan compile + codegen; a single
+        # measurement is at the mercy of a burst window), with an early
+        # exit when two consecutive runs agree within 15%; past the soft
+        # budget every query gets a single attempt — the queries are the
+        # phase that absorbs budget exhaustion now
+        attempts = 1 if (time.time() - t_start) > budget_s else 3
+        times = []
+        for _ in range(attempts):
+            t0 = time.time()
+            n = qmap[name](spark, sf_dir).count()
+            times.append(time.time() - t0)
+            assert n >= 0
+            if len(times) >= 2 and abs(times[-1] - times[-2]) < 0.15 * min(
+                times[-2:]
+            ):
+                break
+        queries[name] = round(min(times), 3)
+    spark.stop()
+    _mark(t_start, "query phase done")
+    # Soft regression gate: warn (never fail) when a headliner runs >1.5x
+    # its recorded clean-window baseline — keeps the round-2 operator-suite
+    # speedups from silently regressing (VERDICT r02 item 5).
+    regressions = {
+        name: {"sec": queries[name], "baseline_sec": base}
+        for name, base in QUERY_BASELINES.items()
+        if name in queries and queries[name] > 1.5 * base
+    }
+
     # Regression re-check (bounded): the query phase's best-of-3 min
     # cannot recover when the entire phase sits inside one multi-minute
-    # hypervisor burst (all three runs are slow, min included).  The
-    # scaling phase takes minutes, so by now the window has usually
-    # rotated — re-measure ONLY the flagged queries in a fresh session
-    # and keep the min; a query stays flagged only if it is slow in both
-    # windows.  Cost is bounded: one session + <=2 runs for <=3 queries.
+    # hypervisor burst (all three runs are slow, min included) — re-run
+    # ONLY the flagged queries in a fresh session and keep the min; a
+    # query stays flagged only if it is slow in both sessions.  Cost is
+    # bounded: one session + <=2 runs for <=3 queries.
     if regressions and (time.time() - t_start) < budget_s + 60:
         # Defensive: a crash here must NEVER cost the run its JSON line —
         # the re-check only ever tightens numbers already measured.
