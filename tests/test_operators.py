@@ -995,3 +995,31 @@ class TestDomainFilter:
         # dropped) — a vacuous all-drop/all-keep filter tests nothing
         kept = {h for h, r in roll.items() if r.keep}
         assert kept and kept != set(roll)
+
+
+class TestQualityClassifier:
+    """Hashed-feature linear classifier (operators/classifier.py) —
+    outside the 50-query gate, full DuckDB value oracle."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_matches_oracle(self, spark, sf):
+        from textextraction_spark.operators.classifier import (
+            QUALITY_CLASSIFIER_ORACLE,
+            quality_classifier,
+        )
+
+        got = quality_classifier(spark, sf).toPandas()
+        want = connect_duckdb(sf).execute(QUALITY_CLASSIFIER_ORACLE).df()
+        problems = compare("quality_classifier", got, want)
+        assert not problems, problems
+
+    def test_scores_and_split(self, spark):
+        """Scores live strictly inside (0, 1) and the fixture weights
+        split the corpus (both labels occur) — a degenerate all-one-label
+        classifier would make the threshold untested."""
+        from textextraction_spark.operators.classifier import quality_classifier
+
+        rows = quality_classifier(spark, SF).collect()
+        assert len(rows) == 500
+        assert all(0.0 < r.score < 1.0 for r in rows)
+        assert {r.label for r in rows} == {True, False}
