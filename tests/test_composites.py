@@ -130,6 +130,23 @@ class TestDocQualitySlices:
         )
         assert_df_equal(C.decontaminate(spark, SF), comp)
 
+    def test_quality_classifier_slice(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import classifier as CL
+
+        comp = (
+            E.queries()["doc_quality_signals"](spark, SF)
+            .filter(F.col("tag") == "clf")
+            .select(
+                "doc_id",
+                F.col("clf_n_tokens").alias("n_tokens"),
+                F.col("clf_score").alias("score"),
+                F.col("clf_label").cast("boolean").alias("label"),
+            )
+        )
+        assert_df_equal(CL.quality_classifier(spark, SF), comp)
+
     def test_decontaminate_matches_python_recompute(self, spark):
         """End-to-end semantics pin against a from-scratch pure-python
         recompute of the n-gram-overlap definition (independent of both

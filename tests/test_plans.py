@@ -164,8 +164,10 @@ SHUFFLE_BUDGETS = {
     "events_project": 0,
     # signals branch stays narrow; the decon branch pays exactly its
     # bounded pair (bench-gram distinct + doc_id hit-count) — the
-    # benchmark side is broadcast, corpus text never crosses the wire
-    "doc_quality_signals": 2,
+    # benchmark side is broadcast, corpus text never crosses the wire;
+    # the clf branch pays the classifier's one doc_id partial-agg
+    # shuffle (the 1024-row weight table joins as a BroadcastExchange)
+    "doc_quality_signals": 3,
     "ann_brute_force_topk": 0,
     "ann_lsh": 0,
     "ann_ivf": 0,

@@ -349,10 +349,13 @@ def doc_quality_signals(spark, sf_dir: str):
       coin's FILTER shape is separately gated inside curation_pipeline).
     - ``tag='decon'`` rows: the benchmark-decontamination verdict per
       training doc (eval split held out) — covers ``decontaminate``.
+    - ``tag='clf'`` rows: the hashed-feature linear quality classifier
+      (classifier.quality_classifier) per doc — clf_n_tokens, clf_score,
+      clf_label.
 
     The union adds no exchange beyond decontaminate's own bounded pair
-    (bench-gram distinct + doc_id count); the signals branch stays
-    narrow.  Boolean signals travel as BIGINT 0/1 here (repo convention
+    (bench-gram distinct + doc_id count) and the classifier's single
+    doc_id partial-agg shuffle; the signals branch stays narrow.  Boolean signals travel as BIGINT 0/1 here (repo convention
     for tag-union branches: the off-branch NULL slot must be numeric so
     both engines' pandas bridges normalize it identically — a NULL
     boolean surfaces as None on the Spark bridge but NaN on DuckDB's).
@@ -371,6 +374,9 @@ def doc_quality_signals(spark, sf_dir: str):
         (F.expr(_COIN_SPARK) < F.expr(_RATE_SQL)).cast("bigint").alias("in_sample"),
         F.lit(None).cast("bigint").alias("n_shared_grams"),
         F.lit(None).cast("bigint").alias("contaminated"),
+        F.lit(None).cast("bigint").alias("clf_n_tokens"),
+        F.lit(None).cast("double").alias("clf_score"),
+        F.lit(None).cast("bigint").alias("clf_label"),
     )
     decon = _decontam_df(spark, sf_dir).select(
         F.lit("decon").alias("tag"),
@@ -388,8 +394,41 @@ def doc_quality_signals(spark, sf_dir: str):
         F.lit(None).cast("bigint").alias("in_sample"),
         "n_shared_grams",
         F.col("contaminated").cast("bigint").alias("contaminated"),
+        F.lit(None).cast("bigint").alias("clf_n_tokens"),
+        F.lit(None).cast("double").alias("clf_score"),
+        F.lit(None).cast("bigint").alias("clf_label"),
     )
-    return signals.unionByName(decon)
+    from textextraction_spark.operators.classifier import quality_classifier
+
+    clf = quality_classifier(spark, sf_dir).select(
+        F.lit("clf").alias("tag"),
+        "doc_id",
+        F.lit(None).cast("bigint").alias("n_emails"),
+        F.lit(None).cast("bigint").alias("n_phones"),
+        F.lit(None).cast("string").alias("clean_text"),
+        F.lit(None).cast("bigint").alias("n_words"),
+        F.lit(None).cast("double").alias("dup_word_ratio"),
+        F.lit(None).cast("bigint").alias("top_bigram_count"),
+        F.lit(None).cast("double").alias("top_bigram_frac"),
+        F.lit(None).cast("bigint").alias("keep"),
+        F.lit(None).cast("bigint").alias("coin"),
+        F.lit(None).cast("bigint").alias("rate_pct"),
+        F.lit(None).cast("bigint").alias("in_sample"),
+        F.lit(None).cast("bigint").alias("n_shared_grams"),
+        F.lit(None).cast("bigint").alias("contaminated"),
+        F.col("n_tokens").alias("clf_n_tokens"),
+        F.col("score").alias("clf_score"),
+        F.col("label").cast("bigint").alias("clf_label"),
+    )
+    return signals.unionByName(decon).unionByName(clf)
+
+
+def _classifier_oracle() -> str:
+    from textextraction_spark.operators.classifier import (
+        QUALITY_CLASSIFIER_ORACLE,
+    )
+
+    return QUALITY_CLASSIFIER_ORACLE
 
 
 DOC_QUALITY_SIGNALS_ORACLE = f"""
@@ -401,18 +440,28 @@ WITH pii AS ({PII_SCRUB_ORACLE}),
               ({_COIN_DUCK}) < ({_RATE_SQL}) AS in_sample
        FROM documents
      ),
-     dc AS ({DECONTAMINATE_ORACLE})
+     dc AS ({DECONTAMINATE_ORACLE}),
+     clf AS ({_classifier_oracle()})
 SELECT 'signals' AS tag, gr.doc_id, pii.n_emails, pii.n_phones, pii.clean_text,
        gr.n_words, gr.dup_word_ratio, gr.top_bigram_count,
        gr.top_bigram_frac, gr.keep::BIGINT AS keep, hs.coin, hs.rate_pct,
        hs.in_sample::BIGINT AS in_sample,
        CAST(NULL AS BIGINT) AS n_shared_grams,
-       CAST(NULL AS BIGINT) AS contaminated
+       CAST(NULL AS BIGINT) AS contaminated,
+       CAST(NULL AS BIGINT) AS clf_n_tokens,
+       CAST(NULL AS DOUBLE) AS clf_score,
+       CAST(NULL AS BIGINT) AS clf_label
 FROM gr JOIN pii USING (doc_id) JOIN hs USING (doc_id)
 UNION ALL
 SELECT 'decon' AS tag, doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-       NULL, NULL, NULL, NULL, n_shared_grams, contaminated::BIGINT
+       NULL, NULL, NULL, NULL, n_shared_grams, contaminated::BIGINT,
+       NULL, NULL, NULL
 FROM dc
+UNION ALL
+SELECT 'clf' AS tag, doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, NULL, NULL,
+       n_tokens, score, label::BIGINT
+FROM clf
 """
 
 
