@@ -193,6 +193,19 @@ def _machine_ceiling(
     return out
 
 
+def _kernel_1core(sf_dir: str, iters: int = 10) -> float:
+    """Single-core kernel speed (docs/s) — the crispest window-quality
+    receipt.  The hypervisor's burst mode often hides in USER time
+    (ledger run 14: rep120 62.7 s at 0.34% steal), where steal% reads
+    clean but this number halves; the recorded clean-window reference is
+    ~8.2k docs/s (BENCH/BASELINE.md)."""
+    texts = _ceiling_texts(sf_dir)
+    _mp_work((1, texts))  # warm
+    t0 = time.time()
+    n = _mp_work((iters, texts))
+    return round(n / (time.time() - t0), 1)
+
+
 def make_session(cores: int):
     from pyspark.sql import SparkSession
 
@@ -422,7 +435,8 @@ def main() -> None:
         # Window gate first (see ceiling comment below): don't burn the
         # expensive pipeline measurements in a degraded window.
         ceiling = _machine_ceiling(sf_dir)
-        _mark(t_start, f"phase ceiling {ceiling}")
+        k1_phase = _kernel_1core(sf_dir)
+        _mark(t_start, f"phase ceiling {ceiling} kernel_1core {k1_phase}")
         # No phase-level retry (ledger runs 11 and 16): the retry's ~55 s
         # came straight out of the pair budget, and every pair carries
         # its OWN ~6 s window gate with a bounded wait — the per-pair
@@ -461,6 +475,7 @@ def main() -> None:
                 qc = _machine_ceiling(sf_dir, sizes=(4, 16), iters=12).get(
                     "4_to_16", 0.0
                 )
+            k1 = _kernel_1core(sf_dir)
             r4 = measure(4, max_attempts=2, clean_target=1)
             # the 16-side is the variable one (fast mode ~8 s, burst mode
             # ~11 s at sub-1% steal) and a timed run costs only ~9 s —
@@ -472,7 +487,14 @@ def main() -> None:
             pair_rows.append(
                 {"local4_sec": r4["sec"], "local16_sec": r16["sec"],
                  "steal4": r4["steal_pct"], "steal16": r16["steal_pct"],
-                 "window_ceiling": qc, "efficiency": eff}
+                 "window_ceiling": qc, "kernel_1core": k1,
+                 "efficiency": eff,
+                 # pair-LOCAL normalization: this pair's ratio over the
+                 # mp ceiling probed seconds before it (run 19 lesson:
+                 # the PHASE ceiling read 0.969 while the pairs ran
+                 # under 0.78-0.86 sub-windows — normalizing a pair by
+                 # a ceiling from a different window is meaningless)
+                 "normalized": round(eff / min(qc, 1.0), 3) if qc else None}
             )
             for c, r in ((4, r4), (16, r16)):
                 if c not in results or r["sec"] < results[c]["sec"]:
@@ -502,13 +524,21 @@ def main() -> None:
                 break
             _, idx = max(dirty)
             time.sleep(20)
+            # fresh window probe for the repair (the original pair's qc
+            # certified a window that is minutes stale by now)
+            rqc = _machine_ceiling(sf_dir, sizes=(4, 16), iters=12).get(
+                "4_to_16", 0.0
+            )
+            rk1 = _kernel_1core(sf_dir)
             r4 = measure(4, max_attempts=2, clean_target=1)
             r16 = measure(16, max_attempts=3, clean_target=2)
+            reff = round((r4["sec"] / r16["sec"]) / 4.0, 3)
             new_row = {
                 "local4_sec": r4["sec"], "local16_sec": r16["sec"],
                 "steal4": r4["steal_pct"], "steal16": r16["steal_pct"],
-                "window_ceiling": pair_rows[idx]["window_ceiling"],
-                "efficiency": round((r4["sec"] / r16["sec"]) / 4.0, 3),
+                "window_ceiling": rqc, "kernel_1core": rk1,
+                "efficiency": reff,
+                "normalized": round(reff / min(rqc, 1.0), 3) if rqc else None,
                 "repaired": True,
             }
             if max(new_row["steal4"], new_row["steal16"]) < max(
@@ -567,11 +597,33 @@ def main() -> None:
         scaling["pairs_4_to_16"] = pair_rows
         scaling["efficiency_4_to_16"] = eff_median
         scaling["machine_ceiling_4_to_16"] = ceiling.get("4_to_16")
-        # normalization divides by min(ceiling, 1): scaling efficiency
-        # cannot exceed 1, so a probe ceiling ABOVE 1 is its own noise
-        # (superlinear mp probe) and must not deflate the pipeline's
-        # normalized score
-        if ceiling.get("4_to_16"):
+        # window-speed receipt: single-core kernel docs/s at phase start
+        # (clean-window reference ~8.2k — at half that, the box is in
+        # its user-time burst mode and EVERY absolute number below is
+        # machine-degraded, whatever steal% says)
+        scaling["kernel_1core_docs_per_sec"] = k1_phase
+        # Normalized headline = MEDIAN of the per-pair normalized scores
+        # (each pair's ratio over the ceiling probed seconds before it,
+        # capped at 1 — a probe ceiling above 1 is the probe's own noise
+        # and must not deflate the pipeline).  Run 19 showed why the old
+        # phase-level normalization misleads: phase ceiling 0.969, but
+        # both pairs ran in 0.78-0.86 sub-windows, so the pipeline was
+        # debited for machine degradation its own receipts had measured.
+        pair_norms = sorted(
+            p["normalized"] for p in pair_rows if p.get("normalized")
+        )
+        if pair_norms:
+            n_n = len(pair_norms)
+            scaling["normalized_4_to_16"] = round(
+                min(
+                    pair_norms[n_n // 2]
+                    if n_n % 2
+                    else (pair_norms[n_n // 2 - 1] + pair_norms[n_n // 2]) / 2,
+                    1.0,
+                ),
+                3,
+            )
+        elif ceiling.get("4_to_16"):
             scaling["normalized_4_to_16"] = round(
                 eff_median / min(ceiling["4_to_16"], 1.0), 3
             )
