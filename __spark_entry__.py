@@ -54,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from textextraction_spark.functions import analytics as A
     from textextraction_spark.functions import relational as R
+    from textextraction_spark.operators import bpe as BPE
     from textextraction_spark.operators import curation as C
     from textextraction_spark.operators import dedup as D
     from textextraction_spark.operators import multimodal as M
@@ -124,17 +125,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_analytics": A.window_analytics,  # w2 frames + w4 ranking
         "grouping_multi": A.grouping_multi,  # rollup + cube
         "set_ops": A.set_ops,  # except + intersect
-        "asof_last_click": A.asof_last_click,
+        "event_joins": A.event_joins,  # as-of + band/interval join
         "pivot_user_type_counts": A.pivot_user_type_counts,
         "sessionize_batch": A.sessionize_batch,
         "w3_tumbling_host_counts": _tumbling_host_counts,
-        "band_range_join": A.band_range_join,
+        "bpe_suite": BPE.bpe_suite,  # tokenizer training + application
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from textextraction_spark.functions import analytics as A
     from textextraction_spark.functions import relational as R
+    from textextraction_spark.operators import bpe as BPE
     from textextraction_spark.operators import curation as C
     from textextraction_spark.operators import dedup as D
     from textextraction_spark.operators import multimodal as M
@@ -190,9 +192,9 @@ def oracle_sql() -> dict[str, str]:
         "window_analytics": A.WINDOW_ANALYTICS_ORACLE,
         "grouping_multi": A.GROUPING_MULTI_ORACLE,
         "set_ops": A.SET_OPS_ORACLE,
-        "asof_last_click": A.ASOF_ORACLE,
+        "event_joins": A.EVENT_JOINS_ORACLE,
         "pivot_user_type_counts": A.PIVOT_ORACLE,
         "sessionize_batch": A.SESSIONIZE_ORACLE,
         "w3_tumbling_host_counts": _tumbling_oracle(),
-        "band_range_join": A.BAND_ORACLE,
+        "bpe_suite": BPE.BPE_SUITE_ORACLE,
     }

@@ -753,6 +753,16 @@ def main() -> None:
                 except Exception:  # noqa: BLE001
                     pass
 
+    # Window-quality annotation: when queries stay flagged, measure the
+    # single-core kernel one more time — if the BOX is running well below
+    # its clean reference, the flags are machine-degradation receipts,
+    # not code regressions (the reader sees which without a re-run).
+    if regressions:
+        regressions["_window"] = {
+            "kernel_1core_docs_per_sec": _kernel_1core(sf_dir),
+            "clean_reference": 8200,
+        }
+
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)

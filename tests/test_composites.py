@@ -147,6 +147,111 @@ class TestDocQualitySlices:
         )
         assert_df_equal(CL.quality_classifier(spark, SF), comp)
 
+    def test_asof_slice(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.functions import analytics as A
+
+        comp = (
+            E.queries()["event_joins"](spark, SF)
+            .filter(F.col("tag") == "asof")
+            .select("event_id", "user_id", "ts", "last_click_ts")
+        )
+        assert_df_equal(A.asof_last_click(spark, SF), comp)
+
+    def test_band_slice(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.functions import analytics as A
+
+        comp = (
+            E.queries()["event_joins"](spark, SF)
+            .filter(F.col("tag") == "band")
+            .select("band", "n", "sum_value")
+        )
+        assert_df_equal(A.band_range_join(spark, SF), comp)
+
+    def test_bpe_slices_equal_standalone(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import bpe as B
+
+        suite = E.queries()["bpe_suite"](spark, SF)
+        merges = suite.filter(F.col("tag") == "merge").select(
+            "round", "lhs", "rhs", "merged", "pair_count"
+        )
+        assert_df_equal(B.bpe_train(spark, SF), merges)
+        docs = suite.filter(F.col("tag") == "doc").select(
+            "doc_id", "n_words", "n_tokens"
+        )
+        assert_df_equal(B.bpe_apply(spark, SF), docs)
+
+    def test_bpe_matches_python_recompute(self, spark):
+        """Full-trajectory semantics pin against a from-scratch pure-python
+        BPE trainer (greedy left-to-right merge scan, count-desc/lex
+        tie-break) — independent of both SQL dialects AND of the
+        double-space replace() encoding trick."""
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        from textextraction_spark.operators import bpe as B
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+        word_cnt = Counter()
+        doc_words: dict[int, list[str]] = {}
+        for doc_id, text in docs.itertuples(index=False):
+            words = [
+                w
+                for w in re.sub(r"[^a-z]+", " ", text.lower()).strip().split(" ")
+                if w
+            ]
+            doc_words[doc_id] = words
+            word_cnt.update(words)
+
+        seqs = {w: list(w) for w in word_cnt}
+
+        def greedy(syms, a, b):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        expect_merges = []
+        for rnd in range(1, B.N_MERGES + 1):
+            pair_cnt = Counter()
+            for w, syms in seqs.items():
+                for i in range(len(syms) - 1):
+                    pair_cnt[(syms[i], syms[i + 1])] += word_cnt[w]
+            (a, b), n = min(
+                pair_cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            expect_merges.append((rnd, a, b, a + b, n))
+            seqs = {w: greedy(s, a, b) for w, s in seqs.items()}
+
+        got = B.bpe_train(spark, SF).orderBy("round").collect()
+        assert [
+            (r["round"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in got
+        ] == expect_merges
+
+        expect_docs = {
+            doc_id: (len(ws), sum(len(seqs[w]) for w in ws))
+            for doc_id, ws in doc_words.items()
+            if ws
+        }
+        got_docs = {
+            r["doc_id"]: (r["n_words"], r["n_tokens"])
+            for r in B.bpe_apply(spark, SF).collect()
+        }
+        assert got_docs == expect_docs
+
     def test_decontaminate_matches_python_recompute(self, spark):
         """End-to-end semantics pin against a from-scratch pure-python
         recompute of the n-gram-overlap definition (independent of both

@@ -39,10 +39,10 @@ FAST_SUBSET = [
     "window_analytics",
     "grouping_multi",
     "set_ops",
-    "asof_last_click",
+    "event_joins",
     "pivot_user_type_counts",
     "sessionize_batch",
-    "band_range_join",
+    "bpe_suite",
 ]
 
 

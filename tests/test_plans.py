@@ -202,10 +202,19 @@ SHUFFLE_BUDGETS = {
     "w1_topk_per_group": 1,
     "j1_broadcast_join": 1,
     "j2_anti_join_resume": 1,
-    "asof_last_click": 1,
+    # event_joins union: asof's one window shuffle + band's one agg
+    # shuffle (the interval join itself is a BroadcastNestedLoopJoin)
+    "event_joins": 2,
     "sessionize_batch": 1,
     "w3_tumbling_host_counts": 1,
-    "band_range_join": 1,
+    # bpe_suite: the STATIC tree repeats the trainer lineage per round
+    # (O(K^2) exchange nodes for K=4 merges — 1 corpus word-count agg +
+    # per-round vocab-table pair-count aggs + 1-row argmax
+    # SinglePartition exchanges + the apply-side doc join/agg);
+    # at RUNTIME AQE exchange reuse collapses the duplicates (12
+    # ReusedExchange nodes in the final adaptive plan — the corpus is
+    # word-counted ONCE).  Budget pins the static shape.
+    "bpe_suite": 62,
     "host_distribution": 2,
     "q1_pricing_summary": 2,
     "pivot_user_type_counts": 2,

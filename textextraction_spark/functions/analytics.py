@@ -303,6 +303,52 @@ GROUP BY band
 """
 
 
+# ---- gated composite: the two non-equi event joins --------------------
+def event_joins(spark, sf_dir: str):
+    """Tag-union composite over the two non-equi join shapes (frees a
+    slot under the driver's 50-query gate cap; the standalone operators
+    stay the library surface, pinned equal to their slices in
+    tests/test_composites.py):
+
+    - ``tag='asof'`` rows: backward as-of join (latest click per error),
+      the union-marker + last(ignorenulls) window — one shuffle.
+    - ``tag='band'`` rows: interval join against the broadcast band
+      dimension (BroadcastNestedLoopJoin pinned) + one agg shuffle.
+    """
+    asof = asof_last_click(spark, sf_dir).select(
+        F.lit("asof").alias("tag"),
+        "event_id",
+        "user_id",
+        "ts",
+        "last_click_ts",
+        F.lit(None).cast("string").alias("band"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    band = band_range_join(spark, sf_dir).select(
+        F.lit("band").alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("timestamp").alias("last_click_ts"),
+        "band",
+        "n",
+        "sum_value",
+    )
+    return asof.unionByName(band)
+
+
+EVENT_JOINS_ORACLE = f"""
+SELECT 'asof' AS tag, event_id, user_id, ts, last_click_ts,
+       CAST(NULL AS VARCHAR) AS band, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS sum_value
+FROM ({ASOF_ORACLE})
+UNION ALL
+SELECT 'band' AS tag, NULL, NULL, NULL, NULL, band, n, sum_value
+FROM ({BAND_ORACLE})
+"""
+
+
 # ---- INTERSECT (set op, complements relational.set_except_types) ---------
 def intersect_types(spark, sf_dir: str):
     """(user, type) combos active in BOTH halves of the stream — INTERSECT
