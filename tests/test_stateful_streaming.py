@@ -94,7 +94,9 @@ class TestDedupStream:
             q = run_dedup_stream(
                 spark, str(docs_dir), str(tmp_path / "ckpt"), sink="deduped"
             )
-            q.awaitTermination(120)
+            # availableNow terminates after draining both files; a False
+            # return (timeout) would mean partial state — fail loudly
+            assert q.awaitTermination(180)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
 

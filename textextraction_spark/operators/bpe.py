@@ -50,6 +50,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 N_MERGES = 4
+# Degenerate guard note: if a round has NO adjacent pair left (corpus of
+# single-character words), its 1-row winner is EMPTY and the cross join
+# empties the vocab for the remaining rounds — in BOTH engines (empty
+# cross join), so oracle parity holds; pick N_MERGES << distinct pairs.
 
 # shared tokenization (identical in classifier.py / textstats.py):
 # lowercase, strip non-alpha, whitespace-split
