@@ -1023,3 +1023,91 @@ class TestQualityClassifier:
         assert len(rows) == 500
         assert all(0.0 < r.score < 1.0 for r in rows)
         assert {r.label for r in rows} == {True, False}
+
+
+class TestChunking:
+    """chunk_passages: value-compared against the DuckDB twin (the same
+    compare the driver gate runs) + a pure-python recompute of the
+    window spec, independent of both engines."""
+
+    def test_matches_duckdb_twin(self, spark):
+        from textextraction_spark.operators.chunking import (
+            CHUNK_PASSAGES_ORACLE,
+            chunk_passages,
+        )
+
+        got = chunk_passages(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(CHUNK_PASSAGES_ORACLE).df()
+        problems = compare("chunk_passages", got, want)
+        assert not problems, problems
+
+    def test_matches_python_recompute(self, spark):
+        import re as _re
+
+        import pandas as pd
+
+        from textextraction_spark.operators.chunking import (
+            CHUNK,
+            STRIDE,
+            chunk_passages,
+        )
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+        expect = {}
+        overlap = CHUNK - STRIDE
+        for doc_id, text in docs.itertuples(index=False):
+            toks = [
+                w
+                for w in _re.sub(r"[^a-z]+", " ", text.lower()).strip().split(" ")
+                if w
+            ]
+            for i, start in enumerate(range(0, max(len(toks), 1), STRIDE)):
+                if start != 0 and start >= len(toks) - overlap:
+                    continue
+                chunk = toks[start : start + CHUNK]
+                if chunk:
+                    expect[(doc_id, i)] = (len(chunk), " ".join(chunk))
+        got = {
+            (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+            for r in chunk_passages(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_overlap_property(self, spark):
+        """Consecutive chunks of one doc overlap by CHUNK - STRIDE tokens
+        whenever the earlier chunk is full-size."""
+        from textextraction_spark.operators.chunking import (
+            CHUNK,
+            STRIDE,
+            chunk_passages,
+        )
+
+        rows = chunk_passages(spark, SF).collect()
+        by_doc: dict[int, dict[int, str]] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+        checked = 0
+        for chunks in by_doc.values():
+            for cid, text in chunks.items():
+                nxt = chunks.get(cid + 1)
+                if nxt is None or len(text.split()) < CHUNK:
+                    continue
+                tail = text.split()[STRIDE:]
+                assert nxt.split()[: len(tail)] == tail
+                checked += 1
+        assert checked > 0  # the fixture must contain multi-chunk docs
+
+    def test_zero_shuffle_plan(self, spark):
+        from textextraction_spark.operators.chunking import chunk_passages
+
+        plan = (
+            chunk_passages(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = sum(
+            plan.count(f"Exchange {k}")
+            for k in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+        )
+        assert n == 0
