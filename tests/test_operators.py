@@ -1111,3 +1111,123 @@ class TestChunking:
             for k in ("hashpartitioning", "rangepartitioning", "SinglePartition")
         )
         assert n == 0
+
+
+class TestDsir:
+    """dsir_weights: full value compare vs the DuckDB twin (the gate's
+    own compare) + a pure-python recompute of the importance weights."""
+
+    def test_matches_duckdb_twin(self, spark):
+        from textextraction_spark.operators.dsir import (
+            DSIR_WEIGHTS_ORACLE,
+            dsir_weights,
+        )
+
+        got = dsir_weights(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(DSIR_WEIGHTS_ORACLE).df()
+        problems = compare("dsir_weights", got, want)
+        assert not problems, problems
+
+    def test_matches_python_recompute(self, spark):
+        import hashlib
+        import math
+        import re as _re
+        from collections import Counter
+
+        import pandas as pd
+
+        from textextraction_spark.operators.dsir import (
+            N_BUCKETS,
+            TARGET_LANG,
+            dsir_weights,
+        )
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")[
+            ["doc_id", "text", "lang"]
+        ]
+
+        def buckets(text):
+            w = [
+                x
+                for x in _re.sub(r"[^a-z]+", " ", text.lower()).strip().split(" ")
+                if x
+            ]
+            return [
+                int(hashlib.md5(f"{w[i]}_{w[i+1]}".encode()).hexdigest()[:8], 16)
+                % N_BUCKETS
+                for i in range(len(w) - 1)
+            ]
+
+        feats = {
+            r.doc_id: (buckets(r.text), r.lang) for r in docs.itertuples()
+        }
+        cr, ct = Counter(), Counter()
+        for bs, lang in feats.values():
+            cr.update(bs)
+            if lang == TARGET_LANG:
+                ct.update(bs)
+        tr, tt = sum(cr.values()), sum(ct.values())
+        ratio = {
+            b: math.log(
+                (ct.get(b, 0) + 1.0) * (tr + N_BUCKETS)
+                / ((cr[b] + 1.0) * (tt + N_BUCKETS))
+            )
+            for b in cr
+        }
+        expect = {}
+        for doc_id, (bs, _) in feats.items():
+            if bs:
+                lr = round(sum(ratio[b] for b in bs) / len(bs), 5)
+                expect[doc_id] = (len(bs), lr, lr > 0)
+        got = {
+            r.doc_id: (r.n_feats, round(r.logratio, 5), r.keep)
+            for r in dsir_weights(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_importance_weight_invariant(self, spark):
+        """Gibbs' inequality, the invariant that makes these importance
+        weights: the TARGET-frequency-weighted mean of log(p_t/p_r) must
+        exceed the RAW-frequency-weighted mean (their gap is
+        KL(t||r) + KL(r||t) >= 0, up to smoothing).  Holds for ANY
+        target slice — the synthetic fixture's langs share one
+        vocabulary, so per-doc rank separation is NOT asserted (there is
+        genuinely none to find); the weighting math is what's pinned."""
+        import hashlib
+        import math
+        import re as _re
+        from collections import Counter
+
+        import pandas as pd
+
+        from textextraction_spark.operators.dsir import N_BUCKETS, TARGET_LANG
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")[
+            ["doc_id", "text", "lang"]
+        ]
+        cr, ct = Counter(), Counter()
+        for r in docs.itertuples():
+            w = [
+                x
+                for x in _re.sub(r"[^a-z]+", " ", r.text.lower()).strip().split(" ")
+                if x
+            ]
+            bs = [
+                int(hashlib.md5(f"{w[i]}_{w[i+1]}".encode()).hexdigest()[:8], 16)
+                % N_BUCKETS
+                for i in range(len(w) - 1)
+            ]
+            cr.update(bs)
+            if r.lang == TARGET_LANG:
+                ct.update(bs)
+        tr, tt = sum(cr.values()), sum(ct.values())
+        lr = {
+            b: math.log(
+                (ct.get(b, 0) + 1.0) * (tr + N_BUCKETS)
+                / ((cr[b] + 1.0) * (tt + N_BUCKETS))
+            )
+            for b in cr
+        }
+        target_mean = sum(ct[b] * lr[b] for b in ct) / tt
+        raw_mean = sum(cr[b] * lr[b] for b in cr) / tr
+        assert target_mean >= raw_mean - 1e-9, (target_mean, raw_mean)
