@@ -898,3 +898,101 @@ class TestReviewRegressions:
             .first()
         )
         assert row["n"] == 1  # the mangled literal counted 2
+
+
+class TestStructuralPdf:
+    """PDF 1.5 object-graph mode (pdfblocks structural path): catalog +
+    ObjStm page tree + per-page flate /Contents + binary xref stream."""
+
+    TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu"
+
+    def test_structural_extracts_identically_to_soup_form(self):
+        from textextraction_spark.sources.pages import make_pdf_bytes
+
+        st_pdf = make_pdf_bytes(self.TEXT, doc_id=60)  # % 240 == 60
+        plain = make_pdf_bytes(self.TEXT, doc_id=20)  # same two-page text
+        assert st_pdf.startswith(b"%PDF-1.5")
+        assert b"/ObjStm" in st_pdf and b"/XRef" in st_pdf
+        # page dicts live ONLY inside the compressed ObjStm
+        assert b"/Type /Page /Parent" not in st_pdf
+        rs, rp = extract_document(st_pdf), extract_document(plain)
+        assert rs.error == ""
+        assert rs.extracted_text == rp.extracted_text
+        assert len(rs.doc.pages) == 2
+        # span offsets identical across containers (storage is transport)
+        assert [(ln.start, ln.end) for p in rs.doc.pages for ln in p.lines] == [
+            (ln.start, ln.end) for p in rp.doc.pages for ln in p.lines
+        ]
+
+    def test_xref_binary_never_leaks_into_text_scan(self):
+        """Byte-soup fallback: an inflated /Type /XRef (or /ObjStm) payload
+        is random-looking binary that can contain phantom BT..ET runs —
+        such streams must be skipped, not inflated into the scan."""
+        import zlib
+
+        phantom = zlib.compress(b"BT 10 10 Td (PHANTOM) Tj ET", 6)
+        soup = (
+            b"%PDF-1.4\n<< /Type /XRef /W [1 4 2] /Filter /FlateDecode"
+            b" /Length " + str(len(phantom)).encode() + b" >>\nstream\n"
+            + phantom
+            + b"\nendstream\nstream\nBT 72 700 Td (Real text) Tj ET\nendstream\n%%EOF"
+        )
+        doc = parse_pdf(soup)
+        assert doc.text() == "Real text"
+
+    def test_contents_array_concatenates_in_order(self):
+        pdf = (
+            b"%PDF-1.5\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >> endobj\n"
+            b"4 0 obj << /Length 26 >> stream\n"
+            b"BT 72 700 Td (First) Tj ET\nendstream endobj\n"
+            b"5 0 obj << /Length 27 >> stream\n"
+            b"BT 72 600 Td (Second) Tj ET\nendstream endobj\n"
+            b"%%EOF"
+        )
+        doc = parse_pdf(pdf)
+        assert len(doc.pages) == 1
+        assert doc.text() == "First\nSecond"
+
+    def test_incremental_update_later_definition_wins(self):
+        """Appended (incremental-update) redefinitions of an object number
+        shadow the original; ObjStm-contained objects never shadow a
+        top-level definition."""
+        from textextraction_spark.core.pdfblocks import (
+            _expand_objstms,
+            _scan_objects,
+        )
+
+        import zlib
+
+        pay = zlib.compress(b"7 0 " + b"<< /Inside /ObjStmCopy >>", 6)
+        data = (
+            b"7 0 obj << /V /Old >> endobj\n"
+            b"9 0 obj << /Type /ObjStm /N 1 /First 4 /Filter /FlateDecode"
+            b" /Length " + str(len(pay)).encode() + b" >>\nstream\n"
+            + pay
+            + b"\nendstream endobj\n"
+            b"7 0 obj << /V /New >> endobj\n"
+        )
+        objs = _scan_objects(data)
+        _expand_objstms(objs)
+        assert b"/New" in objs[7][0]
+
+    def test_broken_page_tree_surfaces_error(self):
+        bad = b"%PDF-1.5\n1 0 obj << /Type /Catalog >> endobj\n%%EOF"
+        r = extract_document(bad)
+        assert r.extracted_text == "" and "Pages" in r.error
+
+    def test_binary_payload_cannot_register_phantom_objects(self):
+        """'N 0 obj' byte runs inside a stream payload are not objects."""
+        from textextraction_spark.core.pdfblocks import _scan_objects
+
+        data = (
+            b"4 0 obj << /Length 14 >> stream\n"
+            b"99 0 obj << \n\nendstream endobj\n"
+            b"5 0 obj << /V 1 >> endobj\n"
+        )
+        objs = _scan_objects(data)
+        assert set(objs) == {4, 5}

@@ -31,6 +31,20 @@ Coordinates are PDF user-space-ish integer "pixels"; origin bottom-left, so
 reading order = y DESCENDING, then x ascending.  Anything outside this
 subset yields an empty Doc with an error recorded by the caller (image-only
 PDFs would additionally need the reference's OCR path).
+
+**Structural mode (PDF 1.5 object graph).**  When the file carries a real
+page tree (``/Type /Catalog``), the parser does what a viewer does instead
+of scanning the byte soup: it indexes every top-level ``N 0 obj``,
+expands **object streams** (``/Type /ObjStm`` — compressed containers of
+non-stream objects, where modern producers store page dicts), resolves the
+catalog → ``/Pages`` → ``/Kids`` tree recursively, and concatenates each
+page's ``/Contents`` streams (single ref or array) in tree order.
+**Cross-reference streams** (``/Type /XRef``, binary flate payload) and
+image XObjects are recognized and never inflated into the text scan — in
+the byte-soup fallback path an inflated xref's random bytes could contain
+phantom ``BT .. ET`` matches.  The xref table itself is not needed for
+offsets because objects are discovered by a full scan (robust to the
+incremental-update PDFs where the last xref chain is broken anyway).
 """
 
 from __future__ import annotations
@@ -106,6 +120,20 @@ def _inflate_streams(data: bytes) -> bytes:
         else:
             em = _ENDSTREAM.search(data, start)
             end = em.start() if em else len(data)
+        # Never inflate non-text payloads into the BT..ET scan: a binary
+        # cross-reference stream / object stream / image decompresses to
+        # bytes that can contain phantom BT..ET matches.  (Files with a
+        # real page tree take the structural path and never get here.)
+        dict_bytes = m.group("dict")
+        if (
+            _XREF_STM.search(dict_bytes)
+            or _OBJSTM.search(dict_bytes)
+            or _IMAGE_XOBJ.search(dict_bytes)
+        ):
+            em = _ENDSTREAM.search(data, end)
+            out += data[pos : m.start()]
+            pos = em.end() if em else len(data)
+            continue
         try:
             inflated = zlib.decompress(data[start:end])
         except zlib.error as e:
@@ -117,6 +145,150 @@ def _inflate_streams(data: bytes) -> bytes:
         pos = tail
     out += data[pos:]
     return bytes(out)
+
+
+# ------------------------------------------------- structural mode (PDF 1.5)
+# One-level-nested dict body (same nesting budget as _FLATE_OBJ).
+_ANCHORED_DICT = re.compile(rb"\s*(<<(?:[^<>]|<<[^<>]*>>)*>>)")
+_TOP_OBJ = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_KW = re.compile(rb"\s*stream\r?\n")
+_CATALOG = re.compile(rb"/Type\s*/Catalog\b")
+_PAGES_REF = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R\b")
+_TYPE_PAGES = re.compile(rb"/Type\s*/Pages\b")
+_TYPE_PAGE = re.compile(rb"/Type\s*/Page\b")
+_KIDS = re.compile(rb"/Kids\s*\[((?:[^\[\]])*)\]")
+_CONTENTS_ONE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R\b")
+_CONTENTS_ARR = re.compile(rb"/Contents\s*\[((?:[^\[\]])*)\]")
+_REF = re.compile(rb"(\d+)\s+\d+\s+R\b")
+_OBJSTM = re.compile(rb"/Type\s*/ObjStm\b")
+_XREF_STM = re.compile(rb"/Type\s*/XRef\b")
+_IMAGE_XOBJ = re.compile(rb"/Subtype\s*/Image\b")
+_N_KEY = re.compile(rb"/N\s+(\d+)\b")
+_FIRST_KEY = re.compile(rb"/First\s+(\d+)\b")
+_FLATE_KEY = re.compile(rb"/Filter\s*/FlateDecode\b")
+_INT = re.compile(rb"\d+")
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Index every top-level indirect object by number -> (dict, payload).
+
+    ``payload`` is the object's stream content (flate-inflated when the
+    dict says so), or None for a non-stream object.  Objects are found by
+    a full linear scan rather than the xref table: scan order is what
+    survives the incremental-update PDFs whose final xref chain points at
+    overwritten offsets, and it needs no bootstrap parse of the binary
+    cross-reference stream."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    guard = 0  # end of the last consumed stream payload: binary zlib
+    # bytes can contain accidental "N 0 obj" matches, which must not
+    # register as objects
+    for m in _TOP_OBJ.finditer(data):
+        if m.start() < guard:
+            continue
+        dm = _ANCHORED_DICT.match(data, m.end())
+        if not dm:
+            continue  # non-dict object (int, array, ...) — never page tree
+        d = dm.group(1)
+        payload: bytes | None = None
+        sm = _STREAM_KW.match(data, dm.end())
+        if sm:
+            start = sm.end()
+            lm = _LENGTH.search(d)
+            if lm:
+                end = start + int(lm.group(1))
+            else:
+                em = _ENDSTREAM.search(data, start)
+                end = em.start() if em else len(data)
+            payload = data[start:end]
+            em = _ENDSTREAM.search(data, end)
+            guard = em.end() if em else len(data)
+            if _FLATE_KEY.search(d):
+                try:
+                    payload = zlib.decompress(payload)
+                except zlib.error as e:
+                    raise ValueError(
+                        f"corrupt FlateDecode stream in obj {int(m.group(1))}: {e}"
+                    ) from None
+        # later definitions win, matching incremental-update semantics
+        objs[int(m.group(1))] = (d, payload)
+    return objs
+
+
+def _expand_objstms(objs: dict[int, tuple[bytes, bytes | None]]) -> None:
+    """Register the objects stored inside /Type /ObjStm containers.
+
+    An object stream's payload is ``/First`` header bytes of
+    (objnum offset) integer pairs for ``/N`` objects, then the serialized
+    objects back to back (PDF 32000-1 §7.5.7; streams may not nest, so
+    every contained object is dict/array/scalar — page dicts in practice).
+    Contained objects never shadow a top-level definition of the same
+    number found later in the file (incremental updates append)."""
+    for num in list(objs):
+        d, payload = objs[num]
+        if not (_OBJSTM.search(d) and payload is not None):
+            continue
+        nm, fm = _N_KEY.search(d), _FIRST_KEY.search(d)
+        if not (nm and fm):
+            raise ValueError(f"ObjStm {num} missing /N or /First")
+        n, first = int(nm.group(1)), int(fm.group(1))
+        ints = [int(x.group(0)) for x in _INT.finditer(payload[:first])]
+        pairs = list(zip(ints[0::2], ints[1::2]))[:n]
+        for i, (objnum, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(payload)
+            if objnum not in objs:
+                objs[objnum] = (payload[first + off : end], None)
+
+
+def _page_contents(objs: dict, page_dict: bytes) -> bytes:
+    refs: list[int] = []
+    cm = _CONTENTS_ONE.search(page_dict)
+    if cm:
+        refs = [int(cm.group(1))]
+    else:
+        am = _CONTENTS_ARR.search(page_dict)
+        if am:
+            refs = [int(r.group(1)) for r in _REF.finditer(am.group(1))]
+    parts = [
+        objs[r][1] for r in refs if r in objs and objs[r][1] is not None
+    ]
+    return b"\n".join(parts)
+
+
+def _walk_pages(objs: dict, node_num: int, out: list[bytes], depth: int = 0) -> None:
+    if depth > 32 or node_num not in objs:  # cycle/overflow guard
+        return
+    d = objs[node_num][0]
+    if _TYPE_PAGE.search(d) and not _TYPE_PAGES.search(d):
+        out.append(_page_contents(objs, d))
+        return
+    km = _KIDS.search(d)
+    if km:
+        for r in _REF.finditer(km.group(1)):
+            _walk_pages(objs, int(r.group(1)), out, depth + 1)
+
+
+def _structural_pages(data: bytes) -> list[bytes] | None:
+    """Page content streams in page-tree order, or None when the file has
+    no object graph (the fixture byte-soup form).  A present-but-broken
+    page tree raises — surfaced via the row's error column, like a
+    corrupt flate stream."""
+    if not _CATALOG.search(data):
+        return None
+    objs = _scan_objects(data)
+    _expand_objstms(objs)
+    root = None
+    for d, _payload in objs.values():
+        if _CATALOG.search(d):
+            pm = _PAGES_REF.search(d)
+            if pm:
+                root = int(pm.group(1))
+    if root is None:
+        raise ValueError("catalog present but no /Pages root resolvable")
+    pages: list[bytes] = []
+    _walk_pages(objs, root, pages)
+    if not pages:
+        raise ValueError("page tree resolved to zero pages")
+    return pages
 
 
 _ESC_MAP = {
@@ -223,10 +395,12 @@ def _parse_block(body: bytes) -> list[tuple[int, int, str]]:
 
 def parse_pdf(data: bytes) -> Doc:
     """PDF bytes -> Doc with reading-order-sorted lines per page."""
-    data = _inflate_streams(data)
+    body_parts = _structural_pages(data)
+    if body_parts is None:
+        data = _inflate_streams(data)
+        body_parts = _PAGE_SPLIT.split(data)
     pages: list[Page] = []
     offset = 0
-    body_parts = _PAGE_SPLIT.split(data)
     page_no = 0
     n_segs = 0
     n_parsed = 0

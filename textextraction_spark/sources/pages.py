@@ -239,6 +239,89 @@ def total_amount_str(doc_id: int) -> str:
     return f"${1 + doc_id % 9},{doc_id % 1000:03d}.00"
 
 
+def make_structural_pdf(page_bodies: list[str]) -> bytes:
+    """A REAL PDF 1.5 object graph (how modern producers write files):
+    top-level catalog, the page tree (/Pages node + /Type /Page dicts)
+    stored inside a FlateDecode **object stream** (/Type /ObjStm), each
+    page's content as its own flate stream object referenced via
+    /Contents, and a binary **cross-reference stream** (/Type /XRef,
+    W [1 4 2], type-2 entries pointing into the ObjStm) + startxref
+    trailer.  Exercises core/pdfblocks.py's structural mode end-to-end:
+    object indexing, ObjStm expansion, page-tree walk, and xref-binary
+    exclusion from the text scan."""
+    import struct
+    import zlib as _z
+
+    n = len(page_bodies)
+    first_content = 3 + n  # 1=catalog, 2=pages node, 3..2+n page dicts
+    objstm_num = 3 + 2 * n
+    xref_num = objstm_num + 1
+
+    inner: list[tuple[int, str]] = [(
+        2,
+        "<< /Type /Pages /Kids ["
+        + " ".join(f"{3 + i} 0 R" for i in range(n))
+        + f"] /Count {n} >>",
+    )]
+    inner += [
+        (3 + i, f"<< /Type /Page /Parent 2 0 R /Contents {first_content + i} 0 R >>")
+        for i in range(n)
+    ]
+    inner_bytes = [s.encode("latin-1") for _, s in inner]
+    offs, off = [], 0
+    for b in inner_bytes:
+        offs.append(off)
+        off += len(b) + 1  # single-space separator between objects
+    header = " ".join(f"{num} {o}" for (num, _), o in zip(inner, offs)) + " "
+    stm_payload = _z.compress(
+        header.encode("ascii") + b" ".join(inner_bytes), 6
+    )
+    # /First counts from payload start; objects begin right after header
+    first = len(header)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, dict_str: str, payload: bytes | None = None) -> None:
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj {dict_str}".encode("latin-1"))
+        if payload is not None:
+            out.extend(b"\nstream\n" + payload + b"\nendstream")
+        out.extend(b"\nendobj\n")
+
+    emit(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    for i, body in enumerate(page_bodies):
+        pay = _z.compress(body.encode("latin-1"), 6)
+        emit(first_content + i, f"<< /Filter /FlateDecode /Length {len(pay)} >>", pay)
+    emit(
+        objstm_num,
+        f"<< /Type /ObjStm /N {len(inner)} /First {first}"
+        f" /Filter /FlateDecode /Length {len(stm_payload)} >>",
+        stm_payload,
+    )
+    # xref stream: its own offset is known before emission
+    xref_off = len(out)
+    offsets[xref_num] = xref_off
+    in_objstm = {num: i for i, (num, _) in enumerate(inner)}
+    rows = b""
+    for num in range(xref_num + 1):
+        if num == 0:
+            rows += struct.pack(">BIH", 0, 0, 65535)
+        elif num in in_objstm:
+            rows += struct.pack(">BIH", 2, objstm_num, in_objstm[num])
+        else:
+            rows += struct.pack(">BIH", 1, offsets[num], 0)
+    xpay = _z.compress(rows, 6)
+    emit(
+        xref_num,
+        f"<< /Type /XRef /Size {xref_num + 1} /W [1 4 2] /Root 1 0 R"
+        f" /Filter /FlateDecode /Length {len(xpay)} >>",
+        xpay,
+    )
+    out.extend(f"startxref\n{xref_off}\n%%EOF".encode("ascii"))
+    return bytes(out)
+
+
 def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
     """Text blocks emitted OUT of reading order (remainder first at y=300,
     head at y=700) so the extractor's sort is load-bearing; doc_id % 40 = 0
@@ -257,7 +340,10 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
     text); doc_id % 240 = 120 writes the page with the **compact
     per-line show operators** (``(s) '`` = next-line-and-show and
     ``aw ac (s) "`` with a mid-block TL re-set — PDF 9.4.3, the form
-    older producers emit).  The TOTAL block in these families lands at
+    older producers emit); doc_id % 240 = 60 stores the two-page split as
+    a **real PDF 1.5 object graph** (catalog + ObjStm-compressed page
+    tree + per-page flate /Contents + binary xref stream — see
+    ``make_structural_pdf``).  The TOTAL block in these families lands at
     its y only if T*/quote leading math and relative-Td chaining are
     computed correctly, so the pdf_highlight_rects oracle gates the
     positioning arithmetic, not just the text.  Extracted text is unchanged across all variants, so
@@ -274,6 +360,16 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
         blocks = [(72, 300, tail), (72, 700, head)]  # stream order != reading order
     if doc_id % 40 == 0:
         blocks.insert(0, (72, TOTAL_BLOCK_Y, f"TOTAL {total_amount_str(doc_id)}"))
+
+    if doc_id % 240 == 60 and head is not None:
+        # structural PDF 1.5 family: same two-page head/tail text as the
+        # %40==20 family, stored as a real object graph (catalog, ObjStm
+        # page tree, per-page flate /Contents, binary xref stream) — the
+        # extracted-text oracle is unchanged, so it transitively gates
+        # the structural parse path
+        return make_structural_pdf(
+            [f"BT 72 700 Td ({head}) Tj ET\n", f"BT 72 700 Td ({tail}) Tj ET\n"]
+        )
 
     def hexstr(t: str) -> str:
         return "<" + t.encode("latin-1").hex() + ">"
