@@ -1231,3 +1231,61 @@ class TestDsir:
         target_mean = sum(ct[b] * lr[b] for b in ct) / tt
         raw_mean = sum(cr[b] * lr[b] for b in cr) / tr
         assert target_mean >= raw_mean - 1e-9, (target_mean, raw_mean)
+
+
+class TestPq:
+    """Product quantization (operators/pq.py): full value compares vs the
+    DuckDB twins + recall/plan guarantees (IVF-PQ's code side)."""
+
+    def test_encode_matches_duckdb_twin(self, spark):
+        from textextraction_spark.operators.pq import PQ_ENCODE_ORACLE, pq_encode
+
+        got = pq_encode(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(PQ_ENCODE_ORACLE).df()
+        problems = compare("pq_encode", got, want)
+        assert not problems, problems
+
+    def test_ann_matches_duckdb_twin(self, spark):
+        from textextraction_spark.operators.pq import ANN_PQ_ORACLE, ann_pq_adc
+
+        got = ann_pq_adc(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(ANN_PQ_ORACLE).df()
+        problems = compare("ann_pq_adc", got, want)
+        assert not problems, problems
+
+    def test_codes_in_range_and_nontrivial(self, spark):
+        from textextraction_spark.operators.pq import K, M, pq_encode
+
+        codes = pq_encode(spark, SF).toPandas()["code"]
+        assert all(len(c) == M and all(0 <= j < K for j in c) for c in codes)
+        # the quantizer must actually discriminate: every subspace uses
+        # more than one codeword across the corpus
+        for m in range(M):
+            assert len({c[m] for c in codes}) > 1, f"subspace {m} degenerate"
+
+    def test_recall_floor_vs_exact(self, spark):
+        """ADC shortlist + exact re-rank must recover a pinned fraction of
+        the true cosine top-k (PQ is lossy; the floor documents HOW lossy
+        at M=4 x K=4 on this corpus)."""
+        from textextraction_spark.operators.pq import TOP_K, ann_pq_adc
+        from textextraction_spark.operators.simsearch import brute_force_topk
+
+        got = {r["vec_id"] for r in ann_pq_adc(spark, SF).collect()}
+        exact = {r["vec_id"] for r in brute_force_topk(spark, SF).collect()}
+        recall = len(got & exact) / TOP_K
+        # measured 0.6 at K=8 / SHORTLIST=100 on the synthetic corpus
+        # (i.i.d.-random embeddings are PQ's worst case — see pq.py);
+        # floor at 0.5 tolerates fixture regeneration
+        assert recall >= 0.5, recall
+
+    def test_plan_shape(self, spark):
+        """pq_encode is a zero-Exchange narrow projection; the ADC search
+        plan is shortlist-top-k + ONE broadcast join, never cartesian."""
+        from textextraction_spark.operators.pq import ann_pq_adc, pq_encode
+
+        enc_plan = pq_encode(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in enc_plan
+        ann_plan = ann_pq_adc(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in ann_plan
+        assert "TakeOrderedAndProject" in ann_plan
+        assert "BroadcastHashJoin" in ann_plan or "BroadcastExchange" in ann_plan
