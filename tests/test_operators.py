@@ -1289,3 +1289,83 @@ class TestPq:
         assert "CartesianProduct" not in ann_plan
         assert "TakeOrderedAndProject" in ann_plan
         assert "BroadcastHashJoin" in ann_plan or "BroadcastExchange" in ann_plan
+
+
+class TestCorpusAssembly:
+    """training_order + quota_sample (operators/packing.py): full value
+    compares vs the DuckDB twins + the invariants that make them usable
+    as corpus-build steps."""
+
+    def test_training_order_matches_duckdb_twin(self, spark):
+        from textextraction_spark.operators.packing import (
+            TRAINING_ORDER_ORACLE,
+            training_order,
+        )
+
+        got = training_order(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(TRAINING_ORDER_ORACLE).df()
+        problems = compare("training_order", got, want)
+        assert not problems, problems
+
+    def test_training_order_is_a_permutation(self, spark):
+        """Every doc appears exactly once; positions within each shard are
+        gapless 0..n-1 (a data loader can stream shards independently)."""
+        from textextraction_spark.operators.packing import training_order
+
+        df = training_order(spark, SF).toPandas()
+        assert df["doc_id"].is_unique and len(df) == 500
+        for _shard, grp in df.groupby("shard"):
+            assert sorted(grp["pos"]) == list(range(len(grp)))
+
+    def test_training_order_seed_sensitivity(self, spark):
+        """A different seed produces a genuinely different order (the
+        reshuffle-per-epoch property)."""
+        import textextraction_spark.operators.packing as P
+
+        a = P.training_order(spark, SF).toPandas().set_index("doc_id")
+        old = P.SHUFFLE_SEED
+        P.SHUFFLE_SEED = "ep2"
+        try:
+            b = P.training_order(spark, SF).toPandas().set_index("doc_id")
+        finally:
+            P.SHUFFLE_SEED = old
+        moved = ((a["shard"] != b["shard"]) | (a["pos"] != b["pos"])).mean()
+        assert moved > 0.9, moved
+
+    def test_quota_sample_matches_duckdb_twin(self, spark):
+        from textextraction_spark.operators.packing import (
+            QUOTA_SAMPLE_ORACLE,
+            quota_sample,
+        )
+
+        got = quota_sample(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(QUOTA_SAMPLE_ORACLE).df()
+        problems = compare("quota_sample", got, want)
+        assert not problems, problems
+
+    def test_quota_sample_exact_quotas(self, spark):
+        from textextraction_spark.operators.packing import (
+            QUOTA_PER_LANG,
+            quota_sample,
+        )
+
+        df = quota_sample(spark, SF).toPandas()
+        counts = df.groupby("lang")["doc_id"].count()
+        # every language in the sf0.001 corpus has >= QUOTA docs, so the
+        # quota binds exactly for all of them
+        assert set(counts) == {QUOTA_PER_LANG}, counts.to_dict()
+        assert df["doc_id"].is_unique
+
+    def test_plan_shape(self, spark):
+        """Both ops are one hash exchange + a window — no joins, no
+        collects, nothing driver-side."""
+        from textextraction_spark.operators.packing import (
+            quota_sample,
+            training_order,
+        )
+
+        for fn in (training_order, quota_sample):
+            plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            n_exch = plan.count("Exchange") - plan.count("BroadcastExchange")
+            assert n_exch == 1, (fn.__name__, n_exch)
+            assert "Join" not in plan, fn.__name__

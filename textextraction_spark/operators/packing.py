@@ -1,5 +1,6 @@
-"""Corpus-assembly operators for LLM pretraining: sequence packing and
-domain mixing.
+"""Corpus-assembly operators for LLM pretraining: sequence packing,
+domain mixing, reproducible training-order shuffling, and exact
+per-stratum quota sampling.
 
 Sequence packing maps each document to its slice of a fixed-length
 token-sequence stream (the standard concat-and-chunk step that turns a
@@ -178,4 +179,96 @@ SELECT d.doc_id, d.source, d.n_tokens, r.factor,
                     < floor((r.factor - floor(r.factor)) * 1000)::BIGINT
                THEN 1 ELSE 0 END)::BIGINT AS n_copies
 FROM d JOIN rates r USING (source)
+"""
+
+
+# ----------------------------------------------------------- training_order
+# Deterministic global training-order shuffle: training runs want the
+# corpus in a reproducible pseudo-random order, laid out as numbered
+# shards a data loader streams in shard order.  A TOTAL order would be a
+# global sort (single bottleneck partition at 10^12 docs); the scalable
+# layout is the standard two-level one — shard = seeded hash % N, within
+# -shard position = rank by a second seeded hash — which is one hash
+# exchange + a within-partition sort, and changing SHUFFLE_SEED reshuffles
+# the entire corpus reproducibly.
+SHUFFLE_SEED = "ep1"
+N_OUT_SHARDS = 8
+
+_ORD_KEY = "md5(concat('{seed}_', cast(doc_id as string)))"
+_ORD_KEY_DUCK = "md5('{seed}_' || CAST(doc_id AS STRING))"
+
+
+def training_order(spark, sf_dir: str):
+    """(doc_id, shard, pos) — the reproducible training-order placement
+    of every document for seed SHUFFLE_SEED."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = _ORD_KEY.format(seed=SHUFFLE_SEED)
+    h = H_SPARK.format(x=f"concat('shard_{SHUFFLE_SEED}_', cast(doc_id as string))")
+    base = d.select(
+        "doc_id",
+        F.expr(f"({h}) % {N_OUT_SHARDS}").cast("bigint").alias("shard"),
+        F.expr(key).alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+
+
+TRAINING_ORDER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         (({H_DUCK.format(x=f"'shard_{SHUFFLE_SEED}_' || CAST(doc_id AS STRING)")})
+          % {N_OUT_SHARDS})::BIGINT AS shard,
+         {_ORD_KEY_DUCK.format(seed=SHUFFLE_SEED)} AS ord_key
+  FROM documents
+)
+SELECT doc_id, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id)
+        - 1)::BIGINT AS pos
+FROM base
+"""
+
+
+# -------------------------------------------------------------- quota_sample
+# Exact per-stratum quotas: "take exactly N documents per language",
+# sampled without replacement by a deterministic seeded-hash order (the
+# counterpart of curation.hash_sample's Bernoulli RATES — quotas are what
+# corpus specs actually state).  One window shuffle keyed on the stratum.
+#
+# 100 TB shape: rank-within-stratum is a per-stratum sort; for strata of
+# billions of rows the production refinement is a two-pass threshold
+# (Bernoulli prefilter at quota/count plus a safety margin, exact rank on
+# the ~quota survivors) — same output, bounded sort input.  The quota
+# semantics and the seeded order pinned here are identical either way.
+QUOTA_PER_LANG = 60
+
+_QUOTA_KEY = "md5(concat('quota_{seed}_', cast(doc_id as string)))"
+_QUOTA_KEY_DUCK = "md5('quota_{seed}_' || CAST(doc_id AS STRING))"
+
+
+def quota_sample(spark, sf_dir: str):
+    """(doc_id, lang, rk) — exactly QUOTA_PER_LANG docs per language,
+    chosen by seeded-hash order (deterministic, reproducible)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = _QUOTA_KEY.format(seed=SHUFFLE_SEED)
+    w = Window.partitionBy("lang").orderBy(F.expr(key), F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= QUOTA_PER_LANG)
+    )
+
+
+QUOTA_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_QUOTA_KEY_DUCK.format(seed=SHUFFLE_SEED)}, doc_id
+         )::BIGINT AS rk
+  FROM documents
+)
+WHERE rk <= {QUOTA_PER_LANG}
 """
