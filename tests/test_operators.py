@@ -1329,6 +1329,7 @@ class TestCorpusAssembly:
             b = P.training_order(spark, SF).toPandas().set_index("doc_id")
         finally:
             P.SHUFFLE_SEED = old
+        b = b.reindex(a.index)
         moved = ((a["shard"] != b["shard"]) | (a["pos"] != b["pos"])).mean()
         assert moved > 0.9, moved
 
