@@ -49,6 +49,24 @@ RAWTEXT_TAGS = frozenset("script style".split())
 # its link density (tag-path classification per the north_star).
 BOILER_ANCESTORS = frozenset("nav footer header aside form select option".split())
 
+# Per-tag behavior as one flags int: the event fold then pays a single
+# dict hit per tag instead of 3-4 frozenset probes, and the scanner can
+# skip the sink call entirely for flagless inline tags (span/b/em/...),
+# which dominate real markup.
+_F_SKIP, _F_BLOCK, _F_BOILER, _F_LINK, _F_BR, _F_RAWTEXT = 1, 2, 4, 8, 16, 32
+TAG_FLAGS: dict[str, int] = {}
+for _t in SKIP_TAGS:
+    TAG_FLAGS[_t] = TAG_FLAGS.get(_t, 0) | _F_SKIP
+for _t in BLOCK_TAGS:
+    TAG_FLAGS[_t] = TAG_FLAGS.get(_t, 0) | _F_BLOCK
+for _t in BOILER_ANCESTORS:
+    TAG_FLAGS[_t] = TAG_FLAGS.get(_t, 0) | _F_BOILER
+for _t in RAWTEXT_TAGS:
+    TAG_FLAGS[_t] = TAG_FLAGS.get(_t, 0) | _F_RAWTEXT
+for _t in ("br", "hr"):
+    TAG_FLAGS[_t] = TAG_FLAGS.get(_t, 0) | _F_BR
+TAG_FLAGS["a"] = TAG_FLAGS.get("a", 0) | _F_LINK
+
 
 
 @dataclass(slots=True)
@@ -85,7 +103,8 @@ class BlockSink:
     def _flush(self) -> None:
         if not self._parts:
             return
-        raw = "".join(t for t, _ in self._parts)
+        parts = self._parts
+        raw = parts[0][0] if len(parts) == 1 else "".join(t for t, _ in parts)
         # whitespace-normalize via split/join (one pass; str.split and
         # regex \s agree on the Unicode whitespace set we care about)
         words = raw.split()
@@ -109,23 +128,25 @@ class BlockSink:
         self._parts = []
 
     def start(self, tag: str) -> None:
-        if tag in SKIP_TAGS:
+        flags = TAG_FLAGS.get(tag, 0)
+        if flags & _F_SKIP:
             self._skip_depth += 1
             return
-        if tag in BLOCK_TAGS:
+        if flags & _F_BLOCK:
             self._flush()
-            if tag != "br" and tag != "hr":
+            if not flags & _F_BR:
                 self._stack.append(tag)
-                if tag in BOILER_ANCESTORS:
+                if flags & _F_BOILER:
                     self._boiler_depth += 1
-        if tag == "a":
+        if flags & _F_LINK:
             self._link_depth += 1
 
     def end(self, tag: str) -> None:
-        if tag in SKIP_TAGS:
+        flags = TAG_FLAGS.get(tag, 0)
+        if flags & _F_SKIP:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
-        if tag in BLOCK_TAGS and tag not in ("br", "hr"):
+        if flags & _F_BLOCK and not flags & _F_BR:
             self._flush()
             if tag in self._stack:  # best-effort unwind to the open tag
                 while self._stack:
@@ -134,7 +155,7 @@ class BlockSink:
                         self._boiler_depth = max(0, self._boiler_depth - 1)
                     if popped == tag:
                         break
-        if tag == "a":
+        if flags & _F_LINK:
             self._link_depth = max(0, self._link_depth - 1)
 
     def text(self, data: str) -> None:
@@ -183,18 +204,20 @@ _TAG_RE = re.compile(
 )
 
 
-# tag-name bytes -> lowercase str, memoized (tag vocabulary is tiny; the
-# cache turns a decode+lower per tag into one dict hit)
-_NAME_CACHE: dict[bytes, str] = {}
+# tag-name bytes -> (lowercase str, flags), memoized (tag vocabulary is
+# tiny; the cache turns a decode+lower+flags-lookup per tag into one
+# dict hit)
+_NAME_CACHE: dict[bytes, tuple[str, int]] = {}
 
 
-def _tag_name(tag: bytes) -> str:
-    name = _NAME_CACHE.get(tag)
-    if name is None:
+def _tag_info(tag: bytes) -> tuple[str, int]:
+    info = _NAME_CACHE.get(tag)
+    if info is None:
         name = tag.decode("ascii", "replace").lower()
+        info = (name, TAG_FLAGS.get(name, 0))
         if len(_NAME_CACHE) < 4096:  # bound growth on adversarial input
-            _NAME_CACHE[tag] = name
-    return name
+            _NAME_CACHE[tag] = info
+    return info
 
 
 # rawtext close-tag scanners, precompiled per rawtext element
@@ -208,45 +231,54 @@ def _scan_fast(data: bytes, sink: BlockSink) -> None:
     pos = 0
     n = len(data)
     find = _TAG_RE.search
+    sink_text = sink.text
+    sink_start = sink.start
+    sink_end = sink.end
+    cache_get = _NAME_CACHE.get
     while pos < n:
         m = find(data, pos)
         if m is None:
-            sink.text(_decode_text(data[pos:]))
+            sink_text(_decode_text(data[pos:]))
             break
-        if m.start() > pos:
-            chunk = data[pos : m.start()]
+        start, end = m.span()
+        if start > pos:
+            chunk = data[pos:start]
             # fast path: inter-tag whitespace (very common) — a single
             # space is equivalent after block-level normalization
             if chunk.isspace():
-                sink.text(" ")
+                sink_text(" ")
             else:
-                sink.text(_decode_text(chunk))
-        pos = m.end()
-        tag = m.group(2)
+                sink_text(_decode_text(chunk))
+        pos = end
+        is_end, tag, attrs, slash = m.group(1, 2, 3, 4)
         if tag is None:  # comment / CDATA / doctype
             continue
-        name = _tag_name(tag)
-        if m.group(1):  # end tag
-            sink.end(name)
+        info = cache_get(tag)
+        name, flags = info if info is not None else _tag_info(tag)
+        # flagless inline tags (span/b/em/...) are no-ops in the fold —
+        # skip the sink calls entirely (they dominate real markup)
+        if is_end:
+            if flags:
+                sink_end(name)
         else:
-            sink.start(name)
-            attrs = m.group(3)
+            if flags:
+                sink_start(name)
             # Self-closing only when the slash can't belong to an unquoted
             # attribute value (`<a href=/>` means href="/", not <a/>).
-            self_closing = bool(m.group(4)) and (
+            if slash and (
                 not attrs or attrs[-1:] in (b" ", b"\t", b"\n", b"\r", b'"', b"'")
-            )
-            if self_closing:
-                sink.end(name)
-            elif name in RAWTEXT_TAGS:
+            ):
+                if flags:
+                    sink_end(name)
+            elif flags & _F_RAWTEXT:
                 # rawtext: skip to the matching close tag (browser behavior)
                 cm = _RAWTEXT_CLOSE[name].search(data, pos)
                 if cm is None:
-                    sink.end(name)  # unterminated: drop rest like stdlib
+                    sink_end(name)  # unterminated: drop rest like stdlib
                     pos = n
                 else:
                     pos = cm.end()
-                    sink.end(name)
+                    sink_end(name)
 
 
 def _decode_text(chunk: bytes) -> str:
