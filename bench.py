@@ -85,7 +85,9 @@ PIN16 = frozenset(range(16))  # the fixed cpuset of the canonical pairing
 # variance on this VM is ±2x across hypervisor bursts, so warnings are
 # a signal to re-measure, not a hard fail.
 QUERY_BASELINES = {
-    "extract_e2e": 2.1,
+    # 2.1 -> 1.6 after the round-3 flags-dict scanner (~10% faster kernel;
+    # ledger run 20 measured 1.38 s in a DEGRADED window)
+    "extract_e2e": 1.6,
     "dedup_minhash_lsh": 2.2,
     "dedup_exact": 0.5,
     "dedup_incremental": 0.85,
