@@ -1370,3 +1370,101 @@ class TestCorpusAssembly:
             n_exch = plan.count("Exchange") - plan.count("BroadcastExchange")
             assert n_exch == 1, (fn.__name__, n_exch)
             assert "Join" not in plan, fn.__name__
+
+
+class TestExactSubstr:
+    """exact_substr_dedup (operators/dedup.py): the removal half of
+    Lee-et-al. exact-substring dedup — outside the 50-query gate cap,
+    full DuckDB value oracle + a pure-python recompute independent of
+    both engines + the coverage property."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_matches_oracle(self, spark, sf):
+        from textextraction_spark.operators.dedup import (
+            EXACT_SUBSTR_ORACLE,
+            exact_substr_dedup,
+        )
+
+        got = exact_substr_dedup(spark, sf).toPandas()
+        want = connect_duckdb(sf).execute(EXACT_SUBSTR_ORACLE).df()
+        problems = compare("exact_substr_dedup", got, want)
+        assert not problems, problems
+
+    @staticmethod
+    def _recompute(sf):
+        import pandas as pd
+
+        from textextraction_spark.operators.dedup import (
+            ES_BOILERS,
+            ES_NDOCS,
+            ES_W,
+        )
+
+        docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text"]]
+        docs = docs[docs.doc_id < ES_NDOCS]
+        toks = {
+            r.doc_id: (r.text + " " + ES_BOILERS[r.doc_id % 4]).split(" ")
+            for r in docs.itertuples(index=False)
+        }
+        gram_docs: dict[tuple, set] = {}
+        positions: dict[int, list] = {d: [] for d in toks}
+        for d, t in toks.items():
+            for i in range(len(t) - ES_W + 1):
+                gram_docs.setdefault(tuple(t[i : i + ES_W]), set()).add(d)
+        dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+        for d, t in toks.items():
+            for i in range(len(t) - ES_W + 1):
+                if tuple(t[i : i + ES_W]) in dup:
+                    positions[d].append(i)
+        out = {}
+        for d, t in toks.items():
+            covered = set()
+            for p in positions[d]:
+                covered.update(range(p, p + ES_W))
+            kept = [tok for i, tok in enumerate(t) if i not in covered]
+            out[d] = (len(t), len(t) - len(kept), " ".join(kept))
+        return out
+
+    def test_matches_python_recompute(self, spark):
+        from textextraction_spark.operators.dedup import exact_substr_dedup
+
+        expect = self._recompute(SF)
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+            for r in exact_substr_dedup(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_boilerplate_removed_body_kept(self, spark):
+        """Every doc loses at least the boiler sentence it shares with
+        ~ES_NDOCS/4 others, and no cleaned text still contains a full
+        boiler sentence."""
+        from textextraction_spark.operators.dedup import (
+            ES_BOILERS,
+            exact_substr_dedup,
+        )
+
+        min_boiler = min(len(b.split(" ")) for b in ES_BOILERS)
+        rows = exact_substr_dedup(spark, SF).collect()
+        assert rows and all(r.n_removed >= min_boiler for r in rows)
+        for r in rows:
+            assert not any(b in r.cleaned_text for b in ES_BOILERS)
+        # the corpus is not degenerate: most bodies survive
+        assert sum(1 for r in rows if r.n_removed < r.n_tokens) > len(rows) // 2
+
+    def test_plan_shape(self, spark):
+        """Gram agg + dup join + per-doc regroup: <= 5 exchanges, zero
+        Python in the plan (the whole operator is JVM expressions).
+        The 2 BHJs at test scale are AQE size-gated downgrades (no
+        broadcast hints in the code), same note as dedup_minhash_lsh in
+        BENCH/PLAN_AUDIT.md."""
+        from textextraction_spark.operators.dedup import exact_substr_dedup
+
+        p = (
+            exact_substr_dedup(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert p.count("Exchange") <= 5, p.count("Exchange")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

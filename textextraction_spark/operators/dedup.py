@@ -726,3 +726,144 @@ FROM comp c
 JOIN (SELECT cluster_id, count(*) AS n FROM comp GROUP BY cluster_id) s
   USING (cluster_id)
 """
+
+
+# ------------------------------------------- exact-substring removal
+# The REMOVAL half of exact-substring dedup (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"):
+# span_dedup above *mines* repeated windows; this operator *cuts* every
+# token range whose ES_W-token gram occurs in >= 2 distinct documents
+# out of all of them (the paper's ExactSubstr removes every occurrence,
+# not all-but-one).  The paper builds a corpus-wide suffix array; the
+# Spark-shaped equivalent is hashed fixed-width grams:
+#   1. one narrow explode emits (doc_id, pos, gram_hash) — stride 1,
+#      so any duplicated run of >= ES_W tokens is caught exactly;
+#   2. duplicated grams found by a partial-agg groupBy on the hash
+#      (one shuffle, map-side combined — only hashes cross the wire);
+#   3. hits join back (hash-keyed shuffle join, never broadcast: on a
+#      boilerplate-heavy crawl the dup set is huge) and regroup per doc
+#      to a sorted position list;
+#   4. coverage + cleanup are a zero-shuffle projection: token i is
+#      removed iff some hit position p satisfies p <= i < p + ES_W.
+# The per-token coverage check is O(L * |hits|) per doc — fine while
+# hits are sparse; a doc that is ~all duplicate makes it quadratic, and
+# the drop-in fix at crawl scale is merging hit positions into islands
+# first (gaps-and-islands over the sorted list) before the filter.
+#
+# Driver corpus has no cross-doc repeats, so the fixture appends one of
+# ES_BOILERS (12-token boilerplate sentences, keyed doc_id % 4) to each
+# doc: grams fully inside a boiler repeat across ~ES_NDOCS/4 docs and
+# the whole boiler is removed; grams straddling the unique body are
+# singletons, so the body survives verbatim.  Both engines rebuild the
+# corpus from the same formula.
+ES_W = 8
+ES_NDOCS = 200
+ES_BOILERS = [
+    "subscribe to our newsletter for weekly updates delivered straight to you",
+    "all rights reserved reproduction without permission is strictly prohibited by law",
+    "click here to read the full article on our partner site",
+    "this post may contain affiliate links see our disclosure policy page",
+]
+
+_ES_BOILER_SPARK = (
+    "element_at(array("
+    + ", ".join(f"'{b}'" for b in ES_BOILERS)
+    + "), cast(pmod(doc_id, 4) + 1 as int))"
+)
+_ES_BOILER_DUCK = (
+    "([" + ", ".join(f"'{b}'" for b in ES_BOILERS) + "])[(doc_id % 4) + 1]"
+)
+
+
+def exact_substr_dedup(spark, sf_dir: str):
+    """Cut every cross-document duplicated ES_W-token range out of the
+    boilerplate-augmented corpus; returns per-doc token counts and the
+    cleaned text (ports the reference's dedup-free pipeline forward to
+    the Lee-et-al. training-data step; no reference analog)."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < ES_NDOCS)
+        .select(
+            "doc_id",
+            F.split(
+                F.concat(F.col("text"), F.lit(" "), F.expr(_ES_BOILER_SPARK)), " "
+            ).alias("t"),
+        )
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) < {ES_W} THEN array() "
+                f"ELSE transform(sequence(1, size(t) - {ES_W} + 1), "
+                f"i -> named_struct('pos', i, 'gh', "
+                f"md5(array_join(slice(t, i, {ES_W}), ' ')))) END"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = (
+        grams.join(dup, "gh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("ps"))
+    )
+    return (
+        d.join(hits, "doc_id", "left")
+        .withColumn("ps", F.coalesce(F.col("ps"), F.expr("array()")))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.size("t").cast("bigint").alias("n_tokens"),
+            "t",
+            F.expr(
+                f"filter(sequence(1, size(t)), i -> "
+                f"size(filter(ps, p -> p <= i AND i < p + {ES_W})) = 0)"
+            ).alias("keep_idx"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("keep_idx")).cast("bigint").alias("n_removed"),
+            F.expr(
+                "array_join(transform(keep_idx, i -> element_at(t, i)), ' ')"
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+EXACT_SUBSTR_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         str_split(text || ' ' || {_ES_BOILER_DUCK}, ' ') AS t
+  FROM documents WHERE doc_id < {ES_NDOCS}
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(t, i, i + {ES_W} - 1), ' ')) AS gh
+  FROM corpus,
+       unnest(CASE WHEN len(t) < {ES_W} THEN []
+              ELSE range(1, len(t) - {ES_W} + 2) END) AS u(i)
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+hits AS (
+  SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps
+  FROM g JOIN dup USING (gh) GROUP BY doc_id
+),
+kept AS (
+  SELECT c.doc_id, len(c.t) AS n_tokens, c.t,
+         list_filter(range(1, len(c.t) + 1),
+                     i -> len(list_filter(coalesce(h.ps, []),
+                                          p -> p <= i AND i < p + {ES_W})) = 0)
+             AS keep_idx
+  FROM corpus c LEFT JOIN hits h USING (doc_id)
+)
+SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
+       (n_tokens - len(keep_idx))::BIGINT AS n_removed,
+       coalesce(array_to_string(list_transform(keep_idx, i -> t[i]), ' '), '')
+           AS cleaned_text
+FROM kept
+"""
