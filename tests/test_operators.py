@@ -1468,3 +1468,74 @@ class TestExactSubstr:
         )
         assert p.count("Exchange") <= 5, p.count("Exchange")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestSearch:
+    """build_postings / term_search (operators/keywords.py): inverted
+    index + conjunctive TF-IDF search — outside the 50-query gate cap,
+    full DuckDB value oracles."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_matches_oracle(self, spark, sf):
+        from textextraction_spark.operators.keywords import (
+            BUILD_POSTINGS_ORACLE,
+            TERM_SEARCH_ORACLE,
+            build_postings,
+            term_search,
+        )
+
+        con = connect_duckdb(sf)
+        for name, fn, sql in (
+            ("build_postings", build_postings, BUILD_POSTINGS_ORACLE),
+            ("term_search", term_search, TERM_SEARCH_ORACLE),
+        ):
+            problems = compare(
+                name, fn(spark, sf).toPandas(), con.execute(sql).df()
+            )
+            assert not problems, (name, problems)
+
+    def test_postings_consistent(self, spark):
+        """df equals the posting-list length and doc_ids are sorted —
+        the invariants an index consumer relies on."""
+        from textextraction_spark.operators.keywords import build_postings
+
+        for r in build_postings(spark, SF).collect():
+            entries = r.postings.split(",")
+            assert r.df == len(entries)
+            ids = [int(e.split(":")[0]) for e in entries]
+            assert ids == sorted(ids)
+
+    def test_and_semantics(self, spark):
+        """Every hit contains ALL query terms in its raw text; a query
+        with an absent term returns no rows (true conjunction)."""
+        import re as _re
+
+        import pandas as pd
+
+        from textextraction_spark.operators.keywords import QUERIES, term_search
+
+        terms = dict(QUERIES)
+        docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+        toks = {
+            r.doc_id: set(
+                _re.sub(r"[^a-z]+", " ", r.text.lower()).split()
+            )
+            for r in docs.itertuples(index=False)
+        }
+        rows = term_search(spark, SF).collect()
+        assert rows and not any(r.qid == "q_absent" for r in rows)
+        for r in rows:
+            assert set(terms[r.qid]) <= toks[r.doc_id], (r.qid, r.doc_id)
+
+    def test_plan_shape(self, spark):
+        """Query side broadcast (tiny by construction), tf/df partial
+        aggs, per-qid window: bounded exchanges, zero Python."""
+        from textextraction_spark.operators.keywords import (
+            build_postings,
+            term_search,
+        )
+
+        for fn, budget in ((build_postings, 2), (term_search, 9)):
+            p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            assert p.count("Exchange") <= budget, (fn.__name__, p.count("Exchange"))
+            assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
