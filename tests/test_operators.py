@@ -1539,3 +1539,93 @@ class TestSearch:
             p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
             assert p.count("Exchange") <= budget, (fn.__name__, p.count("Exchange"))
             assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestDrift:
+    """snapshot_drift (operators/drift.py): unigram JS/KL drift between
+    adjacent crawl snapshots — outside the 50-query gate cap, full
+    DuckDB value oracle + a pure-python recompute."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_matches_oracle(self, spark, sf):
+        from textextraction_spark.operators.drift import (
+            SNAPSHOT_DRIFT_ORACLE,
+            snapshot_drift,
+        )
+
+        got = snapshot_drift(spark, sf).toPandas()
+        want = connect_duckdb(sf).execute(SNAPSHOT_DRIFT_ORACLE).df()
+        problems = compare("snapshot_drift", got, want)
+        assert not problems, problems
+
+    def test_matches_python_recompute(self, spark):
+        import math
+        import re as _re
+        from collections import Counter
+
+        import pandas as pd
+
+        from textextraction_spark.operators.drift import N_SNAPS, snapshot_drift
+
+        docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+        counts: dict[str, Counter] = {f"snap{i}": Counter() for i in range(N_SNAPS)}
+        for r in docs.itertuples(index=False):
+            toks = [
+                t
+                for t in _re.sub(r"[^a-z]+", " ", r.text.lower()).strip().split(" ")
+                if t
+            ]
+            counts[f"snap{r.doc_id % N_SNAPS}"].update(toks)
+        vocab = sorted(set().union(*counts.values()))
+        V = len(vocab)
+
+        def p(snap):
+            total = sum(counts[snap].values())
+            return {t: (counts[snap][t] + 1.0) / (total + V) for t in vocab}
+
+        expect = {}
+        for i in range(N_SNAPS - 1):
+            a, b = f"snap{i}", f"snap{i + 1}"
+            pa, pb = p(a), p(b)
+            kl_ab = sum(pa[t] * math.log(pa[t] / pb[t]) for t in vocab)
+            kl_ba = sum(pb[t] * math.log(pb[t] / pa[t]) for t in vocab)
+            js = 0.5 * sum(
+                pa[t] * math.log(pa[t] / ((pa[t] + pb[t]) / 2)) for t in vocab
+            ) + 0.5 * sum(
+                pb[t] * math.log(pb[t] / ((pa[t] + pb[t]) / 2)) for t in vocab
+            )
+            expect[(a, b)] = (round(kl_ab, 6), round(kl_ba, 6), round(js, 6))
+        got = {
+            (r.snap_a, r.snap_b): (r.kl_ab, r.kl_ba, r.js)
+            for r in snapshot_drift(spark, SF).collect()
+        }
+        assert got == expect
+
+    def test_divergence_bounds(self, spark):
+        """JS is bounded by ln 2 and non-negative; KL is non-negative —
+        the sanity floor any monitoring consumer alarms on."""
+        import math
+
+        from textextraction_spark.operators.drift import snapshot_drift
+
+        rows = snapshot_drift(spark, SF).collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert 0 <= r.js <= math.log(2) + 1e-9
+            assert r.kl_ab >= 0 and r.kl_ba >= 0
+
+    def test_plan_shape(self, spark):
+        """The only volume-proportional shuffle is the (snap, tok) count
+        partial agg; everything else is vocabulary-bounded (grid is
+        derived twice, once per pair side — same trade as semdedup's
+        persisted assignment).  Zero Python in-plan."""
+        from textextraction_spark.operators.drift import snapshot_drift
+
+        p = (
+            snapshot_drift(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert p.count("Exchange") <= 30, p.count("Exchange")
+        assert "EvalPython" not in p
