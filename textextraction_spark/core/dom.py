@@ -127,8 +127,9 @@ class BlockSink:
             )
         self._parts = []
 
-    def start(self, tag: str) -> None:
-        flags = TAG_FLAGS.get(tag, 0)
+    def start(self, tag: str, flags: int | None = None) -> None:
+        if flags is None:  # stdlib front-end; the fast scanner passes them
+            flags = TAG_FLAGS.get(tag, 0)
         if flags & _F_SKIP:
             self._skip_depth += 1
             return
@@ -141,8 +142,9 @@ class BlockSink:
         if flags & _F_LINK:
             self._link_depth += 1
 
-    def end(self, tag: str) -> None:
-        flags = TAG_FLAGS.get(tag, 0)
+    def end(self, tag: str, flags: int | None = None) -> None:
+        if flags is None:  # stdlib front-end; the fast scanner passes them
+            flags = TAG_FLAGS.get(tag, 0)
         if flags & _F_SKIP:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
@@ -259,26 +261,26 @@ def _scan_fast(data: bytes, sink: BlockSink) -> None:
         # skip the sink calls entirely (they dominate real markup)
         if is_end:
             if flags:
-                sink_end(name)
+                sink_end(name, flags)
         else:
             if flags:
-                sink_start(name)
+                sink_start(name, flags)
             # Self-closing only when the slash can't belong to an unquoted
             # attribute value (`<a href=/>` means href="/", not <a/>).
             if slash and (
                 not attrs or attrs[-1:] in (b" ", b"\t", b"\n", b"\r", b'"', b"'")
             ):
                 if flags:
-                    sink_end(name)
+                    sink_end(name, flags)
             elif flags & _F_RAWTEXT:
                 # rawtext: skip to the matching close tag (browser behavior)
                 cm = _RAWTEXT_CLOSE[name].search(data, pos)
                 if cm is None:
-                    sink_end(name)  # unterminated: drop rest like stdlib
+                    sink_end(name, flags)  # unterminated: drop rest like stdlib
                     pos = n
                 else:
                     pos = cm.end()
-                    sink_end(name)
+                    sink_end(name, flags)
 
 
 def _decode_text(chunk: bytes) -> str:
