@@ -1629,3 +1629,58 @@ class TestDrift:
         )
         assert p.count("Exchange") <= 30, p.count("Exchange")
         assert "EvalPython" not in p
+
+
+class TestC4Filters:
+    """c4_filters (operators/curation.py): the named C4 cleaning rules —
+    outside the 50-query gate cap, full DuckDB value oracle + rule
+    semantics + the curation-suite zero-shuffle plan pin."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_matches_oracle(self, spark, sf):
+        from textextraction_spark.operators.curation import (
+            C4_FILTERS_ORACLE,
+            c4_filters,
+        )
+
+        got = c4_filters(spark, sf).toPandas()
+        want = connect_duckdb(sf).execute(C4_FILTERS_ORACLE).df()
+        problems = compare("c4_filters", got, want)
+        assert not problems, problems
+
+    def test_rule_semantics(self, spark):
+        from textextraction_spark.operators.curation import (
+            C4_MIN_SENTENCES,
+            c4_filters,
+        )
+
+        rows = c4_filters(spark, SF).collect()
+        reasons = {r.drop_reason for r in rows}
+        assert {"", "terminal", "short", "brace", "lorem", "blockterm"} <= reasons
+        for r in rows:
+            assert r.keep == (r.drop_reason == "")
+            if r.keep:
+                assert (
+                    r.ends_terminal
+                    and r.n_sentences >= C4_MIN_SENTENCES
+                    and not (r.has_brace or r.has_lorem or r.has_blockterm)
+                )
+            # planted families fire their rule unless an earlier one did
+            if r.doc_id % 11 == 0:
+                assert r.has_brace
+            if r.doc_id % 7 == 0:
+                assert r.has_lorem
+            if r.doc_id % 13 == 0:
+                assert r.has_blockterm
+
+    def test_zero_shuffle_plan(self, spark):
+        from textextraction_spark.operators.curation import c4_filters
+
+        p = (
+            c4_filters(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert p.count("Exchange") == 0, p
+        assert "EvalPython" not in p

@@ -605,3 +605,117 @@ SELECT doc_id,
            AS canon_hash
 FROM d
 """
+
+
+# ----------------------------------------------------------- C4 rule filter
+# The named C4 cleaning rules (Raffel et al. 2020, §2.2 "Colossal Clean
+# Crawled Corpus") as one verdict operator — the third standard of the
+# heuristic-curation canon next to the Gopher repetition signals and the
+# trained-classifier/DSIR selectors above:
+#   * keep only pages ending in terminal punctuation;
+#   * drop pages with fewer than C4_MIN_SENTENCES sentences;
+#   * drop pages containing '{' (code), 'lorem ipsum' (placeholder), or a
+#     blocklist term (C4 uses the public "dirty/naughty" wordlist;
+#     C4_BLOCK_TERMS holds innocuous stand-ins — swapping the real list in
+#     changes no plan).
+#
+# The driver corpus has no sentence structure, so the fixture inserts a
+# period every C4_SENT_LEN tokens, gives even doc_ids a terminal period,
+# and plants each violation by doc_id family (%7 lorem, %11 brace, %13
+# blockterm) — both engines rebuild the page from the same formula and the
+# rules then run as REAL string predicates over the built page.  All
+# zero-shuffle narrow projections (the curation-suite invariant).
+C4_SENT_LEN = 12
+C4_MIN_SENTENCES = 3
+C4_BLOCK_TERMS = ["jackpot", "roulette"]
+
+_C4_AUG_SPARK = f"""
+concat(
+  array_join(transform(split(text, ' '),
+             (x, i) -> CASE WHEN (i + 1) % {C4_SENT_LEN} = 0
+                            THEN concat(x, '.') ELSE x END), ' '),
+  CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END,
+  CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor sit amet.' ELSE '' END,
+  CASE WHEN doc_id % 11 = 0 THEN ' function foo {{ return 1 }}' ELSE '' END,
+  CASE WHEN doc_id % 13 = 0 THEN ' jackpot roulette bonus.' ELSE '' END)
+"""
+
+_C4_AUG_DUCK = f"""
+  array_to_string(list_transform(str_split(text, ' '),
+      (x, i) -> CASE WHEN i % {C4_SENT_LEN} = 0
+                     THEN x || '.' ELSE x END), ' ')
+  || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor sit amet.' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' function foo {{ return 1 }}' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' jackpot roulette bonus.' ELSE '' END
+"""
+
+
+def c4_filters(spark, sf_dir: str):
+    """(doc_id, n_sentences, ends_terminal, has_brace, has_lorem,
+    has_blockterm, keep, drop_reason): the C4 page verdict with the first
+    failing rule named (C4 applies them in this order)."""
+    block_any = " OR ".join(
+        f"contains(page, '{t}')" for t in C4_BLOCK_TERMS
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", f"({_C4_AUG_SPARK}) AS page"
+    )
+    flags = d.selectExpr(
+        "doc_id",
+        "cast(length(page) - length(replace(page, '.', '')) as bigint)"
+        " AS n_sentences",
+        "substring(page, -1, 1) IN ('.', '!', '?') AS ends_terminal",
+        "contains(page, '{') AS has_brace",
+        "contains(page, 'lorem ipsum') AS has_lorem",
+        f"({block_any}) AS has_blockterm",
+    )
+    return flags.selectExpr(
+        "doc_id",
+        "n_sentences",
+        "ends_terminal",
+        "has_brace",
+        "has_lorem",
+        "has_blockterm",
+        f"""(ends_terminal AND n_sentences >= {C4_MIN_SENTENCES}
+             AND NOT has_brace AND NOT has_lorem AND NOT has_blockterm)
+            AS keep""",
+        f"""CASE WHEN NOT ends_terminal THEN 'terminal'
+                 WHEN n_sentences < {C4_MIN_SENTENCES} THEN 'short'
+                 WHEN has_brace THEN 'brace'
+                 WHEN has_lorem THEN 'lorem'
+                 WHEN has_blockterm THEN 'blockterm'
+                 ELSE '' END AS drop_reason""",
+    )
+
+
+_C4_BLOCK_ANY_DUCK = " OR ".join(
+    f"contains(page, '{t}')" for t in C4_BLOCK_TERMS
+)
+
+C4_FILTERS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, ({_C4_AUG_DUCK}) AS page FROM documents
+),
+flags AS (
+  SELECT doc_id,
+         (length(page) - length(replace(page, '.', '')))::BIGINT
+             AS n_sentences,
+         substr(page, -1, 1) IN ('.', '!', '?') AS ends_terminal,
+         contains(page, '{{') AS has_brace,
+         contains(page, 'lorem ipsum') AS has_lorem,
+         ({_C4_BLOCK_ANY_DUCK}) AS has_blockterm
+  FROM d
+)
+SELECT doc_id, n_sentences, ends_terminal, has_brace, has_lorem,
+       has_blockterm,
+       (ends_terminal AND n_sentences >= {C4_MIN_SENTENCES}
+        AND NOT has_brace AND NOT has_lorem AND NOT has_blockterm) AS keep,
+       CASE WHEN NOT ends_terminal THEN 'terminal'
+            WHEN n_sentences < {C4_MIN_SENTENCES} THEN 'short'
+            WHEN has_brace THEN 'brace'
+            WHEN has_lorem THEN 'lorem'
+            WHEN has_blockterm THEN 'blockterm'
+            ELSE '' END AS drop_reason
+FROM flags
+"""
