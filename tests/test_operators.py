@@ -1684,3 +1684,59 @@ class TestC4Filters:
         )
         assert p.count("Exchange") == 0, p
         assert "EvalPython" not in p
+
+
+class TestGopherQuality:
+    """gopher_quality (operators/curation.py): the Gopher A1.1 quality
+    rules — outside the 50-query gate cap, full DuckDB value oracle +
+    rule semantics + zero-shuffle plan pin."""
+
+    @pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+    def test_matches_oracle(self, spark, sf):
+        from textextraction_spark.operators.curation import (
+            GOPHER_QUALITY_ORACLE,
+            gopher_quality,
+        )
+
+        got = gopher_quality(spark, sf).toPandas()
+        want = connect_duckdb(sf).execute(GOPHER_QUALITY_ORACLE).df()
+        problems = compare("gopher_quality", got, want)
+        assert not problems, problems
+
+    def test_rule_semantics(self, spark):
+        from textextraction_spark.operators.curation import (
+            GOPHER_MAX_WORDS,
+            GOPHER_MIN_WORDS,
+            gopher_quality,
+        )
+
+        rows = gopher_quality(spark, SF).collect()
+        reasons = {r.drop_reason for r in rows}
+        assert {"", "word_count", "word_length", "alpha", "symbol"} <= reasons
+        assert any(r.keep for r in rows)
+        for r in rows:
+            assert r.keep == (r.drop_reason == "")
+            if r.keep:
+                assert GOPHER_MIN_WORDS <= r.n_words <= GOPHER_MAX_WORDS
+                assert 3 <= r.mean_word_len <= 10
+                assert r.alpha_frac >= 0.8 and r.symbol_ratio <= 0.1
+                assert r.n_stop_distinct >= 2
+            # planted families measurably move their signal
+            if r.doc_id % 4 == 2:
+                assert r.alpha_frac < 1.0
+            if r.doc_id % 4 == 3:
+                assert r.symbol_ratio > 0.0
+            if r.doc_id % 4 == 0:
+                assert r.n_stop_distinct >= 2  # stops appended
+
+    def test_zero_shuffle_plan(self, spark):
+        from textextraction_spark.operators.curation import gopher_quality
+
+        p = (
+            gopher_quality(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert p.count("Exchange") == 0, p
+        assert "EvalPython" not in p

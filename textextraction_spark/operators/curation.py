@@ -719,3 +719,122 @@ SELECT doc_id, n_sentences, ends_terminal, has_brace, has_lorem,
             ELSE '' END AS drop_reason
 FROM flags
 """
+
+
+# ------------------------------------------------------ Gopher quality rules
+# The Gopher quality-filter rules (Rae et al. 2021, appendix A1.1) —
+# completes the named heuristic canon next to gopher_repetition (same
+# paper's repetition table) and c4_filters: word-count bounds, mean word
+# length in [3, 10], >= 80% of words containing an alphabetic character,
+# symbol-to-word ratio <= 0.1, and >= 2 distinct required stop words.
+#
+# The driver corpus is uniform lowercase prose, so each rule's violation
+# is planted by doc_id % 4 family (0: stop words appended so the quarter
+# can pass; 1: single-char runs dragging mean word length; 2: numeric
+# tokens dragging the alphabetic fraction; 3: '#' symbols raising the
+# symbol ratio) — both engines rebuild the page from the same formula and
+# the rules run as real predicates over the built page.  Zero-shuffle
+# narrow projection, like the rest of the curation suite.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_GQ_AUG = """
+concat(text, CASE cast(doc_id % 4 as int)
+  WHEN 0 THEN ' of and'
+  WHEN 1 THEN repeat(' a', 80)
+  WHEN 2 THEN repeat(' 000', 40)
+  ELSE repeat(' a#a', 12) END)
+"""
+_GQ_AUG_DUCK = """
+text || CASE (doc_id % 4)
+  WHEN 0 THEN ' of and'
+  WHEN 1 THEN repeat(' a', 80)
+  WHEN 2 THEN repeat(' 000', 40)
+  ELSE repeat(' a#a', 12) END
+"""
+
+
+def gopher_quality(spark, sf_dir: str):
+    """(doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+    n_stop_distinct, keep, drop_reason): the Gopher A1.1 page verdict,
+    first failing rule named (checked in the paper's listing order)."""
+    stops = " + ".join(
+        f"cast(array_contains(w, '{s}') as int)" for s in GOPHER_STOPS
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", f"({_GQ_AUG}) AS page"
+    )
+    m = d.selectExpr(
+        "doc_id",
+        "split(page, ' ') AS w",
+        "length(page) AS chars",
+        "length(page) - length(replace(page, '#', '')) AS n_hash",
+    ).selectExpr(
+        "doc_id",
+        "cast(size(w) as bigint) AS n_words",
+        # single-spaced by construction: chars minus the n-1 separators
+        "round((chars - (size(w) - 1)) / size(w), 6) AS mean_word_len",
+        "round(size(filter(w, x -> x rlike '[a-z]')) / size(w), 6)"
+        " AS alpha_frac",
+        "round(n_hash / size(w), 6) AS symbol_ratio",
+        f"cast(({stops}) as bigint) AS n_stop_distinct",
+    )
+    return m.selectExpr(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "symbol_ratio",
+        "n_stop_distinct",
+        f"""(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AND mean_word_len BETWEEN 3 AND 10
+             AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+             AND n_stop_distinct >= 2) AS keep""",
+        f"""CASE
+             WHEN n_words NOT BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+               THEN 'word_count'
+             WHEN mean_word_len NOT BETWEEN 3 AND 10 THEN 'word_length'
+             WHEN alpha_frac < 0.8 THEN 'alpha'
+             WHEN symbol_ratio > 0.1 THEN 'symbol'
+             WHEN n_stop_distinct < 2 THEN 'stop_words'
+             ELSE '' END AS drop_reason""",
+    )
+
+
+_GQ_STOPS_DUCK = " + ".join(
+    f"list_contains(w, '{s}')::INT" for s in GOPHER_STOPS
+)
+
+GOPHER_QUALITY_ORACLE = f"""
+WITH d AS (SELECT doc_id, ({_GQ_AUG_DUCK}) AS page FROM documents),
+t AS (
+  SELECT doc_id, str_split(page, ' ') AS w, length(page) AS chars,
+         length(page) - length(replace(page, '#', '')) AS n_hash
+  FROM d
+),
+m AS (
+  SELECT doc_id,
+         len(w)::BIGINT AS n_words,
+         round((chars - (len(w) - 1)) / len(w), 6) AS mean_word_len,
+         round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               / len(w), 6) AS alpha_frac,
+         round(n_hash / len(w), 6) AS symbol_ratio,
+         ({_GQ_STOPS_DUCK})::BIGINT AS n_stop_distinct
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+       n_stop_distinct,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN 3 AND 10
+        AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+        AND n_stop_distinct >= 2) AS keep,
+       CASE
+         WHEN n_words NOT BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+           THEN 'word_count'
+         WHEN mean_word_len NOT BETWEEN 3 AND 10 THEN 'word_length'
+         WHEN alpha_frac < 0.8 THEN 'alpha'
+         WHEN symbol_ratio > 0.1 THEN 'symbol'
+         WHEN n_stop_distinct < 2 THEN 'stop_words'
+         ELSE '' END AS drop_reason
+FROM m
+"""
