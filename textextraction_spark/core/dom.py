@@ -104,16 +104,21 @@ class BlockSink:
         if not self._parts:
             return
         parts = self._parts
-        raw = parts[0][0] if len(parts) == 1 else "".join(t for t, _ in parts)
+        one = len(parts) == 1
+        raw = parts[0][0] if one else "".join(t for t, _ in parts)
         # whitespace-normalize via split/join (one pass; str.split and
         # regex \s agree on the Unicode whitespace set we care about)
         words = raw.split()
         if words:
             text = " ".join(words)
-            n_link = 0
-            for t, in_link in self._parts:
-                if in_link:
-                    n_link += len(t.split())
+            if one:
+                # single part: its words ARE the block's words
+                n_link = len(words) if parts[0][1] else 0
+            else:
+                n_link = 0
+                for t, in_link in parts:
+                    if in_link:
+                        n_link += len(t.split())
             n_words = len(words)
             self.blocks.append(
                 RawBlock(
