@@ -200,7 +200,9 @@ def _kernel_1core(sf_dir: str, iters: int = 10) -> float:
     receipt.  The hypervisor's burst mode often hides in USER time
     (ledger run 14: rep120 62.7 s at 0.34% steal), where steal% reads
     clean but this number halves; the recorded clean-window reference is
-    ~8.2k docs/s (BENCH/BASELINE.md)."""
+    ~8.2k docs/s for the pre-run-20 kernel, ~9k expected for the current
+    one (two scanner passes measured +10% A/B on the same input; no clean
+    window has been available to re-baseline — BENCH/BASELINE.md)."""
     texts = _ceiling_texts(sf_dir)
     _mp_work((1, texts))  # warm
     t0 = time.time()
