@@ -420,3 +420,53 @@ class TestOperatorFamilyBranches:
         win = comp.filter(F.col("impl") == "window").drop("impl")
         grp = comp.filter(F.col("impl") == "grouped").drop("impl")
         assert_df_equal(win, grp)
+
+
+class TestVerdictSlices:
+    """The c4/gq branches of doc_quality_signals carry exactly the
+    verdict surface of the standalone operators."""
+
+    def test_c4_slice(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import curation as C
+
+        comp = (
+            E.queries()["doc_quality_signals"](spark, SF)
+            .filter(F.col("tag") == "c4")
+            .select(
+                "doc_id",
+                F.col("c4_n_sentences").alias("n_sentences"),
+                F.col("keep").cast("boolean").alias("keep"),
+                F.col("verdict_reason").alias("drop_reason"),
+            )
+        )
+        standalone = C.c4_filters(spark, SF).select(
+            "doc_id", "n_sentences", "keep", "drop_reason"
+        )
+        assert_df_equal(standalone, comp)
+
+    def test_gq_slice(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import curation as C
+
+        comp = (
+            E.queries()["doc_quality_signals"](spark, SF)
+            .filter(F.col("tag") == "gq")
+            .select(
+                "doc_id",
+                "n_words",
+                F.col("gq_mean_word_len").alias("mean_word_len"),
+                F.col("gq_alpha_frac").alias("alpha_frac"),
+                F.col("gq_symbol_ratio").alias("symbol_ratio"),
+                F.col("gq_n_stop").alias("n_stop_distinct"),
+                F.col("keep").cast("boolean").alias("keep"),
+                F.col("verdict_reason").alias("drop_reason"),
+            )
+        )
+        standalone = C.gopher_quality(spark, SF).select(
+            "doc_id", "n_words", "mean_word_len", "alpha_frac",
+            "symbol_ratio", "n_stop_distinct", "keep", "drop_reason",
+        )
+        assert_df_equal(standalone, comp)

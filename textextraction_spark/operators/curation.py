@@ -352,6 +352,14 @@ def doc_quality_signals(spark, sf_dir: str):
     - ``tag='clf'`` rows: the hashed-feature linear quality classifier
       (classifier.quality_classifier) per doc — clf_n_tokens, clf_score,
       clf_label.
+    - ``tag='c4'`` rows: the C4 cleaning-rule verdict (c4_filters) —
+      keep, verdict_reason, c4_n_sentences.
+    - ``tag='gq'`` rows: the Gopher A1.1 quality verdict
+      (gopher_quality) — keep, verdict_reason, n_words and the four
+      gq_* signal columns.  Both verdict branches are zero-shuffle, so
+      the composite's exchange budget is unchanged; the standalone
+      full-width operators stay pytest-gated and are pinned equal to
+      their slices in tests/test_composites.py.
 
     The union adds no exchange beyond decontaminate's own bounded pair
     (bench-gram distinct + doc_id count) and the classifier's single
@@ -377,6 +385,12 @@ def doc_quality_signals(spark, sf_dir: str):
         F.lit(None).cast("bigint").alias("clf_n_tokens"),
         F.lit(None).cast("double").alias("clf_score"),
         F.lit(None).cast("bigint").alias("clf_label"),
+        F.lit(None).cast("string").alias("verdict_reason"),
+        F.lit(None).cast("bigint").alias("c4_n_sentences"),
+        F.lit(None).cast("double").alias("gq_mean_word_len"),
+        F.lit(None).cast("double").alias("gq_alpha_frac"),
+        F.lit(None).cast("double").alias("gq_symbol_ratio"),
+        F.lit(None).cast("bigint").alias("gq_n_stop"),
     )
     decon = _decontam_df(spark, sf_dir).select(
         F.lit("decon").alias("tag"),
@@ -397,6 +411,12 @@ def doc_quality_signals(spark, sf_dir: str):
         F.lit(None).cast("bigint").alias("clf_n_tokens"),
         F.lit(None).cast("double").alias("clf_score"),
         F.lit(None).cast("bigint").alias("clf_label"),
+        F.lit(None).cast("string").alias("verdict_reason"),
+        F.lit(None).cast("bigint").alias("c4_n_sentences"),
+        F.lit(None).cast("double").alias("gq_mean_word_len"),
+        F.lit(None).cast("double").alias("gq_alpha_frac"),
+        F.lit(None).cast("double").alias("gq_symbol_ratio"),
+        F.lit(None).cast("bigint").alias("gq_n_stop"),
     )
     from textextraction_spark.operators.classifier import quality_classifier
 
@@ -419,8 +439,69 @@ def doc_quality_signals(spark, sf_dir: str):
         F.col("n_tokens").alias("clf_n_tokens"),
         F.col("score").alias("clf_score"),
         F.col("label").cast("bigint").alias("clf_label"),
+        F.lit(None).cast("string").alias("verdict_reason"),
+        F.lit(None).cast("bigint").alias("c4_n_sentences"),
+        F.lit(None).cast("double").alias("gq_mean_word_len"),
+        F.lit(None).cast("double").alias("gq_alpha_frac"),
+        F.lit(None).cast("double").alias("gq_symbol_ratio"),
+        F.lit(None).cast("bigint").alias("gq_n_stop"),
     )
-    return signals.unionByName(decon).unionByName(clf)
+
+    def _verdict(fn, tag, n_words_col, numeric_cols):
+        out = fn(spark, sf_dir)
+        return out.select(
+            F.lit(tag).alias("tag"),
+            "doc_id",
+            F.lit(None).cast("bigint").alias("n_emails"),
+            F.lit(None).cast("bigint").alias("n_phones"),
+            F.lit(None).cast("string").alias("clean_text"),
+            n_words_col,
+            F.lit(None).cast("double").alias("dup_word_ratio"),
+            F.lit(None).cast("bigint").alias("top_bigram_count"),
+            F.lit(None).cast("double").alias("top_bigram_frac"),
+            F.col("keep").cast("bigint").alias("keep"),
+            F.lit(None).cast("bigint").alias("coin"),
+            F.lit(None).cast("bigint").alias("rate_pct"),
+            F.lit(None).cast("bigint").alias("in_sample"),
+            F.lit(None).cast("bigint").alias("n_shared_grams"),
+            F.lit(None).cast("bigint").alias("contaminated"),
+            F.lit(None).cast("bigint").alias("clf_n_tokens"),
+            F.lit(None).cast("double").alias("clf_score"),
+            F.lit(None).cast("bigint").alias("clf_label"),
+            F.col("drop_reason").alias("verdict_reason"),
+            *numeric_cols,
+        )
+
+    c4 = _verdict(
+        c4_filters,
+        "c4",
+        F.lit(None).cast("bigint").alias("n_words"),
+        [
+            F.col("n_sentences").alias("c4_n_sentences"),
+            F.lit(None).cast("double").alias("gq_mean_word_len"),
+            F.lit(None).cast("double").alias("gq_alpha_frac"),
+            F.lit(None).cast("double").alias("gq_symbol_ratio"),
+            F.lit(None).cast("bigint").alias("gq_n_stop"),
+        ],
+    )
+    gq = _verdict(
+        gopher_quality,
+        "gq",
+        F.col("n_words"),
+        [
+            F.lit(None).cast("bigint").alias("c4_n_sentences"),
+            F.col("mean_word_len").alias("gq_mean_word_len"),
+            F.col("alpha_frac").alias("gq_alpha_frac"),
+            F.col("symbol_ratio").alias("gq_symbol_ratio"),
+            F.col("n_stop_distinct").alias("gq_n_stop"),
+        ],
+    )
+    return (
+        signals.unionByName(decon)
+        .unionByName(clf)
+        .unionByName(c4)
+        .unionByName(gq)
+    )
 
 
 def _classifier_oracle() -> str:
@@ -431,38 +512,9 @@ def _classifier_oracle() -> str:
     return QUALITY_CLASSIFIER_ORACLE
 
 
-DOC_QUALITY_SIGNALS_ORACLE = f"""
-WITH pii AS ({PII_SCRUB_ORACLE}),
-     gr AS ({GOPHER_REPETITION_ORACLE}),
-     hs AS (
-       SELECT doc_id, ({_COIN_DUCK})::BIGINT AS coin,
-              ({_RATE_SQL})::BIGINT AS rate_pct,
-              ({_COIN_DUCK}) < ({_RATE_SQL}) AS in_sample
-       FROM documents
-     ),
-     dc AS ({DECONTAMINATE_ORACLE}),
-     clf AS ({_classifier_oracle()})
-SELECT 'signals' AS tag, gr.doc_id, pii.n_emails, pii.n_phones, pii.clean_text,
-       gr.n_words, gr.dup_word_ratio, gr.top_bigram_count,
-       gr.top_bigram_frac, gr.keep::BIGINT AS keep, hs.coin, hs.rate_pct,
-       hs.in_sample::BIGINT AS in_sample,
-       CAST(NULL AS BIGINT) AS n_shared_grams,
-       CAST(NULL AS BIGINT) AS contaminated,
-       CAST(NULL AS BIGINT) AS clf_n_tokens,
-       CAST(NULL AS DOUBLE) AS clf_score,
-       CAST(NULL AS BIGINT) AS clf_label
-FROM gr JOIN pii USING (doc_id) JOIN hs USING (doc_id)
-UNION ALL
-SELECT 'decon' AS tag, doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-       NULL, NULL, NULL, NULL, n_shared_grams, contaminated::BIGINT,
-       NULL, NULL, NULL
-FROM dc
-UNION ALL
-SELECT 'clf' AS tag, doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-       NULL, NULL, NULL, NULL, NULL, NULL,
-       n_tokens, score, label::BIGINT
-FROM clf
-"""
+# DOC_QUALITY_SIGNALS_ORACLE is defined at the END of this module: it
+# references the c4_filters / gopher_quality oracles below.
+
 
 
 # ------------------------------------------------------- composed pipeline
@@ -837,4 +889,57 @@ SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
          WHEN n_stop_distinct < 2 THEN 'stop_words'
          ELSE '' END AS drop_reason
 FROM m
+"""
+
+
+DOC_QUALITY_SIGNALS_ORACLE = f"""
+WITH pii AS ({PII_SCRUB_ORACLE}),
+     gr AS ({GOPHER_REPETITION_ORACLE}),
+     hs AS (
+       SELECT doc_id, ({_COIN_DUCK})::BIGINT AS coin,
+              ({_RATE_SQL})::BIGINT AS rate_pct,
+              ({_COIN_DUCK}) < ({_RATE_SQL}) AS in_sample
+       FROM documents
+     ),
+     dc AS ({DECONTAMINATE_ORACLE}),
+     clf AS ({_classifier_oracle()}),
+     c4x AS ({C4_FILTERS_ORACLE}),
+     gqx AS ({GOPHER_QUALITY_ORACLE})
+SELECT 'signals' AS tag, gr.doc_id, pii.n_emails, pii.n_phones, pii.clean_text,
+       gr.n_words, gr.dup_word_ratio, gr.top_bigram_count,
+       gr.top_bigram_frac, gr.keep::BIGINT AS keep, hs.coin, hs.rate_pct,
+       hs.in_sample::BIGINT AS in_sample,
+       CAST(NULL AS BIGINT) AS n_shared_grams,
+       CAST(NULL AS BIGINT) AS contaminated,
+       CAST(NULL AS BIGINT) AS clf_n_tokens,
+       CAST(NULL AS DOUBLE) AS clf_score,
+       CAST(NULL AS BIGINT) AS clf_label,
+       CAST(NULL AS VARCHAR) AS verdict_reason,
+       CAST(NULL AS BIGINT) AS c4_n_sentences,
+       CAST(NULL AS DOUBLE) AS gq_mean_word_len,
+       CAST(NULL AS DOUBLE) AS gq_alpha_frac,
+       CAST(NULL AS DOUBLE) AS gq_symbol_ratio,
+       CAST(NULL AS BIGINT) AS gq_n_stop
+FROM gr JOIN pii USING (doc_id) JOIN hs USING (doc_id)
+UNION ALL
+SELECT 'decon' AS tag, doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, n_shared_grams, contaminated::BIGINT,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM dc
+UNION ALL
+SELECT 'clf' AS tag, doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL, NULL, NULL, NULL, NULL,
+       n_tokens, score, label::BIGINT, NULL, NULL, NULL, NULL, NULL, NULL
+FROM clf
+UNION ALL
+SELECT 'c4' AS tag, doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       keep::BIGINT, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       drop_reason, n_sentences, NULL, NULL, NULL, NULL
+FROM c4x
+UNION ALL
+SELECT 'gq' AS tag, doc_id, NULL, NULL, NULL, n_words, NULL, NULL, NULL,
+       keep::BIGINT, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       drop_reason, NULL, mean_word_len, alpha_frac, symbol_ratio,
+       n_stop_distinct
+FROM gqx
 """
