@@ -275,12 +275,67 @@ class TestImageHeaderParse:
         gif = b"GIF87a" + struct.pack("<HH3B", 320, 200, 0, 0, 0)
         assert parse_image_dims(gif) == ("gif", 320, 200)
 
+    def test_webp_lossy_and_lossless_variants(self):
+        """The fixture writes VP8X; real crawls also carry simple lossy
+        (VP8, 14-bit frame-header dims) and lossless (VP8L, packed
+        14-bit fields) files — both must parse."""
+        import struct
+
+        from textextraction_spark.operators.multimodal import parse_image_dims
+
+        # VP8 key frame: 3-byte frame tag, start code, 14-bit w/h
+        payload = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 550, 368)
+        vp8 = b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+        vp8 += b"VP8 " + struct.pack("<I", len(payload)) + payload
+        assert parse_image_dims(vp8) == ("webp", 550, 368)
+
+        # VP8L: signature 0x2F then width-1 (14 bits) | height-1 << 14
+        bits = (800 - 1) | ((600 - 1) << 14)
+        pl = b"\x2f" + struct.pack("<I", bits)
+        vp8l = b"RIFF" + struct.pack("<I", 4 + 8 + len(pl)) + b"WEBP"
+        vp8l += b"VP8L" + struct.pack("<I", len(pl)) + pl
+        assert parse_image_dims(vp8l) == ("webp", 800, 600)
+
+    def test_bmp_topdown_and_core_header(self):
+        """Negative BITMAPINFOHEADER height = top-down rows (same pixel
+        dims); the OS/2 BITMAPCOREHEADER uses uint16 dims at offset 18."""
+        import struct
+
+        from textextraction_spark.operators.multimodal import parse_image_dims
+
+        info = struct.pack("<IiiHHIIiiII", 40, 640, -480, 1, 24, 0, 0, 0, 0, 0, 0)
+        bmp = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
+        assert parse_image_dims(bmp) == ("bmp", 640, 480)
+
+        core = struct.pack("<IHHHH", 12, 320, 240, 1, 8)
+        bmp2 = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + core
+        assert parse_image_dims(bmp2) == ("bmp", 320, 240)
+
+    def test_tiff_bigendian_and_short_entries(self):
+        """Big-endian (MM) byte order with SHORT-typed dim entries — the
+        value sits left-justified in the 4-byte field."""
+        import struct
+
+        from textextraction_spark.operators.multimodal import parse_image_dims
+
+        ifd = (
+            struct.pack(">H", 2)
+            + struct.pack(">HHIHH", 256, 3, 1, 1024, 0)
+            + struct.pack(">HHIHH", 257, 3, 1, 768, 0)
+            + struct.pack(">I", 0)
+        )
+        tiff = b"MM\x00*" + struct.pack(">I", 8) + ifd
+        assert parse_image_dims(tiff) == ("tiff", 1024, 768)
+
     def test_junk_rejected(self):
         from textextraction_spark.operators.multimodal import parse_image_dims
 
         assert parse_image_dims(b"not an image at all") is None
         assert parse_image_dims(b"\xff\xd8\x00\x00junk") is None
         assert parse_image_dims(b"") is None
+        assert parse_image_dims(b"RIFF\x00\x00\x00\x00WEBPXXXX") is None
+        assert parse_image_dims(b"BM" + bytes(10)) is None
+        assert parse_image_dims(b"II*\x00junk") is None
 
 
 class TestIncrementalDedup:

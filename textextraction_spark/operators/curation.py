@@ -816,6 +816,9 @@ def gopher_quality(spark, sf_dir: str):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
         "doc_id", f"({_GQ_AUG}) AS page"
     )
+    # Verdicts are computed from the UNROUNDED signals (a doc exactly at a
+    # threshold must get the true Gopher verdict); round() applies only to
+    # the EMITTED signal columns.  The oracle mirrors this split.
     m = d.selectExpr(
         "doc_id",
         "split(page, ' ') AS w",
@@ -825,29 +828,28 @@ def gopher_quality(spark, sf_dir: str):
         "doc_id",
         "cast(size(w) as bigint) AS n_words",
         # single-spaced by construction: chars minus the n-1 separators
-        "round((chars - (size(w) - 1)) / size(w), 6) AS mean_word_len",
-        "round(size(filter(w, x -> x rlike '[a-z]')) / size(w), 6)"
-        " AS alpha_frac",
-        "round(n_hash / size(w), 6) AS symbol_ratio",
+        "(chars - (size(w) - 1)) / size(w) AS mwl_raw",
+        "size(filter(w, x -> x rlike '[a-z]')) / size(w) AS alpha_raw",
+        "n_hash / size(w) AS sym_raw",
         f"cast(({stops}) as bigint) AS n_stop_distinct",
     )
     return m.selectExpr(
         "doc_id",
         "n_words",
-        "mean_word_len",
-        "alpha_frac",
-        "symbol_ratio",
+        "round(mwl_raw, 6) AS mean_word_len",
+        "round(alpha_raw, 6) AS alpha_frac",
+        "round(sym_raw, 6) AS symbol_ratio",
         "n_stop_distinct",
         f"""(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-             AND mean_word_len BETWEEN 3 AND 10
-             AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+             AND mwl_raw BETWEEN 3 AND 10
+             AND alpha_raw >= 0.8 AND sym_raw <= 0.1
              AND n_stop_distinct >= 2) AS keep""",
         f"""CASE
              WHEN n_words NOT BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
                THEN 'word_count'
-             WHEN mean_word_len NOT BETWEEN 3 AND 10 THEN 'word_length'
-             WHEN alpha_frac < 0.8 THEN 'alpha'
-             WHEN symbol_ratio > 0.1 THEN 'symbol'
+             WHEN mwl_raw NOT BETWEEN 3 AND 10 THEN 'word_length'
+             WHEN alpha_raw < 0.8 THEN 'alpha'
+             WHEN sym_raw > 0.1 THEN 'symbol'
              WHEN n_stop_distinct < 2 THEN 'stop_words'
              ELSE '' END AS drop_reason""",
     )
@@ -867,25 +869,28 @@ t AS (
 m AS (
   SELECT doc_id,
          len(w)::BIGINT AS n_words,
-         round((chars - (len(w) - 1)) / len(w), 6) AS mean_word_len,
-         round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-               / len(w), 6) AS alpha_frac,
-         round(n_hash / len(w), 6) AS symbol_ratio,
+         (chars - (len(w) - 1)) / len(w) AS mwl_raw,
+         len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               / len(w) AS alpha_raw,
+         n_hash / len(w) AS sym_raw,
          ({_GQ_STOPS_DUCK})::BIGINT AS n_stop_distinct
   FROM t
 )
-SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+SELECT doc_id, n_words,
+       round(mwl_raw, 6) AS mean_word_len,
+       round(alpha_raw, 6) AS alpha_frac,
+       round(sym_raw, 6) AS symbol_ratio,
        n_stop_distinct,
        (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-        AND mean_word_len BETWEEN 3 AND 10
-        AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+        AND mwl_raw BETWEEN 3 AND 10
+        AND alpha_raw >= 0.8 AND sym_raw <= 0.1
         AND n_stop_distinct >= 2) AS keep,
        CASE
          WHEN n_words NOT BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
            THEN 'word_count'
-         WHEN mean_word_len NOT BETWEEN 3 AND 10 THEN 'word_length'
-         WHEN alpha_frac < 0.8 THEN 'alpha'
-         WHEN symbol_ratio > 0.1 THEN 'symbol'
+         WHEN mwl_raw NOT BETWEEN 3 AND 10 THEN 'word_length'
+         WHEN alpha_raw < 0.8 THEN 'alpha'
+         WHEN sym_raw > 0.1 THEN 'symbol'
          WHEN n_stop_distinct < 2 THEN 'stop_words'
          ELSE '' END AS drop_reason
 FROM m

@@ -815,13 +815,37 @@ def exact_substr_dedup(spark, sf_dir: str):
     return (
         d.join(hits, "doc_id", "left")
         .withColumn("ps", F.coalesce(F.col("ps"), F.expr("array()")))
+        # Gaps-and-islands: fold the sorted hit positions into disjoint
+        # covered intervals [s, e) first (overlapping-or-abutting
+        # [p, p+W) windows merge), then emit keep_idx as the gap ranges
+        # between islands — O(n_tokens + |hits|) per doc, where the old
+        # per-token `exists hit covering i` filter was
+        # O(n_tokens * |hits|) and went quadratic on mostly-duplicate
+        # docs (a fully-boilerplate doc now collapses to ONE island).
+        .withColumn(
+            "islands",
+            F.expr(
+                f"aggregate(ps, "
+                f"cast(array() as array<struct<s:int,e:int>>), "
+                f"(acc, p) -> CASE WHEN size(acc) > 0 "
+                f"AND p <= element_at(acc, -1).e THEN "
+                f"concat(slice(acc, 1, size(acc) - 1), "
+                f"array(named_struct('s', element_at(acc, -1).s, 'e', "
+                f"greatest(element_at(acc, -1).e, p + {ES_W})))) "
+                f"ELSE concat(acc, array(named_struct('s', p, 'e', "
+                f"p + {ES_W}))) END)"
+            ),
+        )
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.size("t").cast("bigint").alias("n_tokens"),
             "t",
             F.expr(
-                f"filter(sequence(1, size(t)), i -> "
-                f"size(filter(ps, p -> p <= i AND i < p + {ES_W})) = 0)"
+                "flatten(zip_with("
+                "concat(array(1), transform(islands, v -> v.e)), "
+                "concat(transform(islands, v -> v.s), array(size(t) + 1)), "
+                "(gs, ge) -> CASE WHEN gs < ge THEN sequence(gs, ge - 1) "
+                "ELSE cast(array() as array<int>) END))"
             ).alias("keep_idx"),
         )
         .select(

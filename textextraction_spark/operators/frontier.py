@@ -15,9 +15,10 @@ membership filter in front of the exact check:
    — the Kirsch-Mitzenmacher construction derives all K probe indexes
    from two base hashes), each partition ORs its rows into a local
    numpy bitmap via one Arrow-batched ``mapInPandas``, and the ≤
-   n_partitions partition bitmaps are OR-combined into the final
-   filter.  The combine is bounded by partition count × bitmap size —
-   the aggregation pattern of any sketch, NOT a data-sized collect.
+   n_partitions partition bitmaps are OR-combined EXECUTOR-SIDE in a
+   treeReduce-shaped fan-in loop (≤ ``BLOOM_OR_FANIN`` bitmaps per
+   task per level) so the driver receives exactly one final bitmap —
+   never partitions × bitmap bytes.
 2. Broadcast the bitmap (``N_BITS`` ≈ 1.2 MB at the test config; a few
    GB serves 10^10 urls and ships once per executor) and drop frontier
    urls whose K probe bits are all set — map-side, zero shuffle on the
@@ -96,11 +97,21 @@ def _probe_indexes(pdf: pd.DataFrame) -> np.ndarray:
     return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(N_BITS)
 
 
+# Executor-side OR fan-in per reduction level: each task ORs at most
+# this many partition bitmaps, so no single task (and crucially not the
+# DRIVER) ever holds partitions x bitmap bytes — at a billion-url/GB
+# bitmap config the old collect-all-partials-to-driver shape was
+# partitions x GBs of driver memory.
+BLOOM_OR_FANIN = 64
+
+
 def build_bloom_bitmap(seen: DataFrame) -> bytes:
-    """Final Bloom bitmap of the seen urls.  One pass: per-partition
-    numpy sketches via mapInPandas, OR-combined over ≤ n_partitions
-    rows (the treeAggregate-to-driver shape every sketch aggregate
-    uses; bounded by bitmap size, never by row count)."""
+    """Final Bloom bitmap of the seen urls.  One pass builds a numpy
+    sketch per partition via mapInPandas; the sketches are then
+    OR-combined in a treeReduce-shaped executor-side fan-in loop
+    (``BLOOM_OR_FANIN`` bitmaps per task per level, streamed through
+    the partition iterator one row at a time), so the driver receives
+    exactly ONE bitmap regardless of partition count."""
     n_bytes = (N_BITS + 7) // 8
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -115,16 +126,27 @@ def build_bloom_bitmap(seen: DataFrame) -> bytes:
         if touched:
             yield pd.DataFrame({"bitmap": [bm.tobytes()]})
 
-    parts = (
+    def or_parts(rows):
+        acc = None
+        for b in rows:  # iterator: one bitmap resident at a time
+            v = np.frombuffer(bytes(b), dtype=np.uint8)
+            acc = v.copy() if acc is None else (acc | v)
+        if acc is not None:
+            yield acc.tobytes()
+
+    level = (
         _with_hashes(seen)
         .select("h1", "h2")
         .mapInPandas(part, "bitmap binary")
-        .collect()
+        .rdd.map(lambda r: r["bitmap"])
     )
-    out = np.zeros(n_bytes, dtype=np.uint8)
-    for row in parts:
-        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-    return out.tobytes()
+    # coalesce (no shuffle) merges ~FANIN partitions into each OR task;
+    # repeat until one partition remains — log_FANIN(P) levels.
+    while level.getNumPartitions() > 1:
+        n_next = max(1, math.ceil(level.getNumPartitions() / BLOOM_OR_FANIN))
+        level = level.coalesce(n_next).mapPartitions(or_parts)
+    parts = level.collect()  # exactly 0 or 1 rows
+    return parts[0] if parts else np.zeros(n_bytes, dtype=np.uint8).tobytes()
 
 
 def bloom_new_urls(spark, sf_dir: str) -> DataFrame:

@@ -147,8 +147,16 @@ def term_search(spark, sf_dir: str) -> DataFrame:
     tie-break.  Queries with an absent term return no rows (true AND)."""
     from pyspark.sql.window import Window as W
 
+    # Dedup the term list: a repeated term would make countDistinct(tok)
+    # < len(terms) for EVERY doc (silent zero rows) and double-count the
+    # repeated term's tf in the score.  sorted() keeps the frame (and the
+    # oracle below, which mirrors this) deterministic.
     q = spark.createDataFrame(
-        [(qid, t, len(terms)) for qid, terms in QUERIES for t in terms],
+        [
+            (qid, t, len(set(terms)))
+            for qid, terms in QUERIES
+            for t in sorted(set(terms))
+        ],
         "qid string, tok string, n_terms int",
     )
     dt = _doc_tokens(spark, sf_dir)
@@ -202,10 +210,12 @@ SELECT tok, COUNT(*)::BIGINT AS df,
 FROM tf GROUP BY tok
 """
 
+# Mirrors the Spark query frame exactly: deduplicated terms, n_terms =
+# count of DISTINCT terms (see term_search).
 _QUERIES_DUCK = " UNION ALL ".join(
-    f"SELECT '{qid}' AS qid, '{t}' AS tok, {len(terms)} AS n_terms"
+    f"SELECT '{qid}' AS qid, '{t}' AS tok, {len(set(terms))} AS n_terms"
     for qid, terms in QUERIES
-    for t in terms
+    for t in sorted(set(terms))
 )
 
 TERM_SEARCH_ORACLE = f"""

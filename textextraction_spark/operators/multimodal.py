@@ -6,9 +6,11 @@ deterministic routing by media kind — is real and tested, and as of
 round 3 EVERY kind decodes its actual bytes (no md5 stubs anywhere):
 
 - **image**: ``parse_image_dims`` reads real PNG (IHDR), GIF (logical
-  screen descriptor), and JPEG (SOF marker walk) headers in pure
-  stdlib; the pixel path (``media_decode_resize``) decodes genuine PGM
-  bitmaps, resizes, and extracts features from the real pixel buffer.
+  screen descriptor), JPEG (SOF marker walk), WebP (VP8X/VP8/VP8L),
+  BMP (INFO + OS/2 CORE headers, top-down rows), and TIFF (both byte
+  orders, SHORT/LONG IFD entries) headers in pure stdlib; the pixel
+  path (``media_decode_resize``) decodes genuine PGM bitmaps, resizes,
+  and extracts features from the real pixel buffer.
 - **audio**: genuine WAV files (RIFF + 16-bit PCM) decoded with the
   stdlib ``wave`` module; features (RMS/peak) from the actual samples.
 - **video**: genuine ANIMATED GIFs — a real GIF89a writer (LZW-encoded
@@ -39,7 +41,10 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 KINDS = ["image", "audio", "video"]
-IMG_FORMATS = ["png", "gif", "jpeg"]
+# png/gif/jpeg (round 3) + webp/bmp/tiff (round 4): with jpeg these four
+# cover the real-crawl image tail; all six are genuine header formats
+# parsed from the actual bytes.
+IMG_FORMATS = ["png", "gif", "jpeg", "webp", "bmp", "tiff"]
 
 
 def real_decode(data: bytes, kind: str):
@@ -75,6 +80,34 @@ def make_image_bytes(fmt: str, width: int, height: int) -> bytes:
             ">BHH B", 8, height, width, 3
         ) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
         return b"\xff\xd8\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0 + b"\xff\xd9"
+    if fmt == "webp":
+        # extended-format (VP8X) container: RIFF header + one VP8X chunk
+        # whose payload carries flags + 24-bit canvas (width-1, height-1)
+        vp8x = bytes(4) + struct.pack("<I", width - 1)[:3] + struct.pack(
+            "<I", height - 1
+        )[:3]
+        return (
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(vp8x))
+            + b"WEBP"
+            + b"VP8X"
+            + struct.pack("<I", len(vp8x))
+            + vp8x
+        )
+    if fmt == "bmp":
+        # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40), 24bpp, no pixels
+        info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+        return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40) + info
+    if fmt == "tiff":
+        # little-endian TIFF: header -> one IFD with ImageWidth(256) and
+        # ImageLength(257) as LONG entries, inline values, no next IFD
+        ifd = (
+            struct.pack("<H", 2)
+            + struct.pack("<HHII", 256, 4, 1, width)
+            + struct.pack("<HHII", 257, 4, 1, height)
+            + struct.pack("<I", 0)
+        )
+        return b"II*\x00" + struct.pack("<I", 8) + ifd
     raise ValueError(f"unknown format {fmt}")
 
 
@@ -122,7 +155,69 @@ def _parse_image_dims(data: bytes) -> tuple[str, int, int] | None:
                 return ("jpeg", w, h)
             pos += 2 + seglen
         return None
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return _parse_webp_dims(data)
+    if data[:2] == b"BM" and len(data) >= 26:
+        (hdr_size,) = struct.unpack("<I", data[14:18])
+        if hdr_size >= 40:  # BITMAPINFOHEADER and later: int32 dims
+            w, h = struct.unpack("<ii", data[18:26])
+        elif hdr_size == 12:  # OS/2 BITMAPCOREHEADER: uint16 dims
+            w, h = struct.unpack("<HH", data[18:22])
+        else:
+            return None
+        # negative height = top-down row order, same pixel dimensions
+        return ("bmp", w, abs(h)) if w > 0 and h != 0 else None
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return _parse_tiff_dims(data)
     return None
+
+
+def _parse_webp_dims(data: bytes) -> tuple[str, int, int] | None:
+    """All three WebP layouts: VP8X (extended canvas), VP8 (lossy frame
+    header), VP8L (lossless 14-bit packed dims)."""
+    fourcc = data[12:16]
+    if fourcc == b"VP8X":
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return ("webp", w, h)
+    if fourcc == b"VP8 ":
+        # key-frame start code 9D 01 2A then 14-bit width/height
+        if data[23:26] != b"\x9d\x01\x2a":
+            return None
+        w, h = struct.unpack("<HH", data[26:30])
+        return ("webp", w & 0x3FFF, h & 0x3FFF)
+    if fourcc == b"VP8L":
+        if data[20] != 0x2F:
+            return None
+        bits = int.from_bytes(data[21:25], "little")
+        return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+    return None
+
+
+def _parse_tiff_dims(data: bytes) -> tuple[str, int, int] | None:
+    """Walk the first IFD for ImageWidth(256)/ImageLength(257); SHORT and
+    LONG entry types, both byte orders, inline values (the baseline-TIFF
+    case — dims never need an offset indirection at <= 4 bytes)."""
+    bo = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    w = h = None
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, typ = struct.unpack(bo + "HH", data[e : e + 4])
+        if tag not in (256, 257):
+            continue
+        if typ == 3:  # SHORT: value left-justified in the 4-byte field
+            (val,) = struct.unpack(bo + "H", data[e + 8 : e + 10])
+        elif typ == 4:  # LONG
+            (val,) = struct.unpack(bo + "I", data[e + 8 : e + 12])
+        else:
+            return None
+        if tag == 256:
+            w = val
+        else:
+            h = val
+    return ("tiff", w, h) if w is not None and h is not None else None
 
 
 # --------------------------------------- real video codec: animated GIF
@@ -598,7 +693,7 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 # image-kind fixture dims (formulas mirrored in the DuckDB oracle)
 def _img_fixture(doc_id: int) -> bytes:
-    fmt = IMG_FORMATS[(doc_id // 3) % 3]
+    fmt = IMG_FORMATS[(doc_id // 3) % len(IMG_FORMATS)]
     return make_image_bytes(fmt, 1 + doc_id % 1919, 1 + (doc_id * 3) % 1079)
 
 
@@ -744,11 +839,17 @@ FROM px GROUP BY doc_id, w, h, idx
 # - video: GIF size = 13 (header+LSD) + 768 (GCT) + per frame
 #   (13 + ceil(9*(w*h+2)/8) LZW bytes: clear + w*h literals + EOI at
 #   9 bits, single sub-block since w*h <= 64) + 1 (trailer)
+_IMG_FMT_DUCK = "[" + ", ".join(f"'{f}'" for f in IMG_FORMATS) + "]"
+_IMG_BYTES_DUCK = " ".join(
+    f"WHEN '{f}' THEN {IMG_N_BYTES[f]}" for f in IMG_FORMATS
+)
+
 MEDIA_METADATA_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
          (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
-         (['png', 'gif', 'jpeg'])[CAST((doc_id // 3) % 3 AS INT) + 1] AS fmt,
+         ({_IMG_FMT_DUCK})[CAST((doc_id // 3) % {len(IMG_FORMATS)} AS INT) + 1]
+             AS fmt,
          64 + doc_id % 64 AS n_samp,
          4 + doc_id % 5 AS vw,
          4 + (doc_id * 3) % 5 AS vh,
@@ -761,10 +862,7 @@ SELECT doc_id,
                   WHEN 'audio' THEN 'wav'
                   ELSE 'gif' END) AS detail,
        (CASE kind
-          WHEN 'image' THEN
-               (CASE fmt WHEN 'png' THEN {IMG_N_BYTES['png']}
-                         WHEN 'gif' THEN {IMG_N_BYTES['gif']}
-                         ELSE {IMG_N_BYTES['jpeg']} END)
+          WHEN 'image' THEN (CASE fmt {_IMG_BYTES_DUCK} END)
           WHEN 'audio' THEN 44 + 2 * n_samp
           ELSE 13 + 768
                + vf * (13 + CAST(ceil(9 * (vw * vh + 2) / 8.0) AS BIGINT))
