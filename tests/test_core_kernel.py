@@ -996,3 +996,50 @@ class TestStructuralPdf:
         )
         objs = _scan_objects(data)
         assert set(objs) == {4, 5}
+
+
+class TestNoTextLayer:
+    """Image-only (scanned) PDFs must surface error='no_text_layer' —
+    distinguishable from an empty document — where the reference would
+    run OCR (Worker.cs:144-200)."""
+
+    def test_image_only_pdf_surfaces_error(self):
+        from textextraction_spark.sources.pages import make_image_only_pdf
+
+        r = extract_document(make_image_only_pdf(180))
+        assert r.error == "no_text_layer"
+        assert r.extracted_text == "" and r.spans == []
+        assert r.is_pdf and r.confidence == 0.0
+
+    def test_fixture_family_routes_to_image_only(self):
+        from textextraction_spark.sources.pages import make_pdf_bytes
+
+        pdf = make_pdf_bytes("ignored words here", doc_id=180)
+        assert b"/Subtype /Image" in pdf and b"BT" not in pdf
+        assert extract_document(pdf).error == "no_text_layer"
+
+    def test_empty_document_stays_distinct(self):
+        """A PDF with neither text nor images is an EMPTY document (text
+        '' and no error) — not a no_text_layer row."""
+        r = extract_document(b"%PDF-1.4\nstream\nq Q\nendstream\n%%EOF")
+        assert r.error == "" and r.extracted_text == ""
+
+    def test_mixed_text_and_image_extracts_text(self):
+        """A page tree carrying BOTH an image XObject and a text layer
+        extracts the text layer with no error (only zero-text files are
+        not-extractable)."""
+        pdf = (
+            b"%PDF-1.5\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Resources 6 0 R >> endobj\n"
+            b"6 0 obj << /XObject << /Im0 5 0 R >> >> endobj\n"
+            b"4 0 obj << /Length 45 >> stream\n"
+            b"q /Im0 Do Q BT 72 700 Td (Caption text) Tj ET\nendstream endobj\n"
+            b"5 0 obj << /Subtype /Image /Width 8 /Height 8 /Length 3 >>"
+            b" stream\nabc\nendstream endobj\n"
+            b"%%EOF"
+        )
+        r = extract_document(pdf)
+        assert r.error == "" and r.extracted_text == "Caption text"

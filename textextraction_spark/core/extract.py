@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 
 from textextraction_spark.core.boilerplate import extract_html
 from textextraction_spark.core.model import Doc, Span
-from textextraction_spark.core.pdfblocks import is_pdf, parse_pdf
+from textextraction_spark.core.pdfblocks import NoTextLayerError, is_pdf, parse_pdf
 from textextraction_spark.core.spans import extract_spans
 
 
@@ -303,6 +303,18 @@ def extract_document(
             is_pdf=doc.is_pdf,
             n_lines=len(doc.lines),
             doc=doc,
+        )
+    except NoTextLayerError:
+        # image-only (scanned) PDF: a legitimate per-row OUTCOME, not a
+        # parse failure — a stable machine-readable error token so users
+        # can route these rows to an OCR stage (the reference's path)
+        return ExtractResult(
+            extracted_text="",
+            spans=[],
+            confidence=0.0,
+            is_pdf=True,
+            n_lines=0,
+            error="no_text_layer",
         )
     except Exception as e:  # never kill a batch on one bad document
         return ExtractResult(

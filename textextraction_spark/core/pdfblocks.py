@@ -56,6 +56,15 @@ from textextraction_spark.core.model import Doc, Line, Page
 
 PDF_MAGIC = b"%PDF"
 
+
+class NoTextLayerError(ValueError):
+    """The PDF parsed (structure is fine) but carries image XObjects and
+    ZERO text-showing operators — a scanned document.  The reference
+    handles these by rasterize+OCR (``Worker.cs:144-200``); this engine
+    parses the text layer instead (north-star-sanctioned), so the row
+    must surface a distinguishable ``no_text_layer`` error rather than a
+    silently-empty document a user would mistake for a blank page."""
+
 _PAGE_SPLIT = re.compile(rb"%%PageBreak")
 # Block = BT ... ET where the body consumes (string literals) atomically,
 # so an 'ET' INSIDE a show string (e.g. `(BUDGET)`) cannot terminate the
@@ -394,7 +403,10 @@ def _parse_block(body: bytes) -> list[tuple[int, int, str]]:
 
 
 def parse_pdf(data: bytes) -> Doc:
-    """PDF bytes -> Doc with reading-order-sorted lines per page."""
+    """PDF bytes -> Doc with reading-order-sorted lines per page.
+    Raises NoTextLayerError for image-only (scanned) files: image
+    XObjects present, zero text extracted anywhere."""
+    has_image = _IMAGE_XOBJ.search(data) is not None
     body_parts = _structural_pages(data)
     if body_parts is None:
         data = _inflate_streams(data)
@@ -437,6 +449,14 @@ def parse_pdf(data: bytes) -> Doc:
             offset = end + 1
         pages.append(Page(page_no=page_no, lines=lines))
 
+    # Image-only (scanned) file: pictures but not one text block — the
+    # not-extractable case, distinguished from a genuinely empty document
+    # (no pages, no images), which stays an empty Doc.
+    if not pages and has_image:
+        raise NoTextLayerError(
+            "image XObjects present but no text layer (scanned document; "
+            "the reference OCRs these)"
+        )
     # Confidence: parse coverage — fraction of BT..ET segments that yielded
     # text (1.0 for well-formed fixtures), analog of mean OCR confidence.
     # Counted per SEGMENT (not per emitted line: a multi-line T* block

@@ -24,6 +24,32 @@ from __future__ import annotations
 from textextraction_spark.io.checkpoint import CheckpointCatalog
 
 
+# The commit statement, shared verbatim by the Iceberg backend and the
+# MERGE-semantics twin test (tests/test_merge_semantics.py) so the two
+# cannot drift.  Reference analog: the INSERT in DbHelper.cs:31-36 plus
+# the move-as-commit in Worker.cs:529, made exactly-once.
+MERGE_SQL = """
+MERGE INTO {target} r
+USING {source} b ON r.url = b.url
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *
+"""
+
+
+def merge_expansion_sql(target: str, source: str) -> list[str]:
+    """The MERGE statement's defined expansion for engines without MERGE
+    (this image's DuckDB is 1.0.0 — ``MERGE INTO`` parses only from 1.4):
+    delete every matched target row, then insert all source rows.  This
+    is exactly ``WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *``
+    PROVIDED the source has unique keys — which the commit protocol
+    guarantees (one extracted row per url per batch); MERGE itself errors
+    on duplicate source matches, so the expansion is never weaker."""
+    return [
+        f"DELETE FROM {target} WHERE url IN (SELECT url FROM {source})",
+        f"INSERT INTO {target} SELECT * FROM {source}",
+    ]
+
+
 def iceberg_available(spark) -> bool:
     """True iff the Iceberg Spark extension is on the classpath."""
     try:
@@ -78,14 +104,7 @@ class IcebergCatalog:
         view = f"_batch_{sanitized}_{digest}"
         extracted_df.createOrReplaceTempView(view)
         try:
-            self.spark.sql(
-                f"""
-                MERGE INTO {self.table} r
-                USING {view} b ON r.url = b.url
-                WHEN MATCHED THEN UPDATE SET *
-                WHEN NOT MATCHED THEN INSERT *
-                """
-            )
+            self.spark.sql(MERGE_SQL.format(target=self.table, source=view))
         finally:
             # unique per-batch names would otherwise accumulate one
             # catalog entry per batch for the session's lifetime

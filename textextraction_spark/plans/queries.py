@@ -55,15 +55,20 @@ def extract_html_text_oracle() -> str:
 
 
 def extract_pdf_text(spark, sf_dir: str):
-    """PDF route: layout blocks reading-order sorted."""
+    """PDF route: layout blocks reading-order sorted.  The error column
+    is pinned so the image-only (scanned) family surfaces
+    'no_text_layer' — distinguishable from an empty-but-extractable
+    document — exactly where the reference would run OCR instead."""
     return _extracted(spark, sf_dir).filter(F.col("is_pdf")).select(
-        "url", "extracted_text"
+        "url", "extracted_text", "error"
     )
 
 
 def extract_pdf_text_oracle() -> str:
     return f"""
-    SELECT {URL_SQL} AS url, {expected_text_sql('duckdb')} AS extracted_text
+    SELECT {URL_SQL} AS url, {expected_text_sql('duckdb')} AS extracted_text,
+           CASE WHEN doc_id % 240 = 180 THEN 'no_text_layer' ELSE '' END
+               AS error
     FROM documents WHERE doc_id % 20 = 0
     """
 

@@ -99,20 +99,27 @@ def pdf_text_sql(engine: str) -> str:
     """Expected extracted text of a pdf-family doc: first 10 words, newline,
     remainder (single block when <= 10 words); every second pdf doc
     (doc_id % 40 = 0) carries a trailing TOTAL block (exercises field
-    extraction + rect emission on the PDF path)."""
+    extraction + rect emission on the PDF path).  The IMAGE-ONLY family
+    (doc_id % 240 = 180 — scanned documents: page tree + image XObject,
+    zero text operators) extracts as '' with error='no_text_layer'."""
     total = f"CASE WHEN doc_id % 40 = 0 THEN chr(10) || 'TOTAL ' || {TOTAL_SQL} ELSE '' END"
+    imgonly = "doc_id % 240 = 180"
     if engine == "spark":
         words = "split(text, ' ')"
         return (
-            f"(CASE WHEN size({words}) <= 10 THEN text "
+            f"(CASE WHEN {imgonly} THEN '' "
+            f"WHEN size({words}) <= 10 THEN text "
             f"ELSE array_join(slice({words}, 1, 10), ' ') || chr(10) || "
-            f"array_join(slice({words}, 11, 1000000), ' ') END) || ({total})"
+            f"array_join(slice({words}, 11, 1000000), ' ') END)"
+            f" || (CASE WHEN {imgonly} THEN '' ELSE ({total}) END)"
         )
     words = "str_split(text, ' ')"
     return (
-        f"(CASE WHEN len({words}) <= 10 THEN text "
+        f"(CASE WHEN {imgonly} THEN '' "
+        f"WHEN len({words}) <= 10 THEN text "
         f"ELSE array_to_string(list_slice({words}, 1, 10), ' ') || chr(10) || "
-        f"array_to_string(list_slice({words}, 11, len({words})), ' ') END) || ({total})"
+        f"array_to_string(list_slice({words}, 11, len({words})), ' ') END)"
+        f" || (CASE WHEN {imgonly} THEN '' ELSE ({total}) END)"
     )
 
 
@@ -322,6 +329,51 @@ def make_structural_pdf(page_bodies: list[str]) -> bytes:
     return bytes(out)
 
 
+def make_image_only_pdf(doc_id: int) -> bytes:
+    """A scanned-document PDF: real page tree (catalog -> /Pages -> one
+    /Type /Page) whose content stream only DRAWS an image XObject
+    (``q cm /Im0 Do Q`` — zero text operators), plus the flate-compressed
+    /Subtype /Image object itself.  This is the shape every
+    scanner/copier produces; the reference OCRs it
+    (``/root/reference/TextExtraction/Worker.cs:144-200``) while this
+    engine — which replaces OCR with text-layer parsing per the north
+    star — must surface it as a DISTINGUISHABLE ``error='no_text_layer'``
+    row, never as a silently-empty document."""
+    import zlib as _z
+
+    # deterministic fake scan payload (the decode never runs — the point
+    # is the structure); dims echo a 300-DPI letter scan
+    px = _z.compress(bytes((doc_id + i) % 256 for i in range(64)), 6)
+    content = b"q 612 0 0 792 0 0 cm /Im0 Do Q"
+    out = bytearray(b"%PDF-1.5\n")
+
+    def emit(num: int, dict_str: str, payload: bytes | None = None) -> None:
+        out.extend(f"{num} 0 obj {dict_str}".encode("latin-1"))
+        if payload is not None:
+            out.extend(b"\nstream\n" + payload + b"\nendstream")
+        out.extend(b"\nendobj\n")
+
+    emit(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    # /Resources as an indirect ref: keeps every dict within the parser's
+    # one-level nesting budget (and is how many producers write it)
+    emit(
+        3,
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources 6 0 R >>",
+    )
+    emit(6, "<< /XObject << /Im0 5 0 R >> >>")
+    emit(4, f"<< /Length {len(content)} >>", content)
+    emit(
+        5,
+        "<< /Type /XObject /Subtype /Image /Width 2550 /Height 3300"
+        f" /BitsPerComponent 8 /ColorSpace /DeviceGray"
+        f" /Filter /FlateDecode /Length {len(px)} >>",
+        px,
+    )
+    out.extend(b"%%EOF")
+    return bytes(out)
+
+
 def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
     """Text blocks emitted OUT of reading order (remainder first at y=300,
     head at y=700) so the extractor's sort is load-bearing; doc_id % 40 = 0
@@ -343,12 +395,20 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
     older producers emit); doc_id % 240 = 60 stores the two-page split as
     a **real PDF 1.5 object graph** (catalog + ObjStm-compressed page
     tree + per-page flate /Contents + binary xref stream — see
-    ``make_structural_pdf``).  The TOTAL block in these families lands at
+    ``make_structural_pdf``); doc_id % 240 = 180 is the **image-only
+    (scanned) family** (``make_image_only_pdf`` — page tree + image
+    XObject, zero text operators; extracts as '' with
+    error='no_text_layer').  The TOTAL block in these families lands at
     its y only if T*/quote leading math and relative-Td chaining are
     computed correctly, so the pdf_highlight_rects oracle gates the
     positioning arithmetic, not just the text.  Extracted text is unchanged across all variants, so
     the same oracles transitively gate every parse path."""
     import zlib
+
+    if doc_id % 240 == 180:
+        # image-only (scanned) family: no text layer at all — the engine
+        # must emit extracted_text='' with error='no_text_layer'
+        return make_image_only_pdf(doc_id)
 
     words = text.split(" ")
     if len(words) <= 10:
