@@ -55,10 +55,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from textextraction_spark.functions import analytics as A
     from textextraction_spark.functions import relational as R
     from textextraction_spark.operators import bpe as BPE
+    from textextraction_spark.operators import clustering as CL
     from textextraction_spark.operators import curation as C
     from textextraction_spark.operators import dedup as D
     from textextraction_spark.operators import multimodal as M
     from textextraction_spark.operators import scheduling as SCH
+    from textextraction_spark.operators import selection as SEL
     from textextraction_spark.operators import simsearch as S
     from textextraction_spark.operators import templates as TP
     from textextraction_spark.operators import textstats as T
@@ -99,16 +101,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": D.incremental_dedup,
         "dedup_repeated_spans": D.span_dedup,
         "dedup_clusters": D.dedup_clusters,  # connected components (iterative)
-        # --- similarity search ---
+        # --- similarity search / embedding pipeline ---
         "ann_brute_force_topk": S.brute_force_topk,
-        "ann_lsh": S.lsh_ann,  # single-bucket + multiprobe
-        "ann_ivf": S.ivf_ann,  # nprobe=1 + nprobe=2
+        "ann_bucketed": S.ann_bucketed,  # LSH (single+multi) + IVF (nprobe 1+2)
         "embedding_near_dup": S.embedding_near_dup,
+        "semdedup_suite": CL.semdedup_suite,  # kmeans_assign + semdedup_prune
+        # --- scored data selection (LM ppl + DSIR + classifier verdict) ---
+        "scored_selection": SEL.scored_selection,
         # --- multimodal plumbing ---
         "media_metadata": M.media_metadata,
         "media_frame_sample": M.media_frame_sample,
-        "media_decode_resize": M.media_decode_resize,
-        "media_audio_features": M.media_audio_features,
+        "media_features": M.media_features,  # pixel decode+resize + WAV PCM
         "politeness_schedule": SCH.politeness_both,  # window + grouped-map
         # --- relational operator suite (SURVEY.md §2.3-2.7) ---
         "events_project": R.events_project,  # p1_strip_special + f_json
@@ -137,10 +140,12 @@ def oracle_sql() -> dict[str, str]:
     from textextraction_spark.functions import analytics as A
     from textextraction_spark.functions import relational as R
     from textextraction_spark.operators import bpe as BPE
+    from textextraction_spark.operators import clustering as CL
     from textextraction_spark.operators import curation as C
     from textextraction_spark.operators import dedup as D
     from textextraction_spark.operators import multimodal as M
     from textextraction_spark.operators import scheduling as SCH
+    from textextraction_spark.operators import selection as SEL
     from textextraction_spark.operators import simsearch as S
     from textextraction_spark.operators import templates as TP
     from textextraction_spark.operators import textstats as T
@@ -171,13 +176,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_repeated_spans": D.SPAN_DEDUP_ORACLE,
         "dedup_clusters": D.DEDUP_CLUSTERS_ORACLE,
         "ann_brute_force_topk": S.BRUTE_FORCE_ORACLE,
-        "ann_lsh": S.LSH_COMPOSITE_ORACLE,
-        "ann_ivf": S.IVF_COMPOSITE_ORACLE,
+        "ann_bucketed": S.ANN_BUCKETED_ORACLE,
         "embedding_near_dup": S.EMBEDDING_NEAR_DUP_ORACLE,
+        "semdedup_suite": CL.SEMDEDUP_SUITE_ORACLE,
+        "scored_selection": SEL.SCORED_SELECTION_ORACLE,
         "media_metadata": M.MEDIA_METADATA_ORACLE,
         "media_frame_sample": M.MEDIA_FRAME_SAMPLE_ORACLE,
-        "media_decode_resize": M.MEDIA_DECODE_RESIZE_ORACLE,
-        "media_audio_features": M.MEDIA_AUDIO_ORACLE,
+        "media_features": M.MEDIA_FEATURES_ORACLE,
         "politeness_schedule": SCH.POLITENESS_BOTH_ORACLE,
         "events_project": R.EVENTS_PROJECT_ORACLE,
         "p3_keyword_gate": R.P3_ORACLE,

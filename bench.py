@@ -14,12 +14,22 @@ The scaling section is the sandbox protocol for the north_rule's N->4N
 executor criterion.  CANONICAL pairing (settled in round 2 after
 measuring every variant with affinity receipts — full analysis in
 BENCH/BASELINE.md): **unpinned local[4] -> local[16]**, measured as
-THREE INTERLEAVED back-to-back pairs with the MEDIAN per-pair ratio as
-the headline (round-3 hardening: five single-shot 4->16 measurements in
-round 2 spanned 0.59-0.90 because multi-minute hypervisor bursts land on
+back-to-back pairs with the MEDIAN per-pair ratio as the headline
+(round-3 hardening: five single-shot 4->16 measurements in round 2
+spanned 0.59-0.90 because multi-minute hypervisor bursts land on
 whichever row is in flight; a burst inside a back-to-back pair degrades
 both sides and cancels in the ratio, and the median discards a polluted
-pair outright).  Strict and proportional cpuset pinning were both
+pair outright).  Round-4 hardening (protocol v3): the pair sides are
+LONG — the scaling input is ~3x the round-3 replication (rep 360:
+1.8M docs) so the 4-side runs ~90 s and the 16-side is the mean of two
+~28 s runs (>=56 s measured per side) — hypervisor bursts now amortize
+INSIDE each measured side instead of being discarded or normalized
+away; two pairs are guaranteed (a third runs when budget headroom
+remains) and per-run receipts are kept in each pair row.  Validation
+in a mid-grade window (pair probe 0.83, kernel 6.7k/8.2k): raw 0.832
+with the long sides where the short-side protocol had measured
+0.66-0.77 in comparable windows.  Strict and proportional cpuset
+pinning were both
 implemented and measured (the JVM is restarted after every affinity
 change so the mask actually applies, and each row records the JVM's real
 Cpus_allowed_list); they land at 0.66-0.76 because the single shared
@@ -96,12 +106,19 @@ QUERY_BASELINES = {
     "dedup_incremental": 0.85,
     "ann_brute_force_topk": 0.5,
     "text_profile": 0.55,
-    # moved 0.7 -> 2.1 when the decontamination branch joined the
-    # composite (tag-union adds a broadcast-join + hit-count subplan:
-    # 3 extra Spark stages of fixed overhead at the 500-row test scale)
-    "doc_quality_signals": 2.1,
+    # re-recorded round 4 at the full branch set (clf+c4+gq+decon joined
+    # the composite AFTER the old 2.1 baseline): warm runs 2.7-3.0 s in a
+    # 7.2k-kernel window (VERDICT r03 "what's wrong" #2)
+    "doc_quality_signals": 2.7,
     "q1_pricing_summary": 0.5,
-    "media_metadata": 1.9,
+    # re-recorded round 4: warm runs 1.07-1.08 s in a 7.2k-kernel window
+    # and 1.41-1.46 s in a 5.4k-kernel window at the current branch (the
+    # old 1.9 was itself set in a degraded window).  1.4 = mid-window
+    # warm cost; the python-synth path (make_wav/make_gif per doc) is
+    # the most window-sensitive query in the suite, and its COLD first
+    # run in a session pays the UDF ship + worker spin (3-8 s) — which
+    # is why the query-phase early-exit now ignores run 1.
+    "media_metadata": 1.4,
 }
 
 
@@ -304,17 +321,21 @@ def _mark(t_start: float, label: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "120"))
+    # 360 (1.8M docs, ~1.3 GB html) since protocol v3: the SAME table
+    # feeds the local[32] throughput row and the scaling pairs, and it
+    # is sized so each pair side measures >=56 s (bursts amortize
+    # inside the side).  Materialization cost is ~17 s.
+    rep = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "360"))
     do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
     # Soft deadline: once elapsed time passes the budget, remaining
     # measurements drop to single attempts and repair rounds are skipped,
     # so retries during hypervisor bursts cannot run the harness long.
-    # 480 s: measured end-to-end wall time hovers near 10 minutes with
-    # the 540 s budget (the budget gates ATTEMPTS, not phases, so the
-    # tail still runs) and harness-side caps around 10 minutes are
-    # common — the pinned sensitivity pair and repair rounds are the
-    # first to drop, and both already have recorded ledger entries.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    # 540 s under protocol v3: the two guaranteed long pairs + e2e +
+    # throughput land near 520 s, and the budget gates ATTEMPTS, not
+    # phases — the 8/32 sensitivity rows, the pinned pair, and the
+    # repair round are the first to drop (all have recorded ledger
+    # entries), keeping worst-case wall clear of external ~12-min caps.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
     t_start = time.time()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -399,6 +420,7 @@ def main() -> None:
             cpuset=None,
             max_attempts: int = 4,
             clean_target: int = 2,
+            n_runs: int | None = None,
         ) -> dict:
             # ALWAYS restart the JVM so it (and its python workers) is
             # born under the requested mask (a leftover pinned JVM would
@@ -410,6 +432,30 @@ def main() -> None:
                 s.sparkContext.setLogLevel("ERROR")
                 jvm_mask = _jvm_cpus(s)
                 run_extract(s, pages_sf, cores * 3)  # spin python workers
+                if n_runs is not None:
+                    # protocol v3 pair side: MEAN of n back-to-back runs
+                    # with NO steal-gated retries — the side is sized so
+                    # bursts amortize inside the measured window instead
+                    # of being dodged (per-run receipts retained)
+                    runs = []
+                    n_c = b_c = 0
+                    for _ in range(n_runs):
+                        st0 = _read_cpu()
+                        t_c, n_c, b_c = run_extract(s, pages_rep, cores * 3)
+                        runs.append(
+                            {"sec": round(t_c, 2),
+                             "steal_pct": _steal_pct(st0, _read_cpu())}
+                        )
+                    s.stop()
+                    mean_sec = sum(r["sec"] for r in runs) / len(runs)
+                    return {
+                        "sec": round(mean_sec, 2),
+                        "docs_per_sec": round(n_c / mean_sec, 1),
+                        "mb_per_sec": round(b_c / 1e6 / mean_sec, 2),
+                        "steal_pct": max(r["steal_pct"] for r in runs),
+                        "jvm_cpus": jvm_mask,
+                        "runs": runs,
+                    }
                 best = prev_best
                 clean = 0
                 if (time.time() - t_start) > budget_s:
@@ -470,10 +516,11 @@ def main() -> None:
         for i in range(3):
             # A 1-pair "median" is a single exposed measurement — the
             # protocol's whole point is lost (ledger runs 11/13/15).
-            # Guarantee TWO pairs regardless of budget; only pair 3
-            # yields to it.  The downstream 8/32 + pinned sensitivity
-            # rows and the query re-check absorb the overage.
-            if i > 1 and (time.time() - t_start) > budget_s:
+            # Guarantee TWO pairs regardless of budget; pair 3 runs only
+            # with a full pair (~175 s) of headroom left.  The downstream
+            # 8/32 + pinned sensitivity rows and the query re-check
+            # absorb the overage.
+            if i > 1 and (time.time() - t_start) > budget_s - 200:
                 break
             # Per-PAIR window gate: the phase-level gate certifies only
             # the moment the phase starts, and windows shift mid-phase —
@@ -489,16 +536,17 @@ def main() -> None:
                     "4_to_16", 0.0
                 )
             k1 = _kernel_1core(sf_dir)
-            r4 = measure(4, max_attempts=2, clean_target=1)
-            # the 16-side is the variable one (fast mode ~8 s, burst mode
-            # ~11 s at sub-1% steal) and a timed run costs only ~9 s —
-            # demand two clean runs and keep the best; the 4-side is
-            # stable and 3x the cost, one clean run suffices
-            r16 = measure(16, max_attempts=3, clean_target=2)
+            # protocol v3 sides: long runs, MEAN not best-of, zero
+            # steal-gated retries — the 4-side is one ~90 s run, the
+            # 16-side the mean of two ~28 s runs (>=56 s measured), so
+            # a burst degrades the side pro-rata instead of binomially
+            r4 = measure(4, n_runs=1)
+            r16 = measure(16, n_runs=2)
             eff = round((r4["sec"] / r16["sec"]) / 4.0, 3)
             pair_effs.append(eff)
             pair_rows.append(
                 {"local4_sec": r4["sec"], "local16_sec": r16["sec"],
+                 "local16_runs": [r["sec"] for r in r16.get("runs", [])],
                  "steal4": r4["steal_pct"], "steal16": r16["steal_pct"],
                  "window_ceiling": qc, "kernel_1core": k1,
                  "efficiency": eff,
@@ -519,14 +567,14 @@ def main() -> None:
         # two such pairs the median itself is polluted.  Re-measure the
         # dirtiest pair after a wait, replace only if the re-run is
         # cleaner, and mark the row as repaired (receipt honesty).
-        for _repair in range(2):
-            # the FIRST repair may overrun the soft budget by one bounded
+        for _repair in range(1):
+            # ONE repair round under protocol v3 (a pair costs ~175 s
+            # now), allowed to overrun the soft budget by a bounded
             # window (ledger run 17: a steal-dirty pair survived to the
-            # median because the repair was budget-skipped); the second
-            # stays strictly budget-gated.  The +180 s overage keeps the
-            # worst case clear of the external harness wall.
+            # median because the repair was budget-skipped).  The +120 s
+            # overage keeps the worst case clear of the external wall.
             over = (time.time() - t_start) - budget_s
-            if over > (180 if _repair == 0 else 0):
+            if over > 120:
                 break
             dirty = [
                 (max(p["steal4"], p["steal16"]), idx)
@@ -543,11 +591,12 @@ def main() -> None:
                 "4_to_16", 0.0
             )
             rk1 = _kernel_1core(sf_dir)
-            r4 = measure(4, max_attempts=2, clean_target=1)
-            r16 = measure(16, max_attempts=3, clean_target=2)
+            r4 = measure(4, n_runs=1)
+            r16 = measure(16, n_runs=2)
             reff = round((r4["sec"] / r16["sec"]) / 4.0, 3)
             new_row = {
                 "local4_sec": r4["sec"], "local16_sec": r16["sec"],
+                "local16_runs": [r["sec"] for r in r16.get("runs", [])],
                 "steal4": r4["steal_pct"], "steal16": r16["steal_pct"],
                 "window_ceiling": rqc, "kernel_1core": rk1,
                 "efficiency": reff,
@@ -664,12 +713,14 @@ def main() -> None:
 
         # The protocol's headline number: unpinned N -> 4N on this box.
         scaling["north_rule_protocol"] = (
-            "local[4] -> local[16], unpinned, interleaved back-to-back "
-            "pairs, median of 3 per-pair ratios (canonical; idle CPUs "
-            "stand in for the per-executor overhead headroom a "
-            "4N-executor cluster provides — see BENCH/BASELINE.md for "
-            "the strict-cpuset sensitivity bounds and the variance "
-            "analysis behind the pairing protocol)"
+            "local[4] -> local[16], unpinned, back-to-back pairs with "
+            "LONG sides (v3: 1.8M-doc input, 4-side ~90 s single run, "
+            "16-side mean of two ~28 s runs) so hypervisor bursts "
+            "amortize inside each side; median of per-pair ratios "
+            "(canonical; idle CPUs stand in for the per-executor "
+            "overhead headroom a 4N-executor cluster provides — see "
+            "BENCH/BASELINE.md for the strict-cpuset sensitivity bounds "
+            "and the variance analysis behind the pairing protocol)"
         )
         scaling["north_rule_efficiency"] = eff_median
 
@@ -691,19 +742,22 @@ def main() -> None:
         "q1_pricing_summary",
         "media_metadata",
     ):
-        # up to 3 runs (the first pays plan compile + codegen; a single
-        # measurement is at the mercy of a burst window), with an early
-        # exit when two consecutive runs agree within 15%; past the soft
-        # budget every query gets a single attempt — the queries are the
-        # phase that absorbs budget exhaustion now
-        attempts = 1 if (time.time() - t_start) > budget_s else 3
+        # up to 4 runs, early-exit once two consecutive WARM runs agree
+        # within 15% — the first run is excluded from the agreement check
+        # because it pays plan compile + codegen + (for the python-synth
+        # queries) the UDF zip/worker spin, so a cold run agreeing with a
+        # burst-slowed second run used to satisfy the old 2-run exit and
+        # record a number ~2x the warm cost (run-23 media_metadata).
+        # Past the soft budget every query gets a single attempt — the
+        # queries are the phase that absorbs budget exhaustion now.
+        attempts = 1 if (time.time() - t_start) > budget_s else 4
         times = []
         for _ in range(attempts):
             t0 = time.time()
             n = qmap[name](spark, sf_dir).count()
             times.append(time.time() - t0)
             assert n >= 0
-            if len(times) >= 2 and abs(times[-1] - times[-2]) < 0.15 * min(
+            if len(times) >= 3 and abs(times[-1] - times[-2]) < 0.15 * min(
                 times[-2:]
             ):
                 break

@@ -383,12 +383,26 @@ class TestAnalyticSlices:
 
 
 class TestOperatorFamilyBranches:
+    # round 4: ann_lsh / ann_ivf rotated into the single ann_bucketed
+    # driver row; the method slices must still equal each family
+    # composite, and each family composite its standalone variants.
+
+    def _method(self, spark, m, cols):
+        from pyspark.sql import functions as F
+
+        return (
+            E.queries()["ann_bucketed"](spark, SF)
+            .filter(F.col("method") == m)
+            .select(*cols)
+        )
+
     def test_ann_lsh_branches(self, spark):
         from pyspark.sql import functions as F
 
         from textextraction_spark.operators import simsearch as S
 
-        comp = E.queries()["ann_lsh"](spark, SF)
+        comp = self._method(spark, "lsh", ["probes", "vec_id", "bucket", "cosine"])
+        assert_df_equal(S.lsh_ann(spark, SF), comp)
         assert_df_equal(
             S.lsh_bucket_ann(spark, SF),
             comp.filter(F.col("probes") == "single").drop("probes"),
@@ -403,7 +417,8 @@ class TestOperatorFamilyBranches:
 
         from textextraction_spark.operators import simsearch as S
 
-        comp = E.queries()["ann_ivf"](spark, SF)
+        comp = self._method(spark, "ivf", ["nprobe", "vec_id", "cell", "cosine"])
+        assert_df_equal(S.ivf_ann(spark, SF), comp)
         assert_df_equal(
             S.ivf_probe_ann(spark, SF),
             comp.filter(F.col("nprobe") == 1).drop("nprobe"),
@@ -411,6 +426,91 @@ class TestOperatorFamilyBranches:
         assert_df_equal(
             S.ivf_multiprobe_ann(spark, SF),
             comp.filter(F.col("nprobe") == S.NPROBE).drop("nprobe"),
+        )
+
+    def test_media_features_slices(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import multimodal as M
+
+        comp = E.queries()["media_features"](spark, SF)
+        assert_df_equal(
+            M.media_decode_resize(spark, SF),
+            comp.filter(F.col("kind") == "image").select(
+                "doc_id", "rw", "rh", "mean_px", "min_px", "max_px"
+            ),
+        )
+        assert_df_equal(
+            M.media_audio_features(spark, SF),
+            comp.filter(F.col("kind") == "audio").select(
+                "doc_id", "sample_rate", "n_samples", "rms", "peak"
+            ),
+        )
+
+    def test_scored_selection_slices(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import dsir as DS
+        from textextraction_spark.operators import lm as LM
+        from textextraction_spark.operators import selection as SEL
+
+        comp = E.queries()["scored_selection"](spark, SF)
+        assert_df_equal(
+            LM.lm_perplexity(spark, SF),
+            comp.filter(F.col("tag") == "lm").select(
+                "doc_id", "n_bigrams", "nll", "ppl"
+            ),
+        )
+        assert_df_equal(
+            DS.dsir_weights(spark, SF).withColumn(
+                "keep", F.col("keep").cast("bigint")
+            ),
+            comp.filter(F.col("tag") == "dsir").select(
+                "doc_id", "n_feats", "logratio", F.col("dsir_keep").alias("keep")
+            ),
+        )
+        assert_df_equal(
+            SEL.selection_verdict(spark, SF),
+            comp.filter(F.col("tag") == "sel").select(
+                "doc_id", "ppl", "logratio", "clf_score", "selected"
+            ),
+        )
+
+    def test_selection_verdict_is_the_rule(self, spark):
+        """The sel branch's verdict recomputes from its own emitted
+        columns: selected == (ppl <= PPL_CUT) & (logratio>0 | clf>=0.5)."""
+        from textextraction_spark.operators.selection import (
+            PPL_CUT,
+            selection_verdict,
+        )
+        from textextraction_spark.operators.classifier import THRESHOLD
+
+        rows = selection_verdict(spark, SF).collect()
+        assert rows, "verdict produced no rows"
+        for r in rows:
+            want = int(
+                r.ppl <= PPL_CUT
+                and (r.logratio > 0 or r.clf_score >= THRESHOLD)
+            )
+            assert r.selected == want, r
+
+    def test_semdedup_suite_slices(self, spark):
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import clustering as CL
+
+        comp = E.queries()["semdedup_suite"](spark, SF)
+        assert_df_equal(
+            CL.kmeans_assign(spark, SF),
+            comp.filter(F.col("tag") == "assign").select(
+                "vec_id", "cluster", "dist"
+            ),
+        )
+        assert_df_equal(
+            CL.semdedup_prune(spark, SF),
+            comp.filter(F.col("tag") == "prune").select(
+                "vec_id", "cluster", "keep"
+            ),
         )
 
     def test_politeness_branches_identical(self, spark):

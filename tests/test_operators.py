@@ -26,9 +26,12 @@ FAST_SUBSET = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "ann_brute_force_topk",
-    "ann_lsh",
+    "ann_bucketed",
+    "scored_selection",
+    "semdedup_suite",
     "media_metadata",
     "media_frame_sample",
+    "media_features",
     "politeness_schedule",
     "a1_type_stats",
     "user_event_profile",

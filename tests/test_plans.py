@@ -169,13 +169,13 @@ SHUFFLE_BUDGETS = {
     # shuffle (the 1024-row weight table joins as a BroadcastExchange)
     "doc_quality_signals": 3,
     "ann_brute_force_topk": 0,
-    "ann_lsh": 0,
-    "ann_ivf": 0,
+    # round-4 rotation: the merged composites add no exchange beyond
+    # their constituents (ANN buckets broadcast; media is mapInPandas)
+    "ann_bucketed": 0,
     "embedding_near_dup": 0,
     "media_metadata": 0,
     "media_frame_sample": 0,
-    "media_decode_resize": 0,
-    "media_audio_features": 0,
+    "media_features": 0,
     "curation_pipeline": 0,
     "p3_keyword_gate": 0,
     "s1_top_orders": 0,
@@ -234,6 +234,18 @@ SHUFFLE_BUDGETS = {
     # projection (2 exchanges) regardless of iteration count — exactly
     # the bounded-plan property the checkpoint exists to guarantee
     "dedup_clusters": 2,
+    # round-4 rotation composites, pinned to measured static-plan
+    # counts.  scored_selection (23) = three scorers' bounded
+    # count-table shuffles + the doc_id verdict joins — every exchange
+    # carries (key, count)/(doc_id, score) metadata, never text.
+    # semdedup_suite (41) = the Lloyd assign/update shuffles + the
+    # cluster-local prune join; the count is inflated by the printed
+    # plan repeating the persisted assignment's InMemoryRelation
+    # lineage under BOTH union branches — those exchanges execute once
+    # (the cache cuts them), and the vectors shuffle only inside the
+    # bounded K-cluster pair join.
+    "scored_selection": 23,
+    "semdedup_suite": 41,
 }
 
 

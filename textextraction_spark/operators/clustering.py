@@ -133,7 +133,10 @@ def semdedup_prune(spark, sf_dir: str) -> DataFrame:
     """(vec_id, cluster, keep): keep=0 iff a lower-id cluster-mate has
     cosine ≥ SEMDEDUP_TAU (chain-insensitive: pruned vectors still prune
     their own higher-id matches, the standard keep-lowest-id rule)."""
-    assigned = _final_assignment(spark, sf_dir).persist()
+    return _prune(_final_assignment(spark, sf_dir).persist())
+
+
+def _prune(assigned: DataFrame) -> DataFrame:
     i, j = assigned.alias("i"), assigned.alias("j")
     cos = F.expr(
         f"{_dot('i.v', 'j.v')} / ({_norm('i.v')} * {_norm('j.v')})"
@@ -153,6 +156,32 @@ def semdedup_prune(spark, sf_dir: str) -> DataFrame:
         "cluster",
         F.when(F.col("_p").isNull(), 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+def semdedup_suite(spark, sf_dir: str) -> DataFrame:
+    """Driver-gated tag-union composite over the clustering pair —
+    ``tag='assign'`` rows carry kmeans_assign's exact output columns,
+    ``tag='prune'`` rows semdedup_prune's — computed from ONE shared
+    Lloyd assignment (the standalone operators each run their own; the
+    composite shares the persisted assignment, which is also the 100 TB
+    shape: cluster once, reuse for pruning).  Slice-equality pins in
+    tests/test_composites.py keep each tag identical to its operator."""
+    assigned = _final_assignment(spark, sf_dir).persist()
+    assign = assigned.select(
+        F.lit("assign").alias("tag"),
+        "vec_id",
+        "cluster",
+        F.round("dist", 6).alias("dist"),
+        F.lit(None).cast("int").alias("keep"),
+    )
+    prune = _prune(assigned).select(
+        F.lit("prune").alias("tag"),
+        "vec_id",
+        "cluster",
+        F.lit(None).cast("double").alias("dist"),
+        "keep",
+    )
+    return assign.unionByName(prune)
 
 
 # ------------------------------------------------------------- oracles
@@ -221,4 +250,12 @@ pruned AS (
 SELECT a.vec_id, a.cluster::BIGINT AS cluster,
        (CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS keep
 FROM a{N_LLOYD} a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+"""
+
+SEMDEDUP_SUITE_ORACLE = f"""
+SELECT 'assign' AS tag, vec_id, cluster, dist, NULL::INT AS keep
+FROM ({KMEANS_ASSIGN_ORACLE})
+UNION ALL
+SELECT 'prune' AS tag, vec_id, cluster, NULL::DOUBLE AS dist, keep
+FROM ({SEMDEDUP_PRUNE_ORACLE})
 """

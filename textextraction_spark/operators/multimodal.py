@@ -879,3 +879,55 @@ SELECT doc_id,
                   ELSE (vf + 1) // 2 END)::BIGINT AS n_sampled
 FROM t
 """
+
+
+def media_features(spark, sf_dir: str):
+    """Round-4 gate rotation: the two per-doc feature extractors
+    (real PGM pixel decode+resize, real WAV PCM signal features)
+    union-tagged by ``kind`` into ONE driver row, freeing a 50-cap slot.
+    Every constituent column survives (off-kind slots are typed numeric
+    NULLs per the tag-union convention); slice-equality pins in
+    tests/test_composites.py keep ``kind='image'`` identical to
+    ``media_decode_resize`` and ``kind='audio'`` to
+    ``media_audio_features``.  Both branches stay mapInPandas over
+    Arrow batches — the union adds no exchange."""
+    img = media_decode_resize(spark, sf_dir).select(
+        F.lit("image").alias("kind"),
+        "doc_id",
+        "rw",
+        "rh",
+        "mean_px",
+        "min_px",
+        "max_px",
+        F.lit(None).cast("bigint").alias("sample_rate"),
+        F.lit(None).cast("bigint").alias("n_samples"),
+        F.lit(None).cast("double").alias("rms"),
+        F.lit(None).cast("bigint").alias("peak"),
+    )
+    aud = media_audio_features(spark, sf_dir).select(
+        F.lit("audio").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("bigint").alias("rw"),
+        F.lit(None).cast("bigint").alias("rh"),
+        F.lit(None).cast("double").alias("mean_px"),
+        F.lit(None).cast("bigint").alias("min_px"),
+        F.lit(None).cast("bigint").alias("max_px"),
+        "sample_rate",
+        "n_samples",
+        "rms",
+        "peak",
+    )
+    return img.unionByName(aud)
+
+
+MEDIA_FEATURES_ORACLE = f"""
+SELECT 'image' AS kind, doc_id, rw, rh, mean_px, min_px, max_px,
+       NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::DOUBLE AS rms, NULL::BIGINT AS peak
+FROM ({MEDIA_DECODE_RESIZE_ORACLE})
+UNION ALL
+SELECT 'audio' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
+       NULL::DOUBLE AS mean_px, NULL::BIGINT AS min_px,
+       NULL::BIGINT AS max_px, sample_rate, n_samples, rms, peak
+FROM ({MEDIA_AUDIO_ORACLE})
+"""

@@ -432,3 +432,44 @@ FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vid < b.vid
 WHERE round({_duck_dot('a.embedding', 'b.embedding')} /
             (sqrt({_duck_dot('a.embedding', 'a.embedding')}) * sqrt({_duck_dot('b.embedding', 'b.embedding')})), 6) >= 0.999999
 """
+
+
+def ann_bucketed(spark, sf_dir: str):
+    """Round-4 gate rotation: the two bucketed ANN families (hyperplane
+    LSH and IVF coarse quantization) union-tagged by ``method`` into ONE
+    driver row, freeing a 50-cap slot for the selection/clustering
+    composites.  Each family keeps its exact composite output columns
+    (``probes``/``bucket`` for LSH, ``nprobe``/``cell`` for IVF; the
+    off-family slots are typed NULLs) and its own bucket-equi-join plan;
+    slice-equality pins in tests/test_composites.py keep ``method='lsh'``
+    identical to ``lsh_ann`` and ``method='ivf'`` to ``ivf_ann``."""
+    lsh = lsh_ann(spark, sf_dir).select(
+        F.lit("lsh").alias("method"),
+        "probes",
+        F.lit(None).cast("bigint").alias("nprobe"),
+        "vec_id",
+        "bucket",
+        F.lit(None).cast("bigint").alias("cell"),
+        "cosine",
+    )
+    ivf = ivf_ann(spark, sf_dir).select(
+        F.lit("ivf").alias("method"),
+        F.lit(None).cast("string").alias("probes"),
+        "nprobe",
+        "vec_id",
+        F.lit(None).cast("bigint").alias("bucket"),
+        "cell",
+        "cosine",
+    )
+    return lsh.unionByName(ivf)
+
+
+ANN_BUCKETED_ORACLE = f"""
+SELECT 'lsh' AS method, probes, NULL::BIGINT AS nprobe, vec_id, bucket,
+       NULL::BIGINT AS cell, cosine
+FROM ({LSH_COMPOSITE_ORACLE})
+UNION ALL
+SELECT 'ivf' AS method, NULL::VARCHAR AS probes, nprobe, vec_id,
+       NULL::BIGINT AS bucket, cell, cosine
+FROM ({IVF_COMPOSITE_ORACLE})
+"""
