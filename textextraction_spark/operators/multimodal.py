@@ -621,11 +621,109 @@ FROM s GROUP BY doc_id, n, sample_rate
 """
 
 
+# ------------------------------------------------- MP4 (ISO-BMFF) headers
+# Real crawls' video tail is MP4-dominated; frame PIXELS genuinely need
+# ffmpeg-class codecs (the documented ``real_decode`` swap-in), but the
+# CONTAINER metadata — brand, movie duration/timescale, track dims,
+# sample count — is a plain nested box walk, parsed here from the actual
+# bytes like every other format in this module.
+
+
+def make_mp4(doc_id: int) -> bytes:
+    """Minimal genuine ISO-BMFF file: ftyp + moov(mvhd + trak(tkhd +
+    mdia(minf(stbl(stsz))))).  Every value the parser reads lives in its
+    real box: dims in tkhd (16.16 fixed point), duration/timescale in
+    mvhd, frame count as the stsz sample_count.  280 bytes by
+    construction (box sizes are exact, no padding)."""
+    w = 160 + 16 * (doc_id % 5)
+    h = 120 + 16 * ((doc_id * 3) % 5)
+    n_frames = 2 + doc_id % 7
+    duration = n_frames * 40  # ms at 25 fps, timescale 1000
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, 1000, duration)  # vflags, times, ts, dur
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, reserved
+        + b"\x00" * 8  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">IIIIII", 0x7, 0, 0, 1, 0, duration)  # flags, id, dur
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed point
+    )
+    stsz = box(b"stsz", struct.pack(">III", 0, 256, n_frames))
+    stbl = box(b"stbl", stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", data[pos : pos + 4])[0]
+        if size < 8 or pos + size > end:
+            return
+        yield data[pos + 4 : pos + 8], pos + 8, pos + size
+        pos += size
+
+
+def parse_mp4(data: bytes):
+    """Real ISO-BMFF box walk: returns (width, height, n_samples,
+    duration_ms) read from tkhd / stsz / mvhd, or None if the file is
+    not a well-formed MP4 (missing ftyp, truncated box, absent moov)."""
+    try:
+        if len(data) < 12 or data[4:8] != b"ftyp":
+            return None
+        w = h = n_samples = duration_ms = None
+        for typ, s, e in _mp4_boxes(data, 0, len(data)):
+            if typ != b"moov":
+                continue
+            for t2, s2, e2 in _mp4_boxes(data, s, e):
+                if t2 == b"mvhd":
+                    ts, dur = struct.unpack(">II", data[s2 + 12 : s2 + 20])
+                    duration_ms = dur * 1000 // ts if ts else 0
+                elif t2 == b"trak":
+                    for t3, s3, e3 in _mp4_boxes(data, s2, e2):
+                        if t3 == b"tkhd":
+                            w16, h16 = struct.unpack(">II", data[e3 - 8 : e3])
+                            w, h = w16 >> 16, h16 >> 16
+                        elif t3 == b"mdia":
+                            stack = [(s3, e3)]
+                            while stack:
+                                s4, e4 = stack.pop()
+                                for t5, s5, e5 in _mp4_boxes(data, s4, e4):
+                                    if t5 in (b"minf", b"stbl"):
+                                        stack.append((s5, e5))
+                                    elif t5 == b"stsz":
+                                        n_samples = struct.unpack(
+                                            ">I", data[s5 + 8 : s5 + 12]
+                                        )[0]
+        if w is None or n_samples is None:
+            return None
+        return w, h, n_samples, duration_ms
+    except Exception:
+        return None
+
+
 def _decode_one(data: bytes, kind: str) -> dict:
     """Route one media payload to its REAL decoder: image -> header
-    parse, audio -> stdlib WAV parse, video -> GIF block walk + LZW
-    frame decode.  Unknown kinds fail loudly (the routing contract is
-    code, not a docstring)."""
+    parse, audio -> stdlib WAV parse, video -> sniff the container (GIF
+    block walk + LZW frame decode, or MP4 box walk for headers).
+    Unknown kinds fail loudly (the routing contract is code, not a
+    docstring)."""
     if kind == "image":
         parsed = parse_image_dims(data)
         fmt, w, h = parsed if parsed else ("unknown", 0, 0)
@@ -651,14 +749,19 @@ def _decode_one(data: bytes, kind: str) -> dict:
             "n_sampled": (n + 1) // 2,
         }
     if kind == "video":
-        parsed = parse_gif_frames(data)
-        if parsed is None:
-            w = h = nf = 0
-            detail = "unknown"
+        mp4 = parse_mp4(data)
+        if mp4 is not None:
+            w, h, nf, _dur = mp4
+            detail = "mp4"
         else:
-            w, h, frames = parsed
-            nf = len(frames)
-            detail = "gif"
+            parsed = parse_gif_frames(data)
+            if parsed is None:
+                w = h = nf = 0
+                detail = "unknown"
+            else:
+                w, h, frames = parsed
+                nf = len(frames)
+                detail = "gif"
         return {
             "kind": kind,
             "detail": detail,
@@ -697,15 +800,22 @@ def _img_fixture(doc_id: int) -> bytes:
     return make_image_bytes(fmt, 1 + doc_id % 1919, 1 + (doc_id * 3) % 1079)
 
 
+def _video_fixture(doc_id: int) -> bytes:
+    """Video sub-families: the odd half (doc_id % 6 == 5) is a genuine
+    MP4 container (headers parse, pixels need real codecs — the
+    real-crawl shape), the even half a fully-decodable animated GIF."""
+    return make_mp4(doc_id) if doc_id % 6 == 5 else make_animated_gif(doc_id)
+
+
 def _media_fixture(doc_id: int) -> bytes:
-    """The media payload for a doc: genuine image / WAV / animated GIF
-    file, routed by doc_id % 3."""
+    """The media payload for a doc: genuine image / WAV / animated-GIF-
+    or-MP4 file, routed by doc_id % 3."""
     k = doc_id % 3
     if k == 0:
         return _img_fixture(doc_id)
     if k == 1:
         return make_wav(doc_id)
-    return make_animated_gif(doc_id)
+    return _video_fixture(doc_id)
 
 
 def media_metadata(spark, sf_dir: str):
@@ -790,11 +900,11 @@ def media_frame_sample(spark, sf_dir: str):
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.BinaryType())
-    def gif_udf(doc_id: pd.Series) -> pd.Series:
-        return pd.Series([make_animated_gif(int(i)) for i in doc_id])
+    def video_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([_video_fixture(int(i)) for i in doc_id])
 
     videos = d.filter(F.col("doc_id") % 3 == 2).select(
-        "doc_id", gif_udf("doc_id").alias("media")
+        "doc_id", video_udf("doc_id").alias("media")
     )
     return videos.mapInPandas(
         _frame_sample_batch,
@@ -806,14 +916,17 @@ def media_frame_sample(spark, sf_dir: str):
 
 
 # pixel (f, r, c) of doc = (11f + 3r + 5c + doc_id) % 256 — the oracle
-# recomputes the DECODED frame statistics arithmetically
+# recomputes the DECODED frame statistics arithmetically.  The MP4
+# sub-family (doc_id % 6 = 5) contributes NO rows: its frames need real
+# codecs, and the UDTF contract is that unparseable-for-pixels videos
+# emit nothing rather than fakes.
 MEDIA_FRAME_SAMPLE_ORACLE = """
 WITH v AS (
   SELECT doc_id,
          4 + doc_id % 5 AS w,
          4 + (doc_id * 3) % 5 AS h,
          2 + doc_id % 7 AS n_frames
-  FROM documents WHERE doc_id % 3 = 2
+  FROM documents WHERE doc_id % 6 = 2
 ),
 fr AS (
   SELECT doc_id, w, h, idx
@@ -848,11 +961,15 @@ MEDIA_METADATA_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
          (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         (doc_id % 6 = 5) AS is_mp4,
          ({_IMG_FMT_DUCK})[CAST((doc_id // 3) % {len(IMG_FORMATS)} AS INT) + 1]
              AS fmt,
          64 + doc_id % 64 AS n_samp,
-         4 + doc_id % 5 AS vw,
-         4 + (doc_id * 3) % 5 AS vh,
+         -- gif geometry vs mp4 track dims (tkhd 16.16, the make_mp4 grid)
+         CASE WHEN doc_id % 6 = 5 THEN 160 + 16 * (doc_id % 5)
+              ELSE 4 + doc_id % 5 END AS vw,
+         CASE WHEN doc_id % 6 = 5 THEN 120 + 16 * ((doc_id * 3) % 5)
+              ELSE 4 + (doc_id * 3) % 5 END AS vh,
          2 + doc_id % 7 AS vf
   FROM documents
 )
@@ -860,13 +977,15 @@ SELECT doc_id,
        kind,
        (CASE kind WHEN 'image' THEN fmt
                   WHEN 'audio' THEN 'wav'
-                  ELSE 'gif' END) AS detail,
+                  ELSE (CASE WHEN is_mp4 THEN 'mp4' ELSE 'gif' END)
+        END) AS detail,
        (CASE kind
           WHEN 'image' THEN (CASE fmt {_IMG_BYTES_DUCK} END)
           WHEN 'audio' THEN 44 + 2 * n_samp
-          ELSE 13 + 768
-               + vf * (13 + CAST(ceil(9 * (vw * vh + 2) / 8.0) AS BIGINT))
-               + 1 END)::BIGINT AS n_bytes,
+          ELSE (CASE WHEN is_mp4 THEN 280  -- exact box-sum of make_mp4
+                ELSE 13 + 768
+                     + vf * (13 + CAST(ceil(9 * (vw * vh + 2) / 8.0) AS BIGINT))
+                     + 1 END) END)::BIGINT AS n_bytes,
        (CASE kind WHEN 'image' THEN 1 + doc_id % 1919
                   WHEN 'video' THEN vw ELSE 0 END)::BIGINT AS width,
        (CASE kind WHEN 'image' THEN 1 + (doc_id * 3) % 1079
