@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None) -> int:
         "profile (token/quality/lang/fingerprint/PII/repetition "
         "signals over the extracted text) as parquet",
     )
+    ap.add_argument(
+        "--export-training", metavar="DIR",
+        help="after the batch commits, run the composed curation "
+        "pipeline (quality gate -> exact dedup -> shard + pack at "
+        "SEQ_LEN tokens) and write training shards + manifest",
+    )
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--stream-checkpoint", help="streaming offsets dir")
     args = ap.parse_args(argv)
@@ -150,6 +156,12 @@ def main(argv: list[str] | None = None) -> int:
         profile_results(results).write.mode("overwrite").parquet(
             args.profile_output
         )
+    if args.export_training:
+        from textextraction_spark.io.checkpoint import CheckpointCatalog
+        from textextraction_spark.plans.training_export import export_training
+
+        results = CheckpointCatalog(args.checkpoint).results(spark)
+        export_training(results, args.export_training)
     return 0
 
 
