@@ -685,6 +685,42 @@ class TestMp4HeaderParse:
         assert gif["detail"] == "gif"
         assert _decode_one(b"neither", "video")["detail"] == "unknown"
 
+    def test_fuzz_decoders_never_raise(self):
+        """Crawl media is arbitrarily corrupt; every decoder must fail
+        soft (None / 'unknown'), never throw — one bad payload must not
+        kill an Arrow batch."""
+        from hypothesis import given, settings, strategies as st
+
+        from textextraction_spark.operators.multimodal import (
+            _decode_one,
+            make_mp4,
+            parse_gif_frames,
+            parse_mp4,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(max_size=400))
+        def fuzz(data):
+            assert parse_mp4(data) is None or len(parse_mp4(data)) == 4
+            parse_gif_frames(data)
+            for kind in ("image", "audio", "video"):
+                _decode_one(data, kind)
+
+        fuzz()
+
+        # mutated REAL containers (bit flips inside valid structure)
+        @settings(max_examples=100, deadline=None)
+        @given(
+            st.integers(0, 279), st.integers(1, 255), st.integers(0, 1000)
+        )
+        def mutate(pos, xor, doc_id):
+            b = bytearray(make_mp4(doc_id))
+            b[pos] ^= xor
+            parse_mp4(bytes(b))
+            _decode_one(bytes(b), "video")
+
+        mutate()
+
 
 class TestRobots:
     """robots_filter (RFC 9309 frontier gate) — outside the 50-query
