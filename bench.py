@@ -8,7 +8,17 @@ line::
     {"metric": ..., "value": <extract e2e sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": ...,
      "throughput": {docs_per_sec, mb_per_sec, n_docs},
-     "scaling": {local8, local32, efficiency}}
+     "scaling": {local4, local16, efficiency_4_to_16, ...}}
+
+STDOUT SIZE CONTRACT (round-5 hardening): the driver parses the JSON
+line out of a bounded (~2000-char) stdout tail — round 4's line grew to
+2.2k chars of receipts and the round's BENCH row recorded
+``parsed: null`` even though the run itself met the north-rule bar.
+The stdout line is therefore a COMPACT summary hard-capped well under
+the tail window (enforced by a drop-list loop + a minimal fallback),
+and the full receipt payload (pair rows, per-run receipts, pinned
+sensitivity bounds, protocol text) is written to ``BENCH/LAST_RUN.json``
+and echoed to stderr.
 
 The scaling section is the sandbox protocol for the north_rule's N->4N
 executor criterion.  CANONICAL pairing (settled in round 2 after
@@ -316,6 +326,66 @@ def _mark(t_start: float, label: str) -> None:
     """Phase timestamps on stderr — wall-time receipts for reading a
     bench emission (and for keeping the harness under external caps)."""
     print(f"[bench t+{time.time() - t_start:6.1f}s] {label}", file=sys.stderr)
+
+
+def compact_line(full: dict) -> str:
+    """The stdout JSON line: a compact summary of ``full`` hard-capped
+    under the driver's ~2000-char stdout-tail parse window (module
+    docstring).  Receipts live in BENCH/LAST_RUN.json, never here."""
+    scaling = full.get("scaling") or {}
+    compact_scaling: dict = {}
+    if scaling:
+        for c in (4, 8, 16, 32):
+            k = f"local{c}"
+            if k in scaling:
+                compact_scaling[k] = {
+                    "sec": scaling[k]["sec"],
+                    "docs_per_sec": scaling[k]["docs_per_sec"],
+                }
+        compact_scaling["pair_efficiencies"] = [
+            p["efficiency"] for p in scaling.get("pairs_4_to_16", [])
+        ]
+        for k in (
+            "efficiency_4_to_16",
+            "normalized_4_to_16",
+            "machine_ceiling_4_to_16",
+            "kernel_1core_docs_per_sec",
+            "efficiency_8_to_32",
+            "north_rule_efficiency",
+        ):
+            if k in scaling:
+                compact_scaling[k] = scaling[k]
+        compact_scaling["north_rule_protocol"] = (
+            "unpinned local[4]->local[16], long back-to-back pair sides, "
+            "median per-pair ratio; full receipts in BENCH/LAST_RUN.json"
+        )
+    compact = dict(full, scaling=compact_scaling)
+    line = json.dumps(compact)
+    # Size guard, least-essential keys dropped first.  1600 leaves slack
+    # for any stderr/stdout interleaving the driver's tail might capture.
+    for drop in ("north_rule_protocol", "local8", "local32",
+                 "pair_efficiencies", "machine_ceiling_4_to_16"):
+        if len(line) <= 1600:
+            break
+        compact_scaling.pop(drop, None)
+        line = json.dumps(compact)
+    if len(line) > 1900:  # minimal fallback — must never trigger
+        compact = {
+            "metric": full["metric"],
+            "value": full["value"],
+            "unit": "sec",
+            "queries": full["queries"],
+            "sf": full["sf"],
+            "throughput": full["throughput"],
+            "scaling": {
+                "efficiency_4_to_16": compact_scaling.get("efficiency_4_to_16"),
+                "north_rule_efficiency": compact_scaling.get(
+                    "north_rule_efficiency"
+                ),
+            },
+        }
+        line = json.dumps(compact)
+    return line
 
 
 def main() -> None:
@@ -834,20 +904,28 @@ def main() -> None:
 
     shutil.rmtree(work, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "extract_e2e_sec",
-                "value": queries["extract_e2e"],
-                "unit": "sec",
-                "queries": queries,
-                "regressions": regressions,
-                "sf": sf,
-                "throughput": throughput,
-                "scaling": scaling,
-            }
-        )
-    )
+    full = {
+        "metric": "extract_e2e_sec",
+        "value": queries["extract_e2e"],
+        "unit": "sec",
+        "queries": queries,
+        "regressions": regressions,
+        "sf": sf,
+        "throughput": throughput,
+        "scaling": scaling,
+    }
+    # Full receipt payload → file + stderr (the driver keeps only a
+    # ~2000-char stdout tail; see the module-docstring size contract).
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
+        with open(os.path.join(here, "BENCH", "LAST_RUN.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    print("FULL_RESULT " + json.dumps(full), file=sys.stderr)
+
+    print(compact_line(full))
 
 
 if __name__ == "__main__":

@@ -299,6 +299,17 @@ class TestImageHeaderParse:
         vp8l += b"VP8L" + struct.pack("<I", len(pl)) + pl
         assert parse_image_dims(vp8l) == ("webp", 800, 600)
 
+    def test_webp_truncated_vp8x_fails_soft(self):
+        """Round-4 advice: a VP8X chunk with no payload must return None
+        like the VP8/VP8L branches do, not fake a 1x1 canvas via
+        int.from_bytes(b'') == 0."""
+        from textextraction_spark.operators.multimodal import parse_image_dims
+
+        truncated = b"RIFF\x00\x00\x00\x00WEBPVP8X"
+        assert parse_image_dims(truncated) is None
+        # 8-byte chunk header but payload cut mid-canvas-fields
+        assert parse_image_dims(truncated + b"\x0a\x00\x00\x00\x00\x00") is None
+
     def test_bmp_topdown_and_core_header(self):
         """Negative BITMAPINFOHEADER height = top-down rows (same pixel
         dims); the OS/2 BITMAPCOREHEADER uses uint16 dims at offset 18."""
@@ -943,6 +954,20 @@ class TestClustering:
         want = connect_duckdb(SF).execute(SEMDEDUP_PRUNE_ORACLE).df()
         problems = compare("semdedup_prune", got, want)
         assert not problems, problems
+
+    def test_shared_assignment_cache_does_not_stack(self, spark):
+        """Round-4 advice: repeated gate runs must reuse ONE persisted
+        Lloyd assignment per (session, sf_dir), not stack a new cached
+        DataFrame in executor storage memory per call."""
+        from textextraction_spark.operators import clustering as C
+
+        a = C._shared_assignment(spark, SF)
+        C.kmeans_assign(spark, SF).count()
+        C.semdedup_prune(spark, SF).count()
+        C.semdedup_suite(spark, SF).count()
+        assert C._shared_assignment(spark, SF) is a
+        keys = [k for k in C._ASSIGN_CACHE if k[1] == SF]
+        assert len(keys) == 1
 
     def test_prunes_exactly_the_planted_copies(self, spark):
         """The identity copies (vec_id+10000 of the first 200 vectors)

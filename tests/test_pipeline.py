@@ -166,15 +166,17 @@ class TestCheckpointResume:
 
         root = str(tmp_path / "ckpt3")
         cfg = JobConfig(checkpoint_root=root, batch_id="m1", num_partitions=4)
-        # deterministic doc_id < 100 slice (limit() picks arbitrary rows;
-        # this slice also contains no image-only no_text_layer docs, so
-        # n_err == 0 keeps meaning something)
+        # deterministic doc_id < 200 slice (limit() picks arbitrary rows)
+        # — INCLUDES the image-only scanned-PDF family (doc_id 180), so
+        # this pins the round-4-advice fix: no_text_layer is a counted
+        # OUTCOME (n_no_text_layer), never a pipeline failure (n_err)
         batch = pages.filter(
-            F.expr(r"cast(regexp_extract(url, '/d/(\\d+)$', 1) as bigint)") < 100
+            F.expr(r"cast(regexp_extract(url, '/d/(\\d+)$', 1) as bigint)") < 200
         )
         metrics = run_extraction_job(spark, batch, cfg).toPandas()
-        assert metrics["n_docs"].sum() == 100
+        assert metrics["n_docs"].sum() == 200
         assert (metrics["n_err"] == 0).all()
+        assert metrics["n_no_text_layer"].sum() == 1  # doc_id 180
         assert metrics["bytes_in"].sum() > 0
 
 

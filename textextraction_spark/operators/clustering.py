@@ -122,9 +122,29 @@ def _final_assignment(spark, sf_dir: str) -> DataFrame:
     return assigned
 
 
+# One persisted Lloyd chain per (session, sf_dir): kmeans_assign,
+# semdedup_prune, and semdedup_suite all reuse it, so repeated gate runs
+# in one session hit ONE cached assignment instead of stacking a new
+# persisted DataFrame per call in executor storage memory (round-4
+# advice).  Entries from dead sessions are evicted on the next miss.
+_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_assignment(spark, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ASSIGN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _ASSIGN_CACHE if k[0] != key[0]]:
+        _ASSIGN_CACHE.pop(k)
+    df = _final_assignment(spark, sf_dir).persist()
+    _ASSIGN_CACHE[key] = df
+    return df
+
+
 def kmeans_assign(spark, sf_dir: str) -> DataFrame:
     """(vec_id, cluster, dist) after N_LLOYD Lloyd rounds."""
-    return _final_assignment(spark, sf_dir).select(
+    return _shared_assignment(spark, sf_dir).select(
         "vec_id", "cluster", F.round("dist", 6).alias("dist")
     )
 
@@ -133,7 +153,7 @@ def semdedup_prune(spark, sf_dir: str) -> DataFrame:
     """(vec_id, cluster, keep): keep=0 iff a lower-id cluster-mate has
     cosine ≥ SEMDEDUP_TAU (chain-insensitive: pruned vectors still prune
     their own higher-id matches, the standard keep-lowest-id rule)."""
-    return _prune(_final_assignment(spark, sf_dir).persist())
+    return _prune(_shared_assignment(spark, sf_dir))
 
 
 def _prune(assigned: DataFrame) -> DataFrame:
@@ -166,7 +186,7 @@ def semdedup_suite(spark, sf_dir: str) -> DataFrame:
     composite shares the persisted assignment, which is also the 100 TB
     shape: cluster once, reuse for pruning).  Slice-equality pins in
     tests/test_composites.py keep each tag identical to its operator."""
-    assigned = _final_assignment(spark, sf_dir).persist()
+    assigned = _shared_assignment(spark, sf_dir)
     assign = assigned.select(
         F.lit("assign").alias("tag"),
         "vec_id",

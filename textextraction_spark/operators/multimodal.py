@@ -177,6 +177,10 @@ def _parse_webp_dims(data: bytes) -> tuple[str, int, int] | None:
     header), VP8L (lossless 14-bit packed dims)."""
     fourcc = data[12:16]
     if fourcc == b"VP8X":
+        # a truncated chunk must fail soft like VP8/VP8L do —
+        # int.from_bytes(b'', ...) is 0, which would fake a 1x1 canvas
+        if len(data) < 30:
+            return None
         w = int.from_bytes(data[24:27], "little") + 1
         h = int.from_bytes(data[27:30], "little") + 1
         return ("webp", w, h)

@@ -155,7 +155,22 @@ def _write_metrics(spark, catalog, batch_id: str):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.when(F.col("error") == "", 1).otherwise(0)).alias("n_ok"),
-            F.sum(F.when(F.col("error") != "", 1).otherwise(0)).alias("n_err"),
+            # no_text_layer is a legitimate per-row OUTCOME (image-only
+            # scanned PDFs — the reference OCRs them, we surface them),
+            # not a pipeline failure: it gets its own counter so n_err
+            # keeps meaning "the pipeline broke on this row" and a
+            # healthy corpus containing scanned docs reports n_err == 0
+            # (mirrors bench.py's run_extract error gate).
+            F.sum(
+                F.when(
+                    (F.col("error") != "")
+                    & (F.col("error") != "no_text_layer"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_err"),
+            F.sum(
+                F.when(F.col("error") == "no_text_layer", 1).otherwise(0)
+            ).alias("n_no_text_layer"),
             F.sum("n_bytes").alias("bytes_in"),
             F.avg("confidence").alias("avg_confidence"),
         )
