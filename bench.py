@@ -802,6 +802,13 @@ def main() -> None:
     spark = make_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     qmap = E.queries()
+    # Session warmup BEFORE any timing: the first query in a fresh
+    # session pays the python-worker spin + UDF archive ship + Arrow
+    # init for the whole phase (measured: dedup_minhash_lsh 9.9 s cold
+    # vs 2.0 s warm).  Round 4 recorded exactly that cold run because
+    # the phase had gone past the soft budget and dropped to single
+    # attempts — the warmup makes even single-attempt numbers warm.
+    qmap["dedup_exact"](spark, sf_dir).count()
     for name in (
         "dedup_minhash_lsh",
         "dedup_exact",
@@ -818,9 +825,13 @@ def main() -> None:
         # queries) the UDF zip/worker spin, so a cold run agreeing with a
         # burst-slowed second run used to satisfy the old 2-run exit and
         # record a number ~2x the warm cost (run-23 media_metadata).
-        # Past the soft budget every query gets a single attempt — the
-        # queries are the phase that absorbs budget exhaustion now.
-        attempts = 1 if (time.time() - t_start) > budget_s else 4
+        # Past the soft budget every query drops to min-of-2 — the
+        # queries are the phase that absorbs budget exhaustion, but a
+        # single attempt records the query's OWN plan-compile cost as
+        # its runtime (the round-4 failure mode); two runs keep the
+        # worst case bounded (~8 x warm cost) while the min discards
+        # the compile run.
+        attempts = 2 if (time.time() - t_start) > budget_s else 4
         times = []
         for _ in range(attempts):
             t0 = time.time()
