@@ -58,7 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from textextraction_spark.operators import clustering as CL
     from textextraction_spark.operators import curation as C
     from textextraction_spark.operators import dedup as D
+    from textextraction_spark.operators import graph as G
     from textextraction_spark.operators import multimodal as M
+    from textextraction_spark.operators import pq as PQ
     from textextraction_spark.operators import scheduling as SCH
     from textextraction_spark.operators import selection as SEL
     from textextraction_spark.operators import simsearch as S
@@ -74,6 +76,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tag='clf' branch of doc_quality_signals).  The standalone operator
     # functions remain the library surface (tested in tests/; several are
     # pinned equal to their composite slice).
+    #
+    # Round-5 rotation (same pattern as rounds 3-4): media_frame_sample
+    # folded into media_features (kind='frame'), w1+s1 into rank_suite,
+    # events_project+p3 into project_gates — freeing three slots for
+    # exact_substr_dedup (Lee et al. exact-substring removal),
+    # host_pagerank (persisted-graph iteration), and pq_suite (IVF-PQ
+    # codes + ADC re-rank), the highest-value operators that had only
+    # pytest oracles before.
     return {
         # --- extraction pipeline (SURVEY.md §2.1-2.3, §2.8) ---
         "extract_html_text": X.extract_html_text,
@@ -101,28 +111,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": D.incremental_dedup,
         "dedup_repeated_spans": D.span_dedup,
         "dedup_clusters": D.dedup_clusters,  # connected components (iterative)
+        "exact_substr_dedup": D.exact_substr_dedup,  # Lee et al. removal half
         # --- similarity search / embedding pipeline ---
         "ann_brute_force_topk": S.brute_force_topk,
         "ann_bucketed": S.ann_bucketed,  # LSH (single+multi) + IVF (nprobe 1+2)
         "embedding_near_dup": S.embedding_near_dup,
         "semdedup_suite": CL.semdedup_suite,  # kmeans_assign + semdedup_prune
+        "pq_suite": PQ.pq_suite,  # pq_encode + ann_pq_adc (IVF-PQ codes + ADC)
+        "host_pagerank": G.host_pagerank,  # persisted-graph iteration
         # --- scored data selection (LM ppl + DSIR + classifier verdict) ---
         "scored_selection": SEL.scored_selection,
         # --- multimodal plumbing ---
         "media_metadata": M.media_metadata,
-        "media_frame_sample": M.media_frame_sample,
-        "media_features": M.media_features,  # pixel decode+resize + WAV PCM
+        "media_features": M.media_features,  # decode+resize + WAV PCM + frames
         "politeness_schedule": SCH.politeness_both,  # window + grouped-map
         # --- relational operator suite (SURVEY.md §2.3-2.7) ---
-        "events_project": R.events_project,  # p1_strip_special + f_json
-        "p3_keyword_gate": R.p3_keyword_gate,
+        "project_gates": R.project_gates,  # p1_strip + f_json + p3 gate
         "a1_type_stats": R.a1_type_stats,  # a1 aggregates + percentiles
         "user_event_profile": R.user_event_profile,  # a2 rank-1 + a4 collect
-        "w1_topk_per_group": R.w1_topk_per_group,
+        "rank_suite": R.rank_suite,  # w1 topk-per-group + s1 sort/limit
         "j1_broadcast_join": R.j1_broadcast_join,
         "j2_anti_join_resume": R.j2_anti_join_resume,
         "j3_large_join_smj": R.j3_large_join_smj,
-        "s1_top_orders": R.s1_top_orders,
         "q1_pricing_summary": R.q1_pricing_summary,
         # --- analytic suite (windows, grouping sets, as-of/band joins) ---
         "window_analytics": A.window_analytics,  # w2 frames + w4 ranking
@@ -143,7 +153,9 @@ def oracle_sql() -> dict[str, str]:
     from textextraction_spark.operators import clustering as CL
     from textextraction_spark.operators import curation as C
     from textextraction_spark.operators import dedup as D
+    from textextraction_spark.operators import graph as G
     from textextraction_spark.operators import multimodal as M
+    from textextraction_spark.operators import pq as PQ
     from textextraction_spark.operators import scheduling as SCH
     from textextraction_spark.operators import selection as SEL
     from textextraction_spark.operators import simsearch as S
@@ -175,24 +187,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": D.INCREMENTAL_DEDUP_ORACLE,
         "dedup_repeated_spans": D.SPAN_DEDUP_ORACLE,
         "dedup_clusters": D.DEDUP_CLUSTERS_ORACLE,
+        "exact_substr_dedup": D.EXACT_SUBSTR_ORACLE,
         "ann_brute_force_topk": S.BRUTE_FORCE_ORACLE,
         "ann_bucketed": S.ANN_BUCKETED_ORACLE,
         "embedding_near_dup": S.EMBEDDING_NEAR_DUP_ORACLE,
         "semdedup_suite": CL.SEMDEDUP_SUITE_ORACLE,
+        "pq_suite": PQ.PQ_SUITE_ORACLE,
+        "host_pagerank": G.HOST_PAGERANK_ORACLE,
         "scored_selection": SEL.SCORED_SELECTION_ORACLE,
         "media_metadata": M.MEDIA_METADATA_ORACLE,
-        "media_frame_sample": M.MEDIA_FRAME_SAMPLE_ORACLE,
         "media_features": M.MEDIA_FEATURES_ORACLE,
         "politeness_schedule": SCH.POLITENESS_BOTH_ORACLE,
-        "events_project": R.EVENTS_PROJECT_ORACLE,
-        "p3_keyword_gate": R.P3_ORACLE,
+        "project_gates": R.PROJECT_GATES_ORACLE,
         "a1_type_stats": R.A1_TYPE_STATS_ORACLE,
         "user_event_profile": R.USER_EVENT_PROFILE_ORACLE,
-        "w1_topk_per_group": R.W1_ORACLE,
+        "rank_suite": R.RANK_SUITE_ORACLE,
         "j1_broadcast_join": R.J1_ORACLE,
         "j2_anti_join_resume": R.J2_ORACLE,
         "j3_large_join_smj": R.J3_ORACLE,
-        "s1_top_orders": R.S1_ORACLE,
         "q1_pricing_summary": R.Q1_ORACLE,
         "window_analytics": A.WINDOW_ANALYTICS_ORACLE,
         "grouping_multi": A.GROUPING_MULTI_ORACLE,

@@ -285,15 +285,49 @@ class TestDocQualitySlices:
 
 
 class TestRelationalSlices:
-    def test_events_project_slices(self, spark):
+    def test_project_gates_slices(self, spark):
+        """Round-5 rotation: events_project + p3_keyword_gate gate as
+        ONE tag-union row; each tag must equal its standalone operator
+        (and events_project's own constituents stay pinned through it)."""
+        from pyspark.sql import functions as F
+
         from textextraction_spark.functions import relational as R
 
-        comp = E.queries()["events_project"](spark, SF)
+        comp = E.queries()["project_gates"](spark, SF)
+        ev = comp.filter(F.col("tag") == "event_project")
         assert_df_equal(
-            R.p1_strip_special(spark, SF), comp.select("event_id", "props_clean")
+            R.events_project(spark, SF),
+            ev.select("event_id", "props_clean", "k_value"),
         )
         assert_df_equal(
-            R.f_json_extract(spark, SF), comp.select("event_id", "k_value")
+            R.p1_strip_special(spark, SF), ev.select("event_id", "props_clean")
+        )
+        assert_df_equal(
+            R.f_json_extract(spark, SF), ev.select("event_id", "k_value")
+        )
+        assert_df_equal(
+            R.p3_keyword_gate(spark, SF),
+            comp.filter(F.col("tag") == "doc_gate").select("doc_id", "lang"),
+        )
+
+    def test_rank_suite_slices(self, spark):
+        """Round-5 rotation: w1_topk_per_group + s1_top_orders."""
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.functions import relational as R
+
+        comp = E.queries()["rank_suite"](spark, SF)
+        assert_df_equal(
+            R.w1_topk_per_group(spark, SF),
+            comp.filter(F.col("tag") == "topk_events").select(
+                "event_type", "rk", "event_id", "value"
+            ),
+        )
+        assert_df_equal(
+            R.s1_top_orders(spark, SF),
+            comp.filter(F.col("tag") == "top_orders").select(
+                "o_orderkey", "o_totalprice"
+            ),
         )
 
     def test_a1_type_stats_slices(self, spark):
@@ -445,6 +479,33 @@ class TestOperatorFamilyBranches:
             comp.filter(F.col("kind") == "audio").select(
                 "doc_id", "sample_rate", "n_samples", "rms", "peak"
             ),
+        )
+        # round-5 rotation: the frame sampler rides as kind='frame'
+        assert_df_equal(
+            M.media_frame_sample(spark, SF),
+            comp.filter(F.col("kind") == "frame").select(
+                "doc_id", "frame_idx", "fw", "fh", "mean_px", "min_px", "max_px"
+            ),
+        )
+
+    def test_pq_suite_slices(self, spark):
+        """Round-5 rotation: pq_encode + ann_pq_adc gate as one row;
+        the encode tag stringifies the code array for the value hash."""
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.operators import pq as PQ
+
+        comp = E.queries()["pq_suite"](spark, SF)
+        assert_df_equal(
+            PQ.pq_encode(spark, SF).select(
+                F.col("vec_id").cast("bigint").alias("vec_id"),
+                F.array_join("code", ",").alias("code_str"),
+            ),
+            comp.filter(F.col("tag") == "encode").select("vec_id", "code_str"),
+        )
+        assert_df_equal(
+            PQ.ann_pq_adc(spark, SF),
+            comp.filter(F.col("tag") == "adc").select("vec_id", "adc", "cosine"),
         )
 
     def test_scored_selection_slices(self, spark):

@@ -30,14 +30,16 @@ FAST_SUBSET = [
     "scored_selection",
     "semdedup_suite",
     "media_metadata",
-    "media_frame_sample",
     "media_features",
     "politeness_schedule",
     "a1_type_stats",
     "user_event_profile",
-    "events_project",
+    "project_gates",
     "j1_broadcast_join",
-    "w1_topk_per_group",
+    "rank_suite",
+    "pq_suite",
+    "host_pagerank",
+    "exact_substr_dedup",
     "q1_pricing_summary",
     "window_analytics",
     "grouping_multi",

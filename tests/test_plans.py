@@ -161,7 +161,9 @@ SHUFFLE_BUDGETS = {
     # (all constituent signals fold into one projection), and the ANN
     # composites union two broadcast-bucket lookups (no exchange).
     "text_profile": 0,
-    "events_project": 0,
+    # round-5 rotation: events_project + p3_keyword_gate union — two
+    # narrow pruned scans, still zero exchanges
+    "project_gates": 0,
     # signals branch stays narrow; the decon branch pays exactly its
     # bounded pair (bench-gram distinct + doc_id hit-count) — the
     # benchmark side is broadcast, corpus text never crosses the wire;
@@ -174,11 +176,12 @@ SHUFFLE_BUDGETS = {
     "ann_bucketed": 0,
     "embedding_near_dup": 0,
     "media_metadata": 0,
-    "media_frame_sample": 0,
     "media_features": 0,
     "curation_pipeline": 0,
-    "p3_keyword_gate": 0,
-    "s1_top_orders": 0,
+    # round-5 rotation: PQ encode is a narrow projection; the ADC
+    # branch's shortlist is a TakeOrderedAndProject (no Exchange node)
+    # and the re-rank join broadcasts the tiny shortlist
+    "pq_suite": 0,
     # round 2: per-doc field projection rewritten to narrow array exprs
     # (filter/transform/array_max over the spans column) — ZERO shuffles;
     # the explode+groupBy twin paid one exchange per query for same rows.
@@ -199,7 +202,8 @@ SHUFFLE_BUDGETS = {
     "grouping_multi": 2,
     "set_ops": 3,
     "politeness_schedule": 2,
-    "w1_topk_per_group": 1,
+    # round-5 rotation: w1's one window shuffle; s1 stays TakeOrdered
+    "rank_suite": 1,
     "j1_broadcast_join": 1,
     "j2_anti_join_resume": 1,
     # event_joins union: asof's one window shuffle + band's one agg
@@ -246,6 +250,16 @@ SHUFFLE_BUDGETS = {
     # bounded K-cluster pair join.
     "scored_selection": 23,
     "semdedup_suite": 41,
+    # round-5 rotation additions (measured static plans at sf0.001):
+    # exact_substr_dedup = gram-hash partial agg (dup detection) + the
+    # hit join + per-doc regroup — 3 exchanges moving (hash, pos)
+    # metadata, never text.  host_pagerank's K=5 unrolled loop repeats
+    # the persisted graph's InMemoryRelation lineage under every
+    # iteration in the PRINTED plan (67 static nodes) — the persist
+    # executes each underlying exchange once, same caveat as
+    # semdedup_suite's 41 above.
+    "exact_substr_dedup": 3,
+    "host_pagerank": 67,
 }
 
 

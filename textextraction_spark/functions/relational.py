@@ -188,6 +188,49 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """
 
 
+# ---- rank_suite: W2 top-k per group + S sort/limit, one driver row -------
+def rank_suite(spark, sf_dir: str):
+    """Round-5 gate rotation: the two rank-shaped operators
+    (w1_topk_per_group — the W2 ranking window — and s1_top_orders —
+    global sort+limit) union-tagged into ONE driver row, freeing a
+    50-cap slot for the late-round operator suite.  Off-tag slots are
+    typed NULLs; slice-equality pins in tests/test_composites.py keep
+    each tag identical to its standalone operator.  The union adds no
+    exchange: w1 keeps its one window shuffle, s1 stays a
+    TakeOrderedAndProject."""
+    w1 = w1_topk_per_group(spark, sf_dir).select(
+        F.lit("topk_events").alias("tag"),
+        "event_type",
+        "rk",
+        "event_id",
+        "value",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    s1 = s1_top_orders(spark, sf_dir).select(
+        F.lit("top_orders").alias("tag"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("rk"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return w1.unionByName(s1)
+
+
+RANK_SUITE_ORACLE = f"""
+SELECT 'topk_events' AS tag, event_type, rk, event_id, value,
+       NULL::BIGINT AS o_orderkey, NULL::DOUBLE AS o_totalprice
+FROM ({W1_ORACLE})
+UNION ALL
+SELECT 'top_orders' AS tag, NULL::VARCHAR AS event_type,
+       NULL::BIGINT AS rk, NULL::BIGINT AS event_id,
+       NULL::DOUBLE AS value, o_orderkey, o_totalprice
+FROM ({S1_ORACLE})
+"""
+
+
 # ---- SET: except via anti-join semantics ---------------------------------
 def set_except_types(spark, sf_dir: str):
     """(user, type) combos in the first half of the stream that never recur
@@ -315,6 +358,46 @@ SELECT event_id,
        rtrim(regexp_replace(props, '{SPECIAL_CHARS_SQL}', '', 'g')) AS props_clean,
        json_extract_string(props, '$.k')::BIGINT AS k_value
 FROM events
+"""
+
+
+# ---- project_gates: P1/F-JSON projection + P3 keyword gate, one row ------
+def project_gates(spark, sf_dir: str):
+    """Round-5 gate rotation: the two narrow scan-side operators
+    (events_project — P1 special-char strip + F-JSON extract over
+    events — and p3_keyword_gate — the P3 keyword predicate over
+    documents) union-tagged into ONE driver row, freeing a 50-cap
+    slot.  Both branches are zero-shuffle projections/filters over
+    their own pruned scans; the union adds no exchange.  Slice pins in
+    tests/test_composites.py keep each tag equal to its standalone."""
+    ev = events_project(spark, sf_dir).select(
+        F.lit("event_project").alias("tag"),
+        "event_id",
+        "props_clean",
+        "k_value",
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    gate = p3_keyword_gate(spark, sf_dir).select(
+        F.lit("doc_gate").alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("string").alias("props_clean"),
+        F.lit(None).cast("bigint").alias("k_value"),
+        "doc_id",
+        "lang",
+    )
+    return ev.unionByName(gate)
+
+
+PROJECT_GATES_ORACLE = f"""
+SELECT 'event_project' AS tag, event_id, props_clean, k_value,
+       NULL::BIGINT AS doc_id, NULL::VARCHAR AS lang
+FROM ({EVENTS_PROJECT_ORACLE})
+UNION ALL
+SELECT 'doc_gate' AS tag, NULL::BIGINT AS event_id,
+       NULL::VARCHAR AS props_clean, NULL::BIGINT AS k_value,
+       doc_id, lang
+FROM ({P3_ORACLE})
 """
 
 

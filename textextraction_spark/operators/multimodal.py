@@ -1005,15 +1005,19 @@ FROM t
 
 
 def media_features(spark, sf_dir: str):
-    """Round-4 gate rotation: the two per-doc feature extractors
-    (real PGM pixel decode+resize, real WAV PCM signal features)
-    union-tagged by ``kind`` into ONE driver row, freeing a 50-cap slot.
-    Every constituent column survives (off-kind slots are typed numeric
-    NULLs per the tag-union convention); slice-equality pins in
-    tests/test_composites.py keep ``kind='image'`` identical to
-    ``media_decode_resize`` and ``kind='audio'`` to
-    ``media_audio_features``.  Both branches stay mapInPandas over
+    """Round-4/5 gate rotation: the three per-doc media extractors
+    (real PGM pixel decode+resize, real WAV PCM signal features, and —
+    round 5 — the GIF LZW frame sampler) union-tagged by ``kind`` into
+    ONE driver row, freeing two 50-cap slots.  Every constituent column
+    survives (off-kind slots are typed numeric NULLs per the tag-union
+    convention); slice-equality pins in tests/test_composites.py keep
+    ``kind='image'`` identical to ``media_decode_resize``,
+    ``kind='audio'`` to ``media_audio_features``, and ``kind='frame'``
+    to ``media_frame_sample``.  All branches stay mapInPandas over
     Arrow batches — the union adds no exchange."""
+    _fnull = [
+        F.lit(None).cast("bigint").alias(c) for c in ("frame_idx", "fw", "fh")
+    ]
     img = media_decode_resize(spark, sf_dir).select(
         F.lit("image").alias("kind"),
         "doc_id",
@@ -1026,6 +1030,7 @@ def media_features(spark, sf_dir: str):
         F.lit(None).cast("bigint").alias("n_samples"),
         F.lit(None).cast("double").alias("rms"),
         F.lit(None).cast("bigint").alias("peak"),
+        *_fnull,
     )
     aud = media_audio_features(spark, sf_dir).select(
         F.lit("audio").alias("kind"),
@@ -1039,18 +1044,44 @@ def media_features(spark, sf_dir: str):
         "n_samples",
         "rms",
         "peak",
+        *_fnull,
     )
-    return img.unionByName(aud)
+    frm = media_frame_sample(spark, sf_dir).select(
+        F.lit("frame").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("bigint").alias("rw"),
+        F.lit(None).cast("bigint").alias("rh"),
+        "mean_px",
+        "min_px",
+        "max_px",
+        F.lit(None).cast("bigint").alias("sample_rate"),
+        F.lit(None).cast("bigint").alias("n_samples"),
+        F.lit(None).cast("double").alias("rms"),
+        F.lit(None).cast("bigint").alias("peak"),
+        "frame_idx",
+        "fw",
+        "fh",
+    )
+    return img.unionByName(aud).unionByName(frm)
 
 
 MEDIA_FEATURES_ORACLE = f"""
 SELECT 'image' AS kind, doc_id, rw, rh, mean_px, min_px, max_px,
        NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
-       NULL::DOUBLE AS rms, NULL::BIGINT AS peak
+       NULL::DOUBLE AS rms, NULL::BIGINT AS peak,
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh
 FROM ({MEDIA_DECODE_RESIZE_ORACLE})
 UNION ALL
 SELECT 'audio' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
        NULL::DOUBLE AS mean_px, NULL::BIGINT AS min_px,
-       NULL::BIGINT AS max_px, sample_rate, n_samples, rms, peak
+       NULL::BIGINT AS max_px, sample_rate, n_samples, rms, peak,
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh
 FROM ({MEDIA_AUDIO_ORACLE})
+UNION ALL
+SELECT 'frame' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
+       mean_px, min_px, max_px,
+       NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::DOUBLE AS rms, NULL::BIGINT AS peak,
+       frame_idx, fw, fh
+FROM ({MEDIA_FRAME_SAMPLE_ORACLE})
 """

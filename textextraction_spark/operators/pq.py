@@ -261,3 +261,40 @@ FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id {_DUCK_Q}
 ORDER BY cosine DESC, s.vec_id ASC
 LIMIT {TOP_K}
 """
+
+
+# ------------------------------------------------- gated composite (r5)
+def pq_suite(spark, sf_dir: str):
+    """Round-5 gate rotation: the PQ pair as ONE driver row —
+    ``tag='encode'`` rows carry every vector's M-subspace code
+    (stringified, so the value hash is engine-portable), ``tag='adc'``
+    rows the ADC-shortlist + exact-re-rank top-k.  Slice-equality pins
+    in tests/test_composites.py keep each tag identical to its
+    standalone operator.  The union adds no exchange: encode is a
+    narrow projection, ADC a TakeOrdered + one tiny broadcast join."""
+    enc = pq_encode(spark, sf_dir).select(
+        F.lit("encode").alias("tag"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.array_join("code", ",").alias("code_str"),
+        F.lit(None).cast("double").alias("adc"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+    adc = ann_pq_adc(spark, sf_dir).select(
+        F.lit("adc").alias("tag"),
+        "vec_id",
+        F.lit(None).cast("string").alias("code_str"),
+        "adc",
+        "cosine",
+    )
+    return enc.unionByName(adc)
+
+
+PQ_SUITE_ORACLE = f"""
+SELECT 'encode' AS tag, vec_id,
+       array_to_string(code, ',') AS code_str,
+       NULL::DOUBLE AS adc, NULL::DOUBLE AS cosine
+FROM ({PQ_ENCODE_ORACLE})
+UNION ALL
+SELECT 'adc' AS tag, vec_id, NULL::VARCHAR AS code_str, adc, cosine
+FROM ({ANN_PQ_ORACLE})
+"""
