@@ -50,13 +50,17 @@ IMG_FORMATS = ["png", "gif", "jpeg", "webp", "bmp", "tiff"]
 def real_decode(data: bytes, kind: str):
     """Swap-in point for production codec libraries (pillow / pyav /
     ffmpeg — none exist in this image).  Every kind already has an
-    honest pure-stdlib decode path (PGM/PNG/GIF/JPEG images, RIFF WAV
-    audio, animated-GIF video incl. full LZW); wiring a production codec
-    here changes the supported-format list, not the Spark plumbing."""
+    honest pure-stdlib decode path (PGM pixel decode, PNG/GIF/JPEG/WebP/
+    BMP/TIFF/MP4 header parses, RIFF WAV audio, animated-GIF video incl.
+    full LZW, and — round 5 — FULL baseline-JPEG pixel decode with
+    Huffman entropy decoding + IDCT in operators/jpeg.py); wiring a
+    production codec here changes the supported-format list (color
+    JPEG chroma pipelines, WebP/AVIF bitstreams, H.264), not the Spark
+    plumbing."""
     raise NotImplementedError(
         "broad-format media decoding requires codec libraries not present "
-        "in this image; wire pillow/av here in production (the GIF/WAV/PGM "
-        "paths in this module are complete without them)"
+        "in this image; wire pillow/av here in production (the GIF/WAV/PGM/"
+        "baseline-JPEG paths in this package are complete without them)"
     )
 
 
