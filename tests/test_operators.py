@@ -696,9 +696,10 @@ class TestJpegCodec:
             r = decode_baseline_jpeg(bytes(b))
             assert r is None or (r.dtype == np.uint8 and r.ndim == 2)
 
-    def test_multicomponent_and_progressive_fail_soft(self):
-        """The supported envelope is pinned: color (3-component SOF0)
-        and progressive (SOF2) frames return None, not garbage."""
+    def test_unsupported_frames_fail_soft(self):
+        """The supported envelope is pinned: a truncated/lying SOF
+        (ncomp=3 with one component's bytes) and progressive (SOF2)
+        frames return None, not garbage."""
         from textextraction_spark.operators.jpeg import (
             decode_baseline_jpeg,
             make_block_jpeg,
@@ -707,12 +708,59 @@ class TestJpegCodec:
         data = bytearray(make_block_jpeg(9))
         sof = data.find(b"\xff\xc0")
         assert sof > 0
-        color = bytearray(data)
-        color[sof + 9] = 3  # ncomp=1 -> 3
-        assert decode_baseline_jpeg(bytes(color)) is None
+        lying = bytearray(data)
+        lying[sof + 9] = 3  # claims 3 components, carries 1
+        assert decode_baseline_jpeg(bytes(lying)) is None
         prog = bytearray(data)
         prog[sof + 1] = 0xC2  # SOF0 -> SOF2
         assert decode_baseline_jpeg(bytes(prog)) is None
+
+    def test_color_flat_blocks_decode_bit_exact(self):
+        """4:4:4 and 4:2:0 YCbCr: interleaved-MCU decode, replication
+        upsampling, and the BT.601 transform reproduce the per-block
+        (Y,Cb,Cr)->RGB integers exactly on the flat fixtures."""
+        import numpy as np
+
+        from textextraction_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            make_color_jpeg,
+        )
+
+        def rgb_of(y, cb, cr):
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            return np.clip(
+                np.floor(np.stack([r, g, b], -1) + 0.5), 0, 255
+            ).astype(np.uint8)
+
+        for doc_id in (0, 1, 2, 3, 7, 100, 101):
+            img = decode_baseline_jpeg(make_color_jpeg(doc_id))
+            sub = doc_id % 2 == 1
+            wb = 4 if sub else 2 + doc_id % 3
+            hb = 2 + 2 * ((doc_id // 2) % 2) if sub else 2 + (doc_id * 5) % 3
+            assert img is not None and img.shape == (hb * 8, wb * 8, 3)
+            for by in range(hb):
+                for bx in range(wb):
+                    yv = (doc_id * 7 + 13 * bx + 29 * by) % 256
+                    cx, cy = (bx // 2, by // 2) if sub else (bx, by)
+                    cbv = (doc_id * 11 + 17 * cx + 23 * cy) % 256
+                    crv = (doc_id * 5 + 19 * cx + 31 * cy) % 256
+                    want = rgb_of(
+                        np.float64(yv), np.float64(cbv), np.float64(crv)
+                    )
+                    assert (img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == want).all()
+
+    def test_color_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.jpeg import (
+            MEDIA_JPEG_COLOR_ORACLE,
+            media_jpeg_color,
+        )
+
+        got = media_jpeg_color(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(MEDIA_JPEG_COLOR_ORACLE).df()
+        problems = compare("media_jpeg_color", got, want)
+        assert not problems, problems
 
     def test_operator_matches_oracle(self, spark):
         from textextraction_spark.operators.jpeg import (

@@ -145,62 +145,113 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
+def _encode_block(bw: _BitWriter, block_shifted: np.ndarray, pred: int) -> int:
+    """DCT + unit quant + DC-diff/AC-run entropy code one 8x8 block;
+    returns the new DC predictor."""
+    coef = _B @ block_shifted @ _B.T
+    q = np.rint(coef).astype(np.int64)  # unit quant
+    zz = [int(q[u, v]) for (u, v) in _ZZ]
+    diff = zz[0] - pred
+    pred = zz[0]
+    ssss = _category(diff)
+    c, ln = _DC_ENC[ssss]
+    bw.put(c, ln)
+    if ssss:
+        bw.put(_magnitude_bits(diff, ssss) & ((1 << ssss) - 1), ssss)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = _AC_ENC[0xF0]  # ZRL
+            bw.put(c, ln)
+            run -= 16
+        s = _category(v)
+        c, ln = _AC_ENC[(run << 4) | s]
+        bw.put(c, ln)
+        bw.put(_magnitude_bits(v, s) & ((1 << s) - 1), s)
+        run = 0
+    if run:
+        c, ln = _AC_ENC[0x00]  # EOB
+        bw.put(c, ln)
+    return pred
+
+
+def _headers(h: int, w: int, comps: list[tuple[int, int, int]]) -> bytes:
+    """SOI + DQT(unit) + SOF0 + DHT + SOS for components
+    [(id, hi, vi), ...], all on quant table 0 / huffman tables 0."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof_body += bytes([len(comps)])
+    for cid, hi, vi in comps:
+        sof_body += bytes([cid, (hi << 4) | vi, 0])
+    dht = _seg(
+        0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMS)
+    ) + _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMS))
+    sos_body = bytes([len(comps)])
+    for cid, _hi, _vi in comps:
+        sos_body += bytes([cid, 0x00])
+    sos_body += bytes([0, 63, 0])
+    return b"\xff\xd8" + dqt + _seg(0xC0, sof_body) + dht + _seg(0xDA, sos_body)
+
+
 def encode_baseline_jpeg(img: np.ndarray) -> bytes:
     """Grayscale baseline JFIF from an (h, w) uint8 array; dims must be
     multiples of 8.  Unit quantization tables (lossless for flat blocks,
     DCT-rounding-only elsewhere)."""
     h, w = img.shape
     assert h % 8 == 0 and w % 8 == 0, "fixture dims are block-aligned"
-    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # Pq=0,Tq=0; unit table
-    sof = _seg(
-        0xC0,
-        bytes([8])
-        + h.to_bytes(2, "big")
-        + w.to_bytes(2, "big")
-        + bytes([1, 1, 0x11, 0]),  # 1 component, h1v1, quant table 0
-    )
-    dht = _seg(
-        0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMS)
-    ) + _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMS))
-    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-
     bw = _BitWriter()
     pred = 0
     shifted = img.astype(np.float64) - 128.0
     for by in range(h // 8):
         for bx in range(w // 8):
-            block = shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            coef = _B @ block @ _B.T
-            q = np.rint(coef).astype(np.int64)  # unit quant
-            zz = [int(q[u, v]) for (u, v) in _ZZ]
-            # DC difference
-            diff = zz[0] - pred
-            pred = zz[0]
-            ssss = _category(diff)
-            c, ln = _DC_ENC[ssss]
-            bw.put(c, ln)
-            if ssss:
-                bw.put(_magnitude_bits(diff, ssss) & ((1 << ssss) - 1), ssss)
-            # AC runs
-            run = 0
-            for k in range(1, 64):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = _AC_ENC[0xF0]  # ZRL
-                    bw.put(c, ln)
-                    run -= 16
-                s = _category(v)
-                c, ln = _AC_ENC[(run << 4) | s]
-                bw.put(c, ln)
-                bw.put(_magnitude_bits(v, s) & ((1 << s) - 1), s)
-                run = 0
-            if run:
-                c, ln = _AC_ENC[0x00]  # EOB
-                bw.put(c, ln)
-    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+            pred = _encode_block(
+                bw, shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], pred
+            )
+    return _headers(h, w, [(1, 1, 1)]) + bw.flush() + b"\xff\xd9"
+
+
+def encode_baseline_jpeg_color(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, subsample: bool = False
+) -> bytes:
+    """3-component YCbCr baseline JFIF.  ``subsample=False`` -> 4:4:4
+    (all planes full-size, h/w multiples of 8); ``subsample=True`` ->
+    4:2:0 (luma h2v2, h/w multiples of 16, chroma planes half-size).
+    Interleaved MCUs with per-component DC predictors — the exact
+    stream shape real encoders emit."""
+    h, w = y.shape
+    if subsample:
+        assert h % 16 == 0 and w % 16 == 0
+        assert cb.shape == cr.shape == (h // 2, w // 2)
+        comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+    else:
+        assert h % 8 == 0 and w % 8 == 0
+        assert cb.shape == cr.shape == (h, w)
+        comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+    planes = {
+        1: y.astype(np.float64) - 128.0,
+        2: cb.astype(np.float64) - 128.0,
+        3: cr.astype(np.float64) - 128.0,
+    }
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for my in range(h // (8 * vmax)):
+        for mx in range(w // (8 * hmax)):
+            for cid, hi, vi in comps:
+                p = planes[cid]
+                for v in range(vi):
+                    for hh in range(hi):
+                        r0 = (my * vi + v) * 8
+                        c0 = (mx * hi + hh) * 8
+                        preds[cid] = _encode_block(
+                            bw, p[r0 : r0 + 8, c0 : c0 + 8], preds[cid]
+                        )
+    return _headers(h, w, comps) + bw.flush() + b"\xff\xd9"
 
 
 # ------------------------------------------------------------------ decoder
@@ -253,9 +304,12 @@ def _extend(v: int, ssss: int) -> int:
 
 
 def decode_baseline_jpeg(data: bytes):
-    """Full baseline decode of a single-component JPEG -> (h, w) uint8
-    array, or None on anything malformed / unsupported (multi-component,
-    progressive).  Tables are read from the stream's own DQT/DHT."""
+    """Full baseline decode -> (h, w) uint8 for grayscale frames or
+    (h, w, 3) uint8 RGB for 3-component YCbCr frames (4:4:4, 4:2:2 and
+    4:2:0 chroma samplings, via general MCU interleave + replication
+    upsampling + BT.601 color transform).  None on anything malformed
+    or unsupported (progressive, arithmetic, 12-bit, exotic samplings).
+    Tables are read from the stream's own DQT/DHT."""
     try:
         return _decode(data)
     except Exception:  # noqa: BLE001 — corrupt bytes fail soft by contract
@@ -268,7 +322,7 @@ def _decode(data: bytes):
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> (code,len)->sym
     h = w = 0
-    comp_q = 0
+    comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
     restart_interval = 0
     i = 2
     while i + 4 <= len(data):
@@ -308,73 +362,136 @@ def _decode(data: bytes):
                 enc = _canonical(counts, syms)
                 huff[(tc, th)] = {(c, ln2): s for s, (c, ln2) in enc.items()}
         elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                return None  # 8-bit precision only
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
-            if seg[0] != 8 or ncomp != 1 or seg[7] != 0x11:
-                return None  # single-component 8-bit h1v1 only
-            comp_q = seg[8]
+            if ncomp not in (1, 3):
+                return None
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    return None  # samplings beyond 2x replication
+                comps.append((cid, hi, vi, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             return None  # non-baseline frame types
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
-            if h == 0 or w == 0 or comp_q not in qt:
+            if h == 0 or w == 0 or not comps:
                 return None
-            dc_t = huff.get((0, seg[2] >> 4))
-            ac_t = huff.get((1, seg[2] & 0xF))
-            if dc_t is None or ac_t is None:
-                return None
-            return _scan(
-                data, i, h, w, qt[comp_q], dc_t, ac_t, restart_interval
+            ns = seg[0]
+            if ns != len(comps):
+                return None  # no multi-scan support
+            tables = {}
+            for s in range(ns):
+                cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                dc_t = huff.get((0, tt >> 4))
+                ac_t = huff.get((1, tt & 0xF))
+                if dc_t is None or ac_t is None:
+                    return None
+                tables[cs] = (dc_t, ac_t)
+            for cid, _hi, _vi, tq in comps:
+                if tq not in qt or cid not in tables:
+                    return None
+            return _scan_mcu(
+                data, i, h, w, comps, qt, tables, restart_interval
             )
         # APPn/COM/anything else: skipped
     return None
 
 
-def _scan(data, start, h, w, q, dc_t, ac_t, restart_interval):
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+def _decode_block(br: _BitReader, dc_t, ac_t, pred: int, q: np.ndarray):
+    """One entropy-coded block -> (8x8 float spatial block, new pred)."""
+    zz = np.zeros(64, dtype=np.int64)
+    ssss = _decode_huff(br, dc_t)
+    diff = _extend(br.bits(ssss), ssss) if ssss else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _decode_huff(br, ac_t)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 0xF
+        if k > 63 or size == 0:
+            raise ValueError("AC run past block end")
+        zz[k] = _extend(br.bits(size), size)
+        k += 1
+    coef = np.zeros((8, 8), dtype=np.float64)
+    for idx, (u, v) in enumerate(_ZZ):
+        coef[u, v] = zz[idx] * q[u, v]
+    return _B.T @ coef @ _B + 128.0, pred
+
+
+def _scan_mcu(data, start, h, w, comps, qt, tables, restart_interval):
+    """General interleaved-MCU scan: hi*vi blocks per component per MCU,
+    per-component DC predictors, restart-marker resets; planes are
+    replication-upsampled to full resolution afterwards."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for cid, hi, vi, _tq in comps
+    }
     br = _BitReader(data[start:])
-    pred = 0
-    nblk = 0
-    for by in range(bh):
-        for bx in range(bw_):
-            if restart_interval and nblk and nblk % restart_interval == 0:
-                br.align()  # RSTn marker: re-align and reset predictor
+    preds = {cid: 0 for cid, *_ in comps}
+    nmcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and nmcu and nmcu % restart_interval == 0:
+                br.align()  # RSTn: re-align and reset every predictor
                 if (
                     br.i + 1 < len(br.d)
                     and br.d[br.i] == 0xFF
                     and 0xD0 <= br.d[br.i + 1] <= 0xD7
                 ):
                     br.i += 2
-                pred = 0
-            zz = np.zeros(64, dtype=np.int64)
-            ssss = _decode_huff(br, dc_t)
-            diff = _extend(br.bits(ssss), ssss) if ssss else 0
-            pred += diff
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = _decode_huff(br, ac_t)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 0xF
-                if k > 63 or size == 0:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(br.bits(size), size)
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            for idx, (u, v) in enumerate(_ZZ):
-                coef[u, v] = zz[idx] * q[u, v]
-            block = _B.T @ coef @ _B + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-            nblk += 1
-    return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+                preds = {cid: 0 for cid in preds}
+            for cid, hi, vi, tq in comps:
+                dc_t, ac_t = tables[cid]
+                for v in range(vi):
+                    for hh in range(hi):
+                        block, preds[cid] = _decode_block(
+                            br, dc_t, ac_t, preds[cid], qt[tq]
+                        )
+                        r0 = (my * vi + v) * 8
+                        c0 = (mx * hi + hh) * 8
+                        planes[cid][r0 : r0 + 8, c0 : c0 + 8] = block
+            nmcu += 1
+    full = []
+    for cid, hi, vi, _tq in comps:
+        # integer component samples FIRST (what a real decoder emits) —
+        # feeding raw float planes into the color transform lets IDCT
+        # epsilon (~1e-13) flip floor(x+0.5) on exact-.5 boundaries
+        p = np.clip(np.rint(planes[cid]), 0, 255)
+        if hi < hmax or vi < vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return full[0].astype(np.uint8)
+    return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    """BT.601 (JFIF) color transform.  floor(x + 0.5) rounding so the
+    SQL oracle can reproduce the exact integers (np.rint rounds
+    half-to-even; DuckDB round() rounds half-away — floor(x+0.5) is the
+    one convention both engines express exactly)."""
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
 
 
 # ------------------------------------------------------- fixture + operator
@@ -437,6 +554,141 @@ def media_jpeg_decode(spark, sf_dir: str):
             "min_px long, max_px long"
         ),
     )
+
+
+def make_color_jpeg(doc_id: int) -> bytes:
+    """Deterministic block-flat COLOR JPEG: even doc_ids are 4:4:4, odd
+    are 4:2:0 (the two samplings real crawls carry).  Every 8x8 luma
+    block is one constant; chroma is constant per chroma block, so after
+    replication upsampling each luma block sees one exact (Y, Cb, Cr)
+    and the decoded RGB is bit-exact — the oracle recomputes it with the
+    same floor(x+0.5) BT.601 arithmetic in SQL."""
+    sub = doc_id % 2 == 1
+    if sub:  # 4:2:0 needs even luma-block counts (whole MCUs)
+        wb = 4
+        hb = 2 + 2 * ((doc_id // 2) % 2)
+    else:
+        wb = 2 + doc_id % 3
+        hb = 2 + (doc_id * 5) % 3
+    y = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+    for by in range(hb):
+        for bx in range(wb):
+            y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                doc_id * 7 + 13 * bx + 29 * by
+            ) % 256
+    if sub:
+        cb = np.zeros((hb * 4, wb * 4), dtype=np.uint8)
+        cr = np.zeros((hb * 4, wb * 4), dtype=np.uint8)
+        for my in range(hb // 2):
+            for mx in range(wb // 2):
+                cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    doc_id * 11 + 17 * mx + 23 * my
+                ) % 256
+                cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    doc_id * 5 + 19 * mx + 31 * my
+                ) % 256
+        return encode_baseline_jpeg_color(y, cb, cr, subsample=True)
+    cb = np.zeros_like(y)
+    cr = np.zeros_like(y)
+    for by in range(hb):
+        for bx in range(wb):
+            cb[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                doc_id * 11 + 17 * bx + 23 * by
+            ) % 256
+            cr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                doc_id * 5 + 19 * bx + 31 * by
+            ) % 256
+    return encode_baseline_jpeg_color(y, cb, cr, subsample=False)
+
+
+def _jpeg_color_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ("doc_id", "fmt", "w", "h", "mean_r", "mean_g", "mean_b")
+    for pdf in batches:
+        rows = {k: [] for k in cols}
+        for doc_id, media in zip(pdf["doc_id"].values, pdf["media"].values):
+            img = decode_baseline_jpeg(bytes(media))
+            rows["doc_id"].append(doc_id)
+            rows["fmt"].append("420" if doc_id % 2 else "444")
+            if img is None or img.ndim != 3:
+                for k in ("w", "h"):
+                    rows[k].append(0)
+                for k in ("mean_r", "mean_g", "mean_b"):
+                    rows[k].append(0.0)
+                continue
+            rows["h"].append(img.shape[0])
+            rows["w"].append(img.shape[1])
+            for k, ch in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+                rows[k].append(round(float(img[:, :, ch].mean()), 6))
+        yield pd.DataFrame(rows)
+
+
+def media_jpeg_color(spark, sf_dir: str):
+    """Color half of the JPEG path: per-doc genuine 4:4:4 / 4:2:0 YCbCr
+    baseline files -> full decode (interleaved MCUs, chroma upsampling,
+    BT.601 -> RGB) -> per-channel statistics, executor-side in Arrow
+    batches.  Pytest-oracle-gated (outside the 50-query driver cap)."""
+    from pyspark.sql import types as T
+
+    from textextraction_spark.job.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    @F.pandas_udf(T.BinaryType())
+    def jpeg_udf(doc_id: pd.Series) -> pd.Series:
+        return pd.Series([make_color_jpeg(int(i)) for i in doc_id])
+
+    media = d.select("doc_id", jpeg_udf("doc_id").alias("media"))
+    return media.mapInPandas(
+        _jpeg_color_batch,
+        schema=(
+            "doc_id long, fmt string, w long, h long, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+# Per luma block (bx, by): Y from the luma formula; chroma indices are
+# (bx, by) for 4:4:4 and (bx//2, by//2) for 4:2:0 (replication
+# upsampling makes every pixel of the block see exactly that pair).
+# RGB = clamp(floor(bt601 + 0.5)) — the decoder's exact arithmetic.
+MEDIA_JPEG_COLOR_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         doc_id % 2 = 1 AS sub,
+         CASE WHEN doc_id % 2 = 1
+              THEN 4  -- mirrors make_color_jpeg's even-MCU sizing
+              ELSE 2 + doc_id % 3 END AS wb,
+         CASE WHEN doc_id % 2 = 1
+              THEN 2 + 2 * ((doc_id // 2) % 2)
+              ELSE 2 + (doc_id * 5) % 3 END AS hb
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, sub, wb, hb, bx, by,
+         (doc_id * 7 + 13 * bx + 29 * by) % 256 AS y,
+         (doc_id * 11 + 17 * (CASE WHEN sub THEN bx // 2 ELSE bx END)
+                      + 23 * (CASE WHEN sub THEN by // 2 ELSE by END)) % 256 AS cb,
+         (doc_id * 5  + 19 * (CASE WHEN sub THEN bx // 2 ELSE bx END)
+                      + 31 * (CASE WHEN sub THEN by // 2 ELSE by END)) % 256 AS cr
+  FROM g, UNNEST(range(g.hb)) a(by), UNNEST(range(g.wb)) b(bx)
+),
+rgb AS (
+  SELECT doc_id, wb, hb,
+         GREATEST(0, LEAST(255, floor(y + 1.402 * (cr - 128.0) + 0.5))) AS r,
+         GREATEST(0, LEAST(255, floor(y - 0.344136 * (cb - 128.0)
+                                        - 0.714136 * (cr - 128.0) + 0.5))) AS gg,
+         GREATEST(0, LEAST(255, floor(y + 1.772 * (cb - 128.0) + 0.5))) AS b
+  FROM blocks
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN '420' ELSE '444' END AS fmt,
+       (wb * 8)::BIGINT AS w, (hb * 8)::BIGINT AS h,
+       round(avg(r), 6) AS mean_r,
+       round(avg(gg), 6) AS mean_g,
+       round(avg(b), 6) AS mean_b
+FROM rgb GROUP BY doc_id, wb, hb
+"""
 
 
 # each block is one constant and all blocks have equal area, so pixel
