@@ -606,22 +606,36 @@ class TestCharsetSniff:
     def test_roundtrip_property(self, words, codec):
         """ANY text a codec can represent, served in that codec (BOM for
         UTF-16, meta declaration otherwise), must extract char-identical
-        to the same text served as UTF-8."""
+        to the CODEC'S OWN round-trip of that text served as UTF-8.
+
+        The round-trip on the expectation side matters: a codec can be
+        encode/decode-ASYMMETRIC — Shift_JIS maps U+00A5 (yen) to byte
+        0x5C, which every Python consumer decodes back as backslash
+        (the classic 0x5C ambiguity; same for U+203E/0x7E).  The engine
+        must agree with Python's decoder, not with the pre-encode
+        original (hypothesis found '¥' in round 5)."""
         import codecs as C
 
         text = " ".join(words.split())  # canonical spacing survives the DOM
         if not text:
             return
-        html = f"<body><p>{text}</p></body>"
         try:
             if codec.startswith("utf-16"):
                 bom = C.BOM_UTF16_LE if codec.endswith("le") else C.BOM_UTF16_BE
+                html = f"<body><p>{text}</p></body>"
                 payload = bom + html.encode(codec)
+                text_rt = text
             else:
-                payload = (f"<meta charset={codec}>" + html).encode(codec)
+                text_rt = text.encode(codec).decode(codec)
+                if any(ch in text_rt for ch in "<>&"):
+                    return  # round-trip produced markup chars: not this case
+                payload = (
+                    f"<meta charset={codec}><body><p>{text}</p></body>"
+                ).encode(codec)
         except UnicodeEncodeError:
             return  # text outside the codec's repertoire: not this case
-        want = extract_document(html.encode("utf-8")).extracted_text
+        twin = f"<body><p>{text_rt}</p></body>".encode("utf-8")
+        want = extract_document(twin).extracted_text
         got = extract_document(payload).extracted_text
         assert got == want
 

@@ -116,13 +116,19 @@ def pagerank(edges: DataFrame, damping: float = DAMPING, n_iter: int = N_ITER) -
     The loop builds a lazy K-deep plan; each round is one join + one
     agg + one node-list left join, all keyed on host.
     """
-    # Persist the graph before iterating: without it every iteration's
-    # plan re-derives edges from the RAW source (measured: 78 exchanges
-    # and five re-scans of the input for K=5) — at 100 TB that re-scan
-    # per iteration is the whole cost.  With the normalized edge table
-    # and node list materialized, each iteration reads the in-memory
-    # host-level graph (~10^8 rows) only.
-    edges = edges.persist()
+    # Materialize the graph before iterating AND truncate its lineage
+    # (localCheckpoint, same device as dedup_clusters): without
+    # materialization every iteration's plan re-derives edges from the
+    # RAW source (measured: 78 exchanges and five re-scans of the input
+    # for K=5) — at 100 TB that re-scan per iteration is the whole
+    # cost.  Plain persist() materializes too but keeps the lineage,
+    # and Spark's cache manager then rewrites every later chain against
+    # the nested InMemoryRelations, so the printed plan (and the
+    # shuffle-budget pin) grows without bound across a session;
+    # checkpointing leaves each iteration reading a flat scan of the
+    # materialized host-level graph (~10^8 rows).  On a real cluster
+    # this becomes reliable checkpoint() to the cluster FS.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
@@ -131,14 +137,14 @@ def pagerank(edges: DataFrame, damping: float = DAMPING, n_iter: int = N_ITER) -
     # N is a scalar: 1-row agg cross-joined (broadcast of one row), so
     # nothing is collected to the driver.
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
-    nodes = nodes.crossJoin(F.broadcast(n_row)).persist()
+    nodes = nodes.crossJoin(F.broadcast(n_row)).localCheckpoint()
 
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("outdeg"))
     # edge weight normalized once, reused every iteration
     norm_edges = (
         edges.join(outdeg, "src")
         .select("src", "dst", (F.col("w") / F.col("outdeg")).alias("p"))
-        .persist()
+        .localCheckpoint()
     )
 
     ranks = nodes.select(
@@ -166,12 +172,31 @@ def pagerank(edges: DataFrame, damping: float = DAMPING, n_iter: int = N_ITER) -
     return ranks.select("host", "rank")
 
 
+# One PageRank chain per (session, sf_dir) — same memo pattern as
+# clustering._shared_assignment (round-4 advice): pagerank() persists
+# its edge/node/normalized-edge tables, so repeated gate runs in one
+# session must reuse ONE chain instead of stacking cached DataFrames;
+# the memo also keeps the PRINTED plan stable (a re-built chain gets
+# rewritten against the first call's InMemoryRelations, tripling the
+# static exchange count the shuffle-budget test pins).
+_PAGERANK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def host_pagerank(spark, sf_dir: str) -> DataFrame:
     """Gatable query: PageRank over the host graph, rank rounded for the
     driver's value hash (float summation order differs between engines
     only below 1e-12 at 21 nodes; round(…,6) absorbs it)."""
-    ranks = pagerank(host_edges(spark, sf_dir))
-    return ranks.select("host", F.round("rank", 6).alias("rank"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAGERANK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    for k in [k for k in _PAGERANK_CACHE if k[0] != key[0]]:
+        _PAGERANK_CACHE.pop(k)
+    ranks = pagerank(host_edges(spark, sf_dir)).select(
+        "host", F.round("rank", 6).alias("rank")
+    )
+    _PAGERANK_CACHE[key] = ranks
+    return ranks
 
 
 def _pagerank_sql() -> str:
