@@ -751,6 +751,73 @@ class TestJpegCodec:
                     )
                     assert (img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == want).all()
 
+    def test_restart_markers_decode_exact(self):
+        """DRI + RSTn streams (real encoders' error-resilience structure)
+        decode identically to the marker-free stream: byte re-alignment
+        and per-interval DC-predictor resets both exercised."""
+        import numpy as np
+
+        from textextraction_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg,
+        )
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, size=(24, 40)).astype(np.uint8)  # 15 MCUs
+        plain = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        for interval in (1, 2, 4, 7):
+            rst = decode_baseline_jpeg(
+                encode_baseline_jpeg(img, restart_interval=interval)
+            )
+            assert rst is not None and (rst == plain).all(), interval
+
+    def test_422_sampling_decodes_exact(self):
+        """4:2:2 (h2v1 luma) — the third real-crawl sampling — through
+        the same general MCU scan: flat blocks decode bit-exact."""
+        import numpy as np
+
+        from textextraction_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg_color,
+        )
+
+        def rgb_of(y, cb, cr):
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            return np.clip(
+                np.floor(np.stack([r, g, b], -1) + 0.5), 0, 255
+            ).astype(np.uint8)
+
+        hb, wb = 2, 4  # luma blocks; chroma halved horizontally
+        y = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+        cb = np.zeros((hb * 8, wb * 4), dtype=np.uint8)
+        cr = np.zeros((hb * 8, wb * 4), dtype=np.uint8)
+        for by in range(hb):
+            for bx in range(wb):
+                y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    40 + 13 * bx + 29 * by
+                ) % 256
+        for by in range(hb):
+            for mx in range(wb // 2):
+                cb[by * 8 : by * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    90 + 17 * mx + 23 * by
+                ) % 256
+                cr[by * 8 : by * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                    150 + 19 * mx + 31 * by
+                ) % 256
+        img = decode_baseline_jpeg(
+            encode_baseline_jpeg_color(y, cb, cr, subsample="422")
+        )
+        assert img is not None and img.shape == (hb * 8, wb * 8, 3)
+        for by in range(hb):
+            for bx in range(wb):
+                yv = (40 + 13 * bx + 29 * by) % 256
+                cbv = (90 + 17 * (bx // 2) + 23 * by) % 256
+                crv = (150 + 19 * (bx // 2) + 31 * by) % 256
+                want = rgb_of(np.float64(yv), np.float64(cbv), np.float64(crv))
+                assert (img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == want).all()
+
     def test_color_operator_matches_oracle(self, spark):
         from textextraction_spark.operators.jpeg import (
             MEDIA_JPEG_COLOR_ORACLE,

@@ -132,6 +132,11 @@ class _BitWriter:
             self.n = 0
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Pad to a byte boundary and emit RSTn (T.81 E.1.4)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -179,14 +184,21 @@ def _encode_block(bw: _BitWriter, block_shifted: np.ndarray, pred: int) -> int:
     return pred
 
 
-def _headers(h: int, w: int, comps: list[tuple[int, int, int]]) -> bytes:
-    """SOI + DQT(unit) + SOF0 + DHT + SOS for components
+def _headers(
+    h: int, w: int, comps: list[tuple[int, int, int]], restart_interval: int = 0
+) -> bytes:
+    """SOI + DQT(unit) + SOF0 + [DRI] + DHT + SOS for components
     [(id, hi, vi), ...], all on quant table 0 / huffman tables 0."""
     dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
     sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof_body += bytes([len(comps)])
     for cid, hi, vi in comps:
         sof_body += bytes([cid, (hi << 4) | vi, 0])
+    dri = (
+        _seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
     dht = _seg(
         0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMS)
     ) + _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMS))
@@ -194,54 +206,73 @@ def _headers(h: int, w: int, comps: list[tuple[int, int, int]]) -> bytes:
     for cid, _hi, _vi in comps:
         sos_body += bytes([cid, 0x00])
     sos_body += bytes([0, 63, 0])
-    return b"\xff\xd8" + dqt + _seg(0xC0, sof_body) + dht + _seg(0xDA, sos_body)
+    return (
+        b"\xff\xd8" + dqt + _seg(0xC0, sof_body) + dri + dht + _seg(0xDA, sos_body)
+    )
 
 
-def encode_baseline_jpeg(img: np.ndarray) -> bytes:
+def encode_baseline_jpeg(img: np.ndarray, restart_interval: int = 0) -> bytes:
     """Grayscale baseline JFIF from an (h, w) uint8 array; dims must be
     multiples of 8.  Unit quantization tables (lossless for flat blocks,
-    DCT-rounding-only elsewhere)."""
+    DCT-rounding-only elsewhere).  ``restart_interval`` > 0 emits DRI +
+    RSTn markers every N MCUs (predictor resets), the resync structure
+    real encoders add for error resilience."""
     h, w = img.shape
     assert h % 8 == 0 and w % 8 == 0, "fixture dims are block-aligned"
     bw = _BitWriter()
     pred = 0
+    nmcu = 0
     shifted = img.astype(np.float64) - 128.0
     for by in range(h // 8):
         for bx in range(w // 8):
+            if restart_interval and nmcu and nmcu % restart_interval == 0:
+                bw.restart(nmcu // restart_interval - 1)
+                pred = 0
             pred = _encode_block(
                 bw, shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], pred
             )
-    return _headers(h, w, [(1, 1, 1)]) + bw.flush() + b"\xff\xd9"
+            nmcu += 1
+    return (
+        _headers(h, w, [(1, 1, 1)], restart_interval)
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+# chroma sampling name -> (luma (hi, vi), chroma plane divisor (dx, dy))
+_SAMPLINGS = {
+    "444": ((1, 1), (1, 1)),
+    "422": ((2, 1), (2, 1)),
+    "420": ((2, 2), (2, 2)),
+}
 
 
 def encode_baseline_jpeg_color(
-    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, subsample: bool = False
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    subsample: bool | str = False,
 ) -> bytes:
-    """3-component YCbCr baseline JFIF.  ``subsample=False`` -> 4:4:4
-    (all planes full-size, h/w multiples of 8); ``subsample=True`` ->
-    4:2:0 (luma h2v2, h/w multiples of 16, chroma planes half-size).
-    Interleaved MCUs with per-component DC predictors — the exact
-    stream shape real encoders emit."""
+    """3-component YCbCr baseline JFIF.  ``subsample`` is '444' (all
+    planes full-size), '422' (chroma halved horizontally), or '420'
+    (chroma halved both ways); the legacy bool forms map False->'444',
+    True->'420'.  Interleaved MCUs with per-component DC predictors —
+    the exact stream shape real encoders emit."""
+    name = subsample if isinstance(subsample, str) else ("420" if subsample else "444")
+    (lh, lv), (dx, dy) = _SAMPLINGS[name]
     h, w = y.shape
-    if subsample:
-        assert h % 16 == 0 and w % 16 == 0
-        assert cb.shape == cr.shape == (h // 2, w // 2)
-        comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
-    else:
-        assert h % 8 == 0 and w % 8 == 0
-        assert cb.shape == cr.shape == (h, w)
-        comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+    assert h % (8 * lv) == 0 and w % (8 * lh) == 0
+    assert cb.shape == cr.shape == (h // dy, w // dx)
+    comps = [(1, lh, lv), (2, 1, 1), (3, 1, 1)]
     planes = {
         1: y.astype(np.float64) - 128.0,
         2: cb.astype(np.float64) - 128.0,
         3: cr.astype(np.float64) - 128.0,
     }
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
     bw = _BitWriter()
     preds = {1: 0, 2: 0, 3: 0}
-    for my in range(h // (8 * vmax)):
-        for mx in range(w // (8 * hmax)):
+    for my in range(h // (8 * lv)):
+        for mx in range(w // (8 * lh)):
             for cid, hi, vi in comps:
                 p = planes[cid]
                 for v in range(vi):
