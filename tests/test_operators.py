@@ -751,6 +751,23 @@ class TestJpegCodec:
                     )
                     assert (img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == want).all()
 
+    def test_non_block_dims_crop_exact(self):
+        """Real files are rarely multiples of 8: the encoder edge-pads
+        to whole blocks with the TRUE dims in SOF, and the decoder
+        crops back — pinned on a flat image where padding is lossless."""
+        import numpy as np
+
+        from textextraction_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg,
+        )
+
+        for h, w in ((13, 21), (8, 9), (17, 8), (1, 1)):
+            img = np.full((h, w), 77, dtype=np.uint8)
+            dec = decode_baseline_jpeg(encode_baseline_jpeg(img))
+            assert dec is not None and dec.shape == (h, w), (h, w)
+            assert (dec == img).all(), (h, w)
+
     def test_restart_markers_decode_exact(self):
         """DRI + RSTn streams (real encoders' error-resilience structure)
         decode identically to the marker-free stream: byte re-alignment

@@ -212,19 +212,27 @@ def _headers(
 
 
 def encode_baseline_jpeg(img: np.ndarray, restart_interval: int = 0) -> bytes:
-    """Grayscale baseline JFIF from an (h, w) uint8 array; dims must be
-    multiples of 8.  Unit quantization tables (lossless for flat blocks,
-    DCT-rounding-only elsewhere).  ``restart_interval`` > 0 emits DRI +
-    RSTn markers every N MCUs (predictor resets), the resync structure
-    real encoders add for error resilience."""
+    """Grayscale baseline JFIF from an (h, w) uint8 array; non-block
+    dims are edge-padded to whole blocks with the true dims in SOF (the
+    decoder crops back).  Unit quantization tables (lossless for flat
+    blocks, DCT-rounding-only elsewhere).  ``restart_interval`` > 0
+    emits DRI + RSTn markers every N MCUs (predictor resets), the
+    resync structure real encoders add for error resilience."""
     h, w = img.shape
-    assert h % 8 == 0 and w % 8 == 0, "fixture dims are block-aligned"
+    if h % 8 or w % 8:
+        # real-world dims: pad to whole blocks by edge replication (what
+        # production encoders do); SOF carries the TRUE dims and the
+        # decoder crops back to them
+        img = np.pad(
+            img, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge"
+        )
     bw = _BitWriter()
     pred = 0
     nmcu = 0
+    ph, pw = img.shape
     shifted = img.astype(np.float64) - 128.0
-    for by in range(h // 8):
-        for bx in range(w // 8):
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
             if restart_interval and nmcu and nmcu % restart_interval == 0:
                 bw.restart(nmcu // restart_interval - 1)
                 pred = 0
