@@ -487,6 +487,22 @@ class TestOperatorFamilyBranches:
                 "doc_id", "frame_idx", "fw", "fh", "mean_px", "min_px", "max_px"
             ),
         )
+        # round-5: the full baseline-JPEG pixel paths ride as
+        # kind='jpeg' (grayscale) and kind='jpeg_color'
+        from textextraction_spark.operators import jpeg as J
+
+        assert_df_equal(
+            J.media_jpeg_decode(spark, SF),
+            comp.filter(F.col("kind") == "jpeg").select(
+                "doc_id", "w", "h", "mean_px", "min_px", "max_px"
+            ),
+        )
+        assert_df_equal(
+            J.media_jpeg_color(spark, SF),
+            comp.filter(F.col("kind") == "jpeg_color").select(
+                "doc_id", "fmt", "w", "h", "mean_r", "mean_g", "mean_b"
+            ),
+        )
 
     def test_pq_suite_slices(self, spark):
         """Round-5 rotation: pq_encode + ann_pq_adc gate as one row;

@@ -1009,83 +1009,135 @@ FROM t
 
 
 def media_features(spark, sf_dir: str):
-    """Round-4/5 gate rotation: the three per-doc media extractors
-    (real PGM pixel decode+resize, real WAV PCM signal features, and —
-    round 5 — the GIF LZW frame sampler) union-tagged by ``kind`` into
-    ONE driver row, freeing two 50-cap slots.  Every constituent column
-    survives (off-kind slots are typed numeric NULLs per the tag-union
-    convention); slice-equality pins in tests/test_composites.py keep
-    ``kind='image'`` identical to ``media_decode_resize``,
-    ``kind='audio'`` to ``media_audio_features``, and ``kind='frame'``
-    to ``media_frame_sample``.  All branches stay mapInPandas over
-    Arrow batches — the union adds no exchange."""
-    _fnull = [
-        F.lit(None).cast("bigint").alias(c) for c in ("frame_idx", "fw", "fh")
-    ]
+    """Round-4/5 gate rotation: the five per-doc media extractors
+    (real PGM pixel decode+resize, real WAV PCM signal features, the
+    GIF LZW frame sampler, and — round 5 — the FULL baseline-JPEG
+    pixel paths, grayscale and color) union-tagged by ``kind`` into
+    ONE driver row.  Every constituent column survives (off-kind slots
+    are typed NULLs per the tag-union convention); slice-equality pins
+    in tests/test_composites.py keep ``kind='image'`` identical to
+    ``media_decode_resize``, ``kind='audio'`` to
+    ``media_audio_features``, ``kind='frame'`` to
+    ``media_frame_sample``, ``kind='jpeg'`` to ``media_jpeg_decode``
+    and ``kind='jpeg_color'`` to ``media_jpeg_color``.  All branches
+    stay mapInPandas over Arrow batches — the union adds no exchange."""
+    from textextraction_spark.operators.jpeg import (
+        media_jpeg_color,
+        media_jpeg_decode,
+    )
+
+    def _nulls(*cols):
+        types = {
+            "rw": "bigint", "rh": "bigint", "mean_px": "double",
+            "min_px": "bigint", "max_px": "bigint", "sample_rate": "bigint",
+            "n_samples": "bigint", "rms": "double", "peak": "bigint",
+            "frame_idx": "bigint", "fw": "bigint", "fh": "bigint",
+            "fmt": "string", "w": "bigint", "h": "bigint",
+            "mean_r": "double", "mean_g": "double", "mean_b": "double",
+        }
+        return [F.lit(None).cast(types[c]).alias(c) for c in cols]
+
     img = media_decode_resize(spark, sf_dir).select(
         F.lit("image").alias("kind"),
         "doc_id",
-        "rw",
-        "rh",
-        "mean_px",
-        "min_px",
-        "max_px",
-        F.lit(None).cast("bigint").alias("sample_rate"),
-        F.lit(None).cast("bigint").alias("n_samples"),
-        F.lit(None).cast("double").alias("rms"),
-        F.lit(None).cast("bigint").alias("peak"),
-        *_fnull,
+        "rw", "rh", "mean_px", "min_px", "max_px",
+        *_nulls("sample_rate", "n_samples", "rms", "peak",
+                "frame_idx", "fw", "fh",
+                "fmt", "w", "h", "mean_r", "mean_g", "mean_b"),
     )
     aud = media_audio_features(spark, sf_dir).select(
         F.lit("audio").alias("kind"),
         "doc_id",
-        F.lit(None).cast("bigint").alias("rw"),
-        F.lit(None).cast("bigint").alias("rh"),
-        F.lit(None).cast("double").alias("mean_px"),
-        F.lit(None).cast("bigint").alias("min_px"),
-        F.lit(None).cast("bigint").alias("max_px"),
-        "sample_rate",
-        "n_samples",
-        "rms",
-        "peak",
-        *_fnull,
+        *_nulls("rw", "rh", "mean_px", "min_px", "max_px"),
+        "sample_rate", "n_samples", "rms", "peak",
+        *_nulls("frame_idx", "fw", "fh",
+                "fmt", "w", "h", "mean_r", "mean_g", "mean_b"),
     )
     frm = media_frame_sample(spark, sf_dir).select(
         F.lit("frame").alias("kind"),
         "doc_id",
-        F.lit(None).cast("bigint").alias("rw"),
-        F.lit(None).cast("bigint").alias("rh"),
-        "mean_px",
-        "min_px",
-        "max_px",
-        F.lit(None).cast("bigint").alias("sample_rate"),
-        F.lit(None).cast("bigint").alias("n_samples"),
-        F.lit(None).cast("double").alias("rms"),
-        F.lit(None).cast("bigint").alias("peak"),
-        "frame_idx",
-        "fw",
-        "fh",
+        *_nulls("rw", "rh"),
+        "mean_px", "min_px", "max_px",
+        *_nulls("sample_rate", "n_samples", "rms", "peak"),
+        "frame_idx", "fw", "fh",
+        *_nulls("fmt", "w", "h", "mean_r", "mean_g", "mean_b"),
     )
-    return img.unionByName(aud).unionByName(frm)
+    jpg = media_jpeg_decode(spark, sf_dir).select(
+        F.lit("jpeg").alias("kind"),
+        "doc_id",
+        *_nulls("rw", "rh"),
+        "mean_px", "min_px", "max_px",
+        *_nulls("sample_rate", "n_samples", "rms", "peak",
+                "frame_idx", "fw", "fh", "fmt"),
+        "w", "h",
+        *_nulls("mean_r", "mean_g", "mean_b"),
+    )
+    jpc = media_jpeg_color(spark, sf_dir).select(
+        F.lit("jpeg_color").alias("kind"),
+        "doc_id",
+        *_nulls("rw", "rh", "mean_px", "min_px", "max_px",
+                "sample_rate", "n_samples", "rms", "peak",
+                "frame_idx", "fw", "fh"),
+        "fmt", "w", "h", "mean_r", "mean_g", "mean_b",
+    )
+    return (
+        img.unionByName(aud)
+        .unionByName(frm)
+        .unionByName(jpg)
+        .unionByName(jpc)
+    )
 
 
-MEDIA_FEATURES_ORACLE = f"""
+def _media_features_oracle() -> str:
+    from textextraction_spark.operators.jpeg import (
+        MEDIA_JPEG_COLOR_ORACLE,
+        MEDIA_JPEG_DECODE_ORACLE,
+    )
+
+    jnull = (
+        "NULL::VARCHAR AS fmt, NULL::BIGINT AS w, NULL::BIGINT AS h, "
+        "NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g, NULL::DOUBLE AS mean_b"
+    )
+    return f"""
 SELECT 'image' AS kind, doc_id, rw, rh, mean_px, min_px, max_px,
        NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
        NULL::DOUBLE AS rms, NULL::BIGINT AS peak,
-       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
+       {jnull}
 FROM ({MEDIA_DECODE_RESIZE_ORACLE})
 UNION ALL
 SELECT 'audio' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
        NULL::DOUBLE AS mean_px, NULL::BIGINT AS min_px,
        NULL::BIGINT AS max_px, sample_rate, n_samples, rms, peak,
-       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
+       {jnull}
 FROM ({MEDIA_AUDIO_ORACLE})
 UNION ALL
 SELECT 'frame' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
        mean_px, min_px, max_px,
        NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
        NULL::DOUBLE AS rms, NULL::BIGINT AS peak,
-       frame_idx, fw, fh
+       frame_idx, fw, fh,
+       {jnull}
 FROM ({MEDIA_FRAME_SAMPLE_ORACLE})
+UNION ALL
+SELECT 'jpeg' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
+       mean_px, min_px, max_px,
+       NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::DOUBLE AS rms, NULL::BIGINT AS peak,
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
+       NULL::VARCHAR AS fmt, w, h,
+       NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g, NULL::DOUBLE AS mean_b
+FROM ({MEDIA_JPEG_DECODE_ORACLE})
+UNION ALL
+SELECT 'jpeg_color' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
+       NULL::DOUBLE AS mean_px, NULL::BIGINT AS min_px, NULL::BIGINT AS max_px,
+       NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::DOUBLE AS rms, NULL::BIGINT AS peak,
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
+       fmt, w, h, mean_r, mean_g, mean_b
+FROM ({MEDIA_JPEG_COLOR_ORACLE})
 """
+
+
+MEDIA_FEATURES_ORACLE = _media_features_oracle()
