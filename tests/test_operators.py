@@ -715,6 +715,67 @@ class TestJpegCodec:
         prog[sof + 1] = 0xC2  # SOF0 -> SOF2
         assert decode_baseline_jpeg(bytes(prog)) is None
 
+    def test_progressive_equals_baseline_decode(self):
+        """The strong progressive cross-check: SOF2 (spectral selection
+        + successive approximation: DC first/refine, AC band firsts with
+        EOB runs, the AC correction-bit refinement) must reconstruct
+        EXACTLY the coefficients the independently-validated baseline
+        pipeline does — decode(progressive(img)) == decode(baseline(img))
+        on arbitrary content, so complementary encoder/decoder bugs
+        cannot cancel."""
+        import numpy as np
+
+        from textextraction_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg,
+            encode_progressive_jpeg,
+        )
+
+        rng = np.random.RandomState(13)
+        for _ in range(5):
+            h = int(rng.choice([8, 16, 24]))
+            w = int(rng.choice([8, 16, 32, 40]))
+            img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            base = decode_baseline_jpeg(encode_baseline_jpeg(img))
+            prog = decode_baseline_jpeg(encode_progressive_jpeg(img))
+            assert prog is not None and (prog == base).all()
+        # long-EOB-run and sparse-AC shapes
+        grad = np.fromfunction(lambda r, c: (r + c) % 256, (32, 48)).astype(
+            np.uint8
+        )
+        nearflat = np.full((16, 16), 200, np.uint8)
+        nearflat[0, 0] = 201
+        for img in (grad, nearflat):
+            assert (
+                decode_baseline_jpeg(encode_progressive_jpeg(img))
+                == decode_baseline_jpeg(encode_baseline_jpeg(img))
+            ).all()
+
+    def test_progressive_flat_blocks_exact_and_fuzz_soft(self):
+        import numpy as np
+
+        from textextraction_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            encode_progressive_jpeg,
+        )
+
+        img = np.zeros((16, 24), dtype=np.uint8)
+        for by in range(2):
+            for bx in range(3):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    49 + 13 * bx + 29 * by
+                ) % 256
+        data = encode_progressive_jpeg(img)
+        dec = decode_baseline_jpeg(data)
+        assert dec is not None and (dec == img).all()
+        rng = np.random.RandomState(4)
+        for _ in range(100):
+            b = bytearray(data)
+            for _ in range(3):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            r = decode_baseline_jpeg(bytes(b))
+            assert r is None or r.dtype == np.uint8
+
     def test_color_flat_blocks_decode_bit_exact(self):
         """4:4:4 and 4:2:0 YCbCr: interleaved-MCU decode, replication
         upsampling, and the BT.601 transform reproduce the per-block

@@ -293,6 +293,145 @@ def encode_baseline_jpeg_color(
     return _headers(h, w, comps) + bw.flush() + b"\xff\xd9"
 
 
+def _quantized_blocks(img: np.ndarray):
+    """Unit-quantized zigzag coefficient rows for every 8x8 block of a
+    (block-padded) grayscale image — the shared front half of the
+    baseline and progressive encoders."""
+    h, w = img.shape
+    if h % 8 or w % 8:
+        img = np.pad(img, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
+    ph, pw = img.shape
+    shifted = img.astype(np.float64) - 128.0
+    rows = []
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            coefq = np.rint(
+                _B @ shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] @ _B.T
+            ).astype(np.int64)
+            rows.append(np.array([coefq[u, v] for (u, v) in _ZZ], np.int64))
+    return rows, h, w
+
+
+def _sos_progressive(ss: int, se: int, ah: int, al: int) -> bytes:
+    return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+
+def encode_progressive_jpeg(img: np.ndarray) -> bytes:
+    """Grayscale PROGRESSIVE (SOF2) JFIF: spectral selection + one level
+    of successive approximation — the scan script real progressive
+    encoders emit (DC first Al=1 → AC bands 1-5 / 6-63 first Al=1 → DC
+    refinement → AC refinement 1-63), exercising EOB runs, ZRL-in-
+    refinement, correction-bit buffering, and cross-scan coefficient
+    accumulation.  Same unit quant tables as the baseline encoder, so
+    ``decode(progressive(img)) == decode(baseline(img))`` EXACTLY — the
+    two entropy pipelines reconstruct identical quantized coefficients
+    (the cross-check the tests pin)."""
+    blocks, h, w = _quantized_blocks(img)
+
+    def dc_first(bw: _BitWriter, al: int) -> None:
+        pred = 0
+        for row in blocks:
+            v = int(row[0]) >> al  # arithmetic shift (point transform)
+            diff = v - pred
+            pred = v
+            ssss = _category(diff)
+            c, ln = _DC_ENC[ssss]
+            bw.put(c, ln)
+            if ssss:
+                bw.put(_magnitude_bits(diff, ssss) & ((1 << ssss) - 1), ssss)
+
+    def dc_refine(bw: _BitWriter, al: int) -> None:
+        for row in blocks:
+            bw.put((int(row[0]) >> al) & 1, 1)
+
+    def ac_first(bw: _BitWriter, ss: int, se: int, al: int) -> None:
+        # EOB unbatched: one 0x00 per trailing-zero block (EOBRUN = 1)
+        for row in blocks:
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(row[k])
+                mag = (-v if v < 0 else v) >> al
+                if mag == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    c, ln = _AC_ENC[0xF0]
+                    bw.put(c, ln)
+                    r -= 16
+                s = _category(mag)
+                c, ln = _AC_ENC[(r << 4) | s]
+                bw.put(c, ln)
+                bits = mag if v >= 0 else ~mag  # one's-complement negatives
+                bw.put(bits & ((1 << s) - 1), s)
+                r = 0
+            if r:
+                c, ln = _AC_ENC[0x00]
+                bw.put(c, ln)
+
+    def ac_refine(bw: _BitWriter, ss: int, se: int, al: int) -> None:
+        # the previous scans ran at Al+1; this scan supplies bit Al
+        for row in blocks:
+            absv = [(-int(v) if v < 0 else int(v)) >> al for v in row]
+            eob = 0  # index of the LAST newly-nonzero coefficient
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eob = k
+            r = 0
+            pending: list[int] = []  # correction bits ride AFTER symbols
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    c, ln = _AC_ENC[0xF0]
+                    bw.put(c, ln)
+                    r -= 16
+                    for bit in pending:
+                        bw.put(bit, 1)
+                    pending = []
+                if t > 1:  # history-nonzero: one correction bit
+                    pending.append(t & 1)
+                    continue
+                # t == 1: newly nonzero at this level
+                c, ln = _AC_ENC[(r << 4) | 1]
+                bw.put(c, ln)
+                bw.put(1 if row[k] >= 0 else 0, 1)  # sign bit
+                for bit in pending:
+                    bw.put(bit, 1)
+                pending = []
+                r = 0
+            if r or pending:
+                c, ln = _AC_ENC[0x00]  # EOB (run 1) + buffered corrections
+                bw.put(c, ln)
+                for bit in pending:
+                    bw.put(bit, 1)
+
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _seg(
+        0xC2,
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dht = _seg(
+        0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMS)
+    ) + _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMS))
+    out = b"\xff\xd8" + dqt + sof + dht
+    for hdr, fn, args in (
+        (_sos_progressive(0, 0, 0, 1), dc_first, (1,)),
+        (_sos_progressive(1, 5, 0, 1), ac_first, (1, 5, 1)),
+        (_sos_progressive(6, 63, 0, 1), ac_first, (6, 63, 1)),
+        (_sos_progressive(0, 0, 1, 0), dc_refine, (0,)),
+        (_sos_progressive(1, 63, 1, 0), ac_refine, (1, 63, 0)),
+    ):
+        bw = _BitWriter()
+        fn(bw, *args)
+        out += hdr + bw.flush()
+    return out + b"\xff\xd9"
+
+
 # ------------------------------------------------------------------ decoder
 class _BitReader:
     def __init__(self, data: bytes):
@@ -343,16 +482,51 @@ def _extend(v: int, ssss: int) -> int:
 
 
 def decode_baseline_jpeg(data: bytes):
-    """Full baseline decode -> (h, w) uint8 for grayscale frames or
+    """Full JPEG decode -> (h, w) uint8 for grayscale frames or
     (h, w, 3) uint8 RGB for 3-component YCbCr frames (4:4:4, 4:2:2 and
     4:2:0 chroma samplings, via general MCU interleave + replication
-    upsampling + BT.601 color transform).  None on anything malformed
-    or unsupported (progressive, arithmetic, 12-bit, exotic samplings).
-    Tables are read from the stream's own DQT/DHT."""
+    upsampling + BT.601 color transform).  Baseline (SOF0) frames fully;
+    PROGRESSIVE (SOF2) frames for the grayscale envelope — spectral
+    selection + successive approximation with EOB runs and the AC
+    correction-bit refinement (T.81 Annex G).  None on anything
+    malformed or unsupported (arithmetic coding, 12-bit, hierarchical,
+    color progressive, exotic samplings).  Tables are read from the
+    stream's own DQT/DHT."""
     try:
         return _decode(data)
     except Exception:  # noqa: BLE001 — corrupt bytes fail soft by contract
         return None
+
+
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    j = 0
+    while j < len(seg):
+        pq, tq = seg[j] >> 4, seg[j] & 0xF
+        j += 1
+        n = 64 * (2 if pq else 1)
+        raw = seg[j : j + n]
+        j += n
+        vals = (
+            np.frombuffer(raw, dtype=">u2").astype(np.int64)
+            if pq
+            else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        )
+        tbl = np.zeros((8, 8), dtype=np.int64)
+        for k, (u, v) in enumerate(_ZZ):
+            tbl[u, v] = vals[k]
+        qt[tq] = tbl
+
+
+def _parse_dht(seg: bytes, huff: dict) -> None:
+    j = 0
+    while j < len(seg):
+        tc, th = seg[j] >> 4, seg[j] & 0xF
+        counts = list(seg[j + 1 : j + 17])
+        nsym = sum(counts)
+        syms = list(seg[j + 17 : j + 17 + nsym])
+        j += 17 + nsym
+        enc = _canonical(counts, syms)
+        huff[(tc, th)] = {(c, ln2): s for s, (c, ln2) in enc.items()}
 
 
 def _decode(data: bytes):
@@ -363,6 +537,7 @@ def _decode(data: bytes):
     h = w = 0
     comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
     restart_interval = 0
+    progressive = False
     i = 2
     while i + 4 <= len(data):
         if data[i] != 0xFF:
@@ -372,42 +547,21 @@ def _decode(data: bytes):
             return None
         ln = int.from_bytes(data[i + 2 : i + 4], "big")
         seg = data[i + 4 : i + 2 + ln]
-        i += 2 + ln
+        if marker != 0xDA:
+            i += 2 + ln
         if marker == 0xDB:  # DQT (possibly several tables per segment)
-            j = 0
-            while j < len(seg):
-                pq, tq = seg[j] >> 4, seg[j] & 0xF
-                j += 1
-                n = 64 * (2 if pq else 1)
-                raw = seg[j : j + n]
-                j += n
-                vals = (
-                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
-                    if pq
-                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
-                )
-                tbl = np.zeros((8, 8), dtype=np.int64)
-                for k, (u, v) in enumerate(_ZZ):
-                    tbl[u, v] = vals[k]
-                qt[tq] = tbl
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT (possibly several tables)
-            j = 0
-            while j < len(seg):
-                tc, th = seg[j] >> 4, seg[j] & 0xF
-                counts = list(seg[j + 1 : j + 17])
-                nsym = sum(counts)
-                syms = list(seg[j + 17 : j + 17 + nsym])
-                j += 17 + nsym
-                enc = _canonical(counts, syms)
-                huff[(tc, th)] = {(c, ln2): s for s, (c, ln2) in enc.items()}
-        elif marker == 0xC0:  # SOF0 baseline
+            _parse_dht(seg, huff)
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if seg[0] != 8:
                 return None  # 8-bit precision only
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
-            if ncomp not in (1, 3):
-                return None
+            if ncomp not in (1, 3) or (progressive and ncomp != 1):
+                return None  # progressive: grayscale envelope only
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -415,13 +569,20 @@ def _decode(data: bytes):
                 if hi not in (1, 2) or vi not in (1, 2):
                     return None  # samplings beyond 2x replication
                 comps.append((cid, hi, vi, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            return None  # non-baseline frame types
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            return None  # non-baseline/non-progressive frame types
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             if h == 0 or w == 0 or not comps:
                 return None
+            if progressive:
+                # i still points at this SOS marker; the progressive
+                # loop owns all scans + inter-scan tables from here
+                if restart_interval:
+                    return None  # DRI'd progressive: outside the envelope
+                return _decode_progressive(data, i, h, w, comps[0][3], qt, huff)
+            i += 2 + ln
             ns = seg[0]
             if ns != len(comps):
                 return None  # no multi-scan support
@@ -519,6 +680,190 @@ def _scan_mcu(data, start, h, w, comps, qt, tables, restart_interval):
     if len(full) == 1:
         return full[0].astype(np.uint8)
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# --------------------------------------------- progressive (SOF2) decode
+# T.81 Annex G successive-approximation + spectral-selection decoding for
+# single-component (grayscale) frames: DC first/refinement scans, AC
+# first scans with EOB-run batching, and the AC refinement algorithm
+# (correction bits interleaved into zero-run advances).  Coefficients
+# accumulate across scans in zigzag order; reconstruction is the same
+# dequantize + IDCT the baseline path uses.
+
+
+def _entropy_end(data: bytes, i: int) -> int:
+    """End of an entropy-coded segment: the first marker that is not a
+    stuffed 0x00 or an RSTn."""
+    while i + 1 < len(data):
+        if data[i] == 0xFF and data[i + 1] != 0x00 and not (
+            0xD0 <= data[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return len(data)
+
+
+def _prog_dc_first(br, coef, dc_t, al):
+    pred = 0
+    for b in range(coef.shape[0]):
+        ssss = _decode_huff(br, dc_t)
+        diff = _extend(br.bits(ssss), ssss) if ssss else 0
+        pred += diff
+        coef[b, 0] = pred << al
+
+
+def _prog_dc_refine(br, coef, al):
+    for b in range(coef.shape[0]):
+        if br.bit():
+            coef[b, 0] |= 1 << al
+
+
+def _prog_ac_first(br, coef, ac_t, ss, se, al):
+    eobrun = 0
+    for b in range(coef.shape[0]):
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = _decode_huff(br, ac_t)
+            r, s = sym >> 4, sym & 15
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                coef[b, k] = _extend(br.bits(s), s) << al
+            else:
+                if r != 15:
+                    eobrun = (1 << r) - 1  # this block is run member 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += 15  # ZRL (the loop's k += 1 completes the 16)
+            k += 1
+
+
+def _prog_ac_refine(br, coef, ac_t, ss, se, al):
+    """T.81 G.1.2.3 (the jdphuff-shaped formulation): newly-nonzero
+    coefficients arrive as ±1<<Al after a run over zero-HISTORY
+    positions; already-nonzero coefficients met along the way each
+    consume one correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+
+    def correct(row, k):
+        if br.bit() and (row[k] & p1) == 0:
+            row[k] += p1 if row[k] >= 0 else m1
+
+    for b in range(coef.shape[0]):
+        row = coef[b]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _decode_huff(br, ac_t)
+                r, s = sym >> 4, sym & 15
+                newval = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("refinement size > 1")
+                    newval = p1 if br.bit() else m1
+                else:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break  # rest of block under EOB logic below
+                    # r == 15: ZRL — skip 16 zero-history positions
+                while k <= se:
+                    if row[k] != 0:
+                        correct(row, k)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("refinement run past band end")
+                    row[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if row[k] != 0:
+                    correct(row, k)
+                k += 1
+            eobrun -= 1
+
+
+def _decode_progressive(data, i, h, w, tq, qt, huff):
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    coef = np.zeros((bh * bw_, 64), dtype=np.int64)
+    while True:
+        if data[i : i + 2] != b"\xff\xda":
+            return None
+        ln = int.from_bytes(data[i + 2 : i + 4], "big")
+        seg = data[i + 4 : i + 2 + ln]
+        i += 2 + ln
+        if seg[0] != 1:
+            return None  # single-component scans only
+        tt = seg[2]
+        ss, se, ah, al = seg[3], seg[4], seg[5] >> 4, seg[5] & 0xF
+        end = _entropy_end(data, i)
+        br = _BitReader(data[i:end])
+        if ss == 0:
+            if se != 0:
+                return None  # DC and AC never share a scan (B.2.3)
+            if ah == 0:
+                dc_t = huff.get((0, tt >> 4))
+                if dc_t is None:
+                    return None
+                _prog_dc_first(br, coef, dc_t, al)
+            else:
+                _prog_dc_refine(br, coef, al)
+        else:
+            ac_t = huff.get((1, tt & 0xF))
+            if ac_t is None or se > 63 or ss > se:
+                return None
+            if ah == 0:
+                _prog_ac_first(br, coef, ac_t, ss, se, al)
+            else:
+                _prog_ac_refine(br, coef, ac_t, ss, se, al)
+        i = end
+        # inter-scan markers: tables may be redefined between scans
+        while i + 2 <= len(data):
+            if data[i] != 0xFF:
+                return None
+            m = data[i + 1]
+            if m == 0xD9:  # EOI — all scans in: reconstruct
+                return _reconstruct_blocks(coef, h, w, qt[tq])
+            if m == 0xDA:
+                break  # next scan
+            ln2 = int.from_bytes(data[i + 2 : i + 4], "big")
+            seg2 = data[i + 4 : i + 2 + ln2]
+            if m == 0xC4:
+                _parse_dht(seg2, huff)
+            elif m == 0xDB:
+                _parse_dqt(seg2, qt)
+            i += 2 + ln2
+        else:
+            return None
+
+
+def _reconstruct_blocks(coef, h, w, q):
+    """zigzag coefficient store -> dequantize -> IDCT -> cropped plane."""
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    qzz = np.array([q[u, v] for (u, v) in _ZZ], dtype=np.int64)
+    for b in range(coef.shape[0]):
+        by, bx = divmod(b, bw_)
+        dq = coef[b] * qzz
+        block = np.zeros((8, 8), dtype=np.float64)
+        for idx, (u, v) in enumerate(_ZZ):
+            block[u, v] = dq[idx]
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            _B.T @ block @ _B + 128.0
+        )
+    return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
 
 
 def _ycbcr_to_rgb(y, cb, cr):
