@@ -84,10 +84,13 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     """Adjacent-position pair counts (overlaps included, the standard
     BPE statistic), weighted by word frequency."""
     syms = F.split(F.trim(F.col("seq")), "  ")
+    # let-bound symbol array (curation._GRAMS idiom): the lambda body
+    # otherwise re-splits the sequence string per pair element
     pairs = F.expr(
-        "transform(sequence(1, size(split(trim(seq), '  ')) - 1), "
-        "i -> struct(element_at(split(trim(seq), '  '), i) AS lhs, "
-        "element_at(split(trim(seq), '  '), i + 1) AS rhs))"
+        "element_at(transform(array(split(trim(seq), '  ')), _wb -> "
+        "transform(sequence(1, size(_wb) - 1), "
+        "i -> struct(element_at(_wb, i) AS lhs, "
+        "element_at(_wb, i + 1) AS rhs))), 1)"
     )
     return (
         words.where(F.size(syms) >= 2)

@@ -119,9 +119,15 @@ _GRAMS = (
     # an empty gram array.  Gated surfaces pre-filter size >= 2 and are
     # untouched; the guard makes the expression safe for real pipeline
     # text (io/export.py::profile_results).
-    f"if(size({_W}) < 2, array(), "
-    f"transform(sequence(1, size({_W}) - 1), "
-    f"i -> concat(element_at({_W}, i), ' ', element_at({_W}, i + 1))))"
+    #
+    # LET-BINDING (round-5 perf): the words array is bound ONCE via a
+    # one-element transform — a lambda body referencing the raw split
+    # re-evaluates it per element (measured 3x on decontaminate's
+    # 3-gram sibling: O(n_grams x text_len) re-splitting).
+    f"element_at(transform(array({_W}), _wb -> "
+    f"if(size(_wb) < 2, array(), "
+    f"transform(sequence(1, size(_wb) - 1), "
+    f"i -> concat(element_at(_wb, i), ' ', element_at(_wb, i + 1))))), 1)"
 )
 _TOP_BIGRAM = f"""
 aggregate(
@@ -277,9 +283,12 @@ NGRAM_N = 3
 BENCH_MOD = 97  # docs with doc_id % 97 == 0 form the held-out eval split
 
 # distinct word-N-grams of a doc, as one narrow array expression
+# let-bound words (see _GRAMS): re-splitting inside the lambda made gram
+# construction O(n_grams x text_len) — measured 3x slower end-to-end
 _GRAMS_N_SPARK = (
-    f"array_distinct(transform(sequence(1, size({_W}) - {NGRAM_N - 1}), "
-    f"i -> concat_ws(' ', slice({_W}, i, {NGRAM_N}))))"
+    f"element_at(transform(array({_W}), _wb -> "
+    f"array_distinct(transform(sequence(1, size(_wb) - {NGRAM_N - 1}), "
+    f"i -> concat_ws(' ', slice(_wb, i, {NGRAM_N}))))), 1)"
 )
 _GRAMS_N_DUCK = (
     f"list_distinct(list_transform(range(1, len(w) - {NGRAM_N} + 2), "

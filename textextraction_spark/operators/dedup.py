@@ -119,10 +119,13 @@ FROM allv GROUP BY md5(text) HAVING count(*) > 1
 
 
 # --------------------------------------------------- shingles (shared CTE)
+# let-bound words (curation._GRAMS idiom): re-splitting inside the
+# lambda cost O(n_shingles x text_len) per doc
 SHINGLE_ARR = (
-    "case when size(split(text,' ')) < 3 then array(text) "
-    "else transform(sequence(1, size(split(text,' ')) - 2), "
-    "i -> array_join(slice(split(text,' '), i, 3), ' ')) end"
+    "element_at(transform(array(split(text,' ')), _wb -> "
+    "case when size(_wb) < 3 then array(text) "
+    "else transform(sequence(1, size(_wb) - 2), "
+    "i -> array_join(slice(_wb, i, 3), ' ')) end), 1)"
 )
 
 
@@ -528,10 +531,12 @@ SPAN_W = 5  # tokens per window
 SPAN_STRIDE = 2  # window start stride
 SPAN_MIN_DOCS = 2
 
+# let-bound words (curation._GRAMS idiom)
 _SPAN_ARR = (
-    f"case when size(split(text,' ')) < {SPAN_W} then array() "
-    f"else transform(sequence(1, size(split(text,' ')) - {SPAN_W - 1}, {SPAN_STRIDE}), "
-    f"i -> array_join(slice(split(text,' '), i, {SPAN_W}), ' ')) end"
+    f"element_at(transform(array(split(text,' ')), _wb -> "
+    f"case when size(_wb) < {SPAN_W} then array() "
+    f"else transform(sequence(1, size(_wb) - {SPAN_W - 1}, {SPAN_STRIDE}), "
+    f"i -> array_join(slice(_wb, i, {SPAN_W}), ' ')) end), 1)"
 )
 
 

@@ -46,10 +46,15 @@ TARGET_LANG = "en"
 
 # bigram -> bucket via the shared md5 idiom (classifier.py, textstats.py)
 _WORDS = "filter(split(trim(regexp_replace(lower(text), '[^a-z]+', ' ')), ' '), w -> w <> '')"
+# let-bound words (curation._GRAMS idiom): the raw _WORDS expression is a
+# regexp + split + filter — re-evaluated TWICE PER BIGRAM when referenced
+# inside the lambda; binding it once via the one-element transform makes
+# bucket construction O(text_len + n_bigrams)
 _BIGRAM_BUCKETS = (
-    f"transform(sequence(1, size({_WORDS}) - 1), i -> "
-    f"cast(conv(substring(md5(concat(element_at({_WORDS}, i), '_', "
-    f"element_at({_WORDS}, i + 1))), 1, 8), 16, 10) as bigint) % {N_BUCKETS})"
+    f"element_at(transform(array({_WORDS}), _wb -> "
+    f"transform(sequence(1, size(_wb) - 1), i -> "
+    f"cast(conv(substring(md5(concat(element_at(_wb, i), '_', "
+    f"element_at(_wb, i + 1))), 1, 8), 16, 10) as bigint) % {N_BUCKETS})), 1)"
 )
 
 

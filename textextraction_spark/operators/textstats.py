@@ -179,10 +179,13 @@ def fingerprint_cols() -> list:
     shared by ``fingerprint`` and ``text_profile``."""
     fp_int = F.expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)")
     w = "split(text, ' ')"
+    # let-bound words (curation._GRAMS idiom): re-splitting inside the
+    # lambda cost O(n_shingles x text_len) per doc
     shingles = (
-        f"case when size({w}) < 5 then array(text) "
-        f"else transform(sequence(1, size({w}) - 4), "
-        f"i -> array_join(slice({w}, i, 5), ' ')) end"
+        f"element_at(transform(array({w}), _wb -> "
+        f"case when size(_wb) < 5 then array(text) "
+        f"else transform(sequence(1, size(_wb) - 4), "
+        f"i -> array_join(slice(_wb, i, 5), ' ')) end), 1)"
     )
     winnow = (
         f"array_min(transform({shingles}, "
