@@ -21,6 +21,19 @@ Feature hashing uses the repo's proven cross-engine idiom
 (``conv(substring(md5(tok), 1, 8), 16, 10)`` — same as
 textstats.fingerprint_cols), so the DuckDB oracle recomputes scores
 exactly.
+
+Measured negative result (round 5): a zero-exchange variant — tokens
+kept as an array, the model as an 8 KB array literal, the mean weight
+folded per row with ``aggregate`` + ``element_at`` — produced
+bit-identical scores but ran **1.4× slower at full compute** (same
+window, same session: 1.34 s vs 0.95 s at sf0.1/local[32]).
+Higher-order-function lambdas evaluate INTERPRETED, outside
+whole-stage codegen, so the per-token md5+lookup loses more than the
+explode+broadcast-join+partial-agg shape pays for its exchange: after
+map-side combine the doc_id shuffle carries ~one (doc_id, count, sum)
+row per doc per partition — metadata, never tokens.  Kept the
+codegen'd shape; the fold idiom stays right where the array is already
+materialized for other signals (gopher_cols' _TOP_BIGRAM run-length).
 """
 
 from __future__ import annotations
