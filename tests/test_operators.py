@@ -698,21 +698,22 @@ class TestJpegCodec:
 
     def test_unsupported_frames_fail_soft(self):
         """The supported envelope is pinned: a truncated/lying SOF
-        (ncomp=3 with one component's bytes) and progressive (SOF2)
-        frames return None, not garbage."""
+        (ncomp=3 with one component's bytes) and a baseline scan
+        re-labeled SOF2 (whose SOS has Ss=0, Se=63 — illegal for
+        progressive, B.2.3) return None, not garbage."""
         from textextraction_spark.operators.jpeg import (
             decode_baseline_jpeg,
             make_block_jpeg,
         )
 
-        data = bytearray(make_block_jpeg(9))
+        data = bytearray(make_block_jpeg(10))  # even id: baseline SOF0
         sof = data.find(b"\xff\xc0")
         assert sof > 0
         lying = bytearray(data)
         lying[sof + 9] = 3  # claims 3 components, carries 1
         assert decode_baseline_jpeg(bytes(lying)) is None
         prog = bytearray(data)
-        prog[sof + 1] = 0xC2  # SOF0 -> SOF2
+        prog[sof + 1] = 0xC2  # SOF0 -> SOF2 with a baseline SOS
         assert decode_baseline_jpeg(bytes(prog)) is None
 
     def test_progressive_equals_baseline_decode(self):
@@ -769,6 +770,64 @@ class TestJpegCodec:
         dec = decode_baseline_jpeg(data)
         assert dec is not None and (dec == img).all()
         rng = np.random.RandomState(4)
+        for _ in range(100):
+            b = bytearray(data)
+            for _ in range(3):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            r = decode_baseline_jpeg(bytes(b))
+            assert r is None or r.dtype == np.uint8
+
+    def test_color_progressive_equals_baseline_decode(self):
+        """Color progressive cross-check, all three samplings: the SOF2
+        pipeline (interleaved 3-component DC scans in MCU order with
+        per-component predictors, non-interleaved per-component AC band
+        scans, DC/AC refinement) must reconstruct EXACTLY the
+        coefficients the independently-validated baseline color pipeline
+        does — decode(progressive_color) == decode(baseline_color) on
+        arbitrary content, so complementary encoder/decoder bugs cannot
+        cancel."""
+        import numpy as np
+
+        from textextraction_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg_color,
+            encode_progressive_jpeg_color,
+        )
+
+        rng = np.random.RandomState(29)
+        for sub, (dx, dy) in (("444", (1, 1)), ("422", (2, 1)), ("420", (2, 2))):
+            for _ in range(3):
+                h = 16 * int(rng.choice([1, 2]))
+                w = 16 * int(rng.choice([1, 2, 3]))
+                y = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+                cb = rng.randint(0, 256, size=(h // dy, w // dx)).astype(np.uint8)
+                cr = rng.randint(0, 256, size=(h // dy, w // dx)).astype(np.uint8)
+                base = decode_baseline_jpeg(
+                    encode_baseline_jpeg_color(y, cb, cr, subsample=sub)
+                )
+                prog = decode_baseline_jpeg(
+                    encode_progressive_jpeg_color(y, cb, cr, subsample=sub)
+                )
+                assert base is not None and prog is not None, sub
+                assert prog.shape == (h, w, 3)
+                assert (prog == base).all(), sub
+
+    def test_color_progressive_fuzz_soft(self):
+        """Truncations and bit-flips of a color-progressive stream never
+        raise — None or a valid uint8 array, the Arrow-batch contract."""
+        import numpy as np
+
+        from textextraction_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            make_color_jpeg,
+        )
+
+        data = make_color_jpeg(3)  # 4:2:0 progressive fixture family
+        assert b"\xff\xc2" in data
+        for cut in (0, 2, 20, len(data) // 3, len(data) - 1):
+            r = decode_baseline_jpeg(data[:cut])
+            assert r is None or r.dtype == np.uint8
+        rng = np.random.RandomState(11)
         for _ in range(100):
             b = bytearray(data)
             for _ in range(3):

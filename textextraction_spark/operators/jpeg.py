@@ -22,9 +22,13 @@ baseline JPEG is lossy only through DCT rounding; |err| <= 2 asserted).
 The decoder is table-driven (tables come from the stream's own DHT/DQT
 segments), handles restart markers, and fails SOFT — malformed bytes
 return None, never raise (a corrupt row must not kill an Arrow batch).
-Grayscale (single-component) frames are decoded; multi-component
-frames return None here (chroma upsampling needs a color pipeline —
-``multimodal.real_decode`` remains the production swap-in for that).
+Baseline frames decode grayscale AND 3-component YCbCr (4:4:4 / 4:2:2 /
+4:2:0 via general MCU interleave + replication upsampling + BT.601);
+progressive (SOF2) frames decode grayscale AND color (T.81 Annex G —
+interleaved DC scans, per-component AC band scans, successive
+approximation).  ``multimodal.real_decode`` remains the production
+swap-in only for what genuinely needs codec libraries (arithmetic
+coding, 12-bit/hierarchical JPEG, WebP/AVIF bitstreams).
 
 Reference analog: the reference rasterizes PDFs to images for OCR
 (/root/reference/OCR/Image.cs:20-66) but never decodes crawl images;
@@ -312,8 +316,106 @@ def _quantized_blocks(img: np.ndarray):
     return rows, h, w
 
 
-def _sos_progressive(ss: int, se: int, ah: int, al: int) -> bytes:
-    return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+def _sos_progressive(comp_ids_tt, ss: int, se: int, ah: int, al: int) -> bytes:
+    """Progressive SOS: ``comp_ids_tt`` is [(component_id, table_byte)]
+    — one entry for a non-interleaved (AC or single-component DC) scan,
+    several for an interleaved DC scan."""
+    body = bytes([len(comp_ids_tt)])
+    for cid, tt in comp_ids_tt:
+        body += bytes([cid, tt])
+    return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+
+# Progressive scan emitters, shared by the grayscale and color encoders.
+# ``seq`` is the traversal: [(component_id, zigzag_row)] in scan order —
+# row-major component blocks for non-interleaved scans, MCU order for
+# interleaved DC scans (per-component DC predictors track by id).
+def _enc_dc_first(bw: _BitWriter, seq, al: int) -> None:
+    preds: dict[int, int] = {}
+    for cid, row in seq:
+        v = int(row[0]) >> al  # arithmetic shift (point transform)
+        diff = v - preds.get(cid, 0)
+        preds[cid] = v
+        ssss = _category(diff)
+        c, ln = _DC_ENC[ssss]
+        bw.put(c, ln)
+        if ssss:
+            bw.put(_magnitude_bits(diff, ssss) & ((1 << ssss) - 1), ssss)
+
+
+def _enc_dc_refine(bw: _BitWriter, seq, al: int) -> None:
+    for _cid, row in seq:
+        bw.put((int(row[0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(bw: _BitWriter, blocks, ss: int, se: int, al: int) -> None:
+    # EOB unbatched: one 0x00 per trailing-zero block (EOBRUN = 1)
+    for row in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(row[k])
+            mag = (-v if v < 0 else v) >> al
+            if mag == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = _AC_ENC[0xF0]
+                bw.put(c, ln)
+                r -= 16
+            s = _category(mag)
+            c, ln = _AC_ENC[(r << 4) | s]
+            bw.put(c, ln)
+            bits = mag if v >= 0 else ~mag  # one's-complement negatives
+            bw.put(bits & ((1 << s) - 1), s)
+            r = 0
+        if r:
+            c, ln = _AC_ENC[0x00]
+            bw.put(c, ln)
+
+
+def _enc_ac_refine(bw: _BitWriter, blocks, ss: int, se: int, al: int) -> None:
+    # the previous scans ran at Al+1; this scan supplies bit Al
+    for row in blocks:
+        absv = [(-int(v) if v < 0 else int(v)) >> al for v in row]
+        eob = 0  # index of the LAST newly-nonzero coefficient
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        pending: list[int] = []  # correction bits ride AFTER symbols
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                c, ln = _AC_ENC[0xF0]
+                bw.put(c, ln)
+                r -= 16
+                for bit in pending:
+                    bw.put(bit, 1)
+                pending = []
+            if t > 1:  # history-nonzero: one correction bit
+                pending.append(t & 1)
+                continue
+            # t == 1: newly nonzero at this level
+            c, ln = _AC_ENC[(r << 4) | 1]
+            bw.put(c, ln)
+            bw.put(1 if row[k] >= 0 else 0, 1)  # sign bit
+            for bit in pending:
+                bw.put(bit, 1)
+            pending = []
+            r = 0
+        if r or pending:
+            c, ln = _AC_ENC[0x00]  # EOB (run 1) + buffered corrections
+            bw.put(c, ln)
+            for bit in pending:
+                bw.put(bit, 1)
+
+
+_PROG_DHT = _seg(
+    0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMS)
+) + _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMS))
 
 
 def encode_progressive_jpeg(img: np.ndarray) -> bytes:
@@ -327,86 +429,7 @@ def encode_progressive_jpeg(img: np.ndarray) -> bytes:
     two entropy pipelines reconstruct identical quantized coefficients
     (the cross-check the tests pin)."""
     blocks, h, w = _quantized_blocks(img)
-
-    def dc_first(bw: _BitWriter, al: int) -> None:
-        pred = 0
-        for row in blocks:
-            v = int(row[0]) >> al  # arithmetic shift (point transform)
-            diff = v - pred
-            pred = v
-            ssss = _category(diff)
-            c, ln = _DC_ENC[ssss]
-            bw.put(c, ln)
-            if ssss:
-                bw.put(_magnitude_bits(diff, ssss) & ((1 << ssss) - 1), ssss)
-
-    def dc_refine(bw: _BitWriter, al: int) -> None:
-        for row in blocks:
-            bw.put((int(row[0]) >> al) & 1, 1)
-
-    def ac_first(bw: _BitWriter, ss: int, se: int, al: int) -> None:
-        # EOB unbatched: one 0x00 per trailing-zero block (EOBRUN = 1)
-        for row in blocks:
-            r = 0
-            for k in range(ss, se + 1):
-                v = int(row[k])
-                mag = (-v if v < 0 else v) >> al
-                if mag == 0:
-                    r += 1
-                    continue
-                while r > 15:
-                    c, ln = _AC_ENC[0xF0]
-                    bw.put(c, ln)
-                    r -= 16
-                s = _category(mag)
-                c, ln = _AC_ENC[(r << 4) | s]
-                bw.put(c, ln)
-                bits = mag if v >= 0 else ~mag  # one's-complement negatives
-                bw.put(bits & ((1 << s) - 1), s)
-                r = 0
-            if r:
-                c, ln = _AC_ENC[0x00]
-                bw.put(c, ln)
-
-    def ac_refine(bw: _BitWriter, ss: int, se: int, al: int) -> None:
-        # the previous scans ran at Al+1; this scan supplies bit Al
-        for row in blocks:
-            absv = [(-int(v) if v < 0 else int(v)) >> al for v in row]
-            eob = 0  # index of the LAST newly-nonzero coefficient
-            for k in range(ss, se + 1):
-                if absv[k] == 1:
-                    eob = k
-            r = 0
-            pending: list[int] = []  # correction bits ride AFTER symbols
-            for k in range(ss, se + 1):
-                t = absv[k]
-                if t == 0:
-                    r += 1
-                    continue
-                while r > 15 and k <= eob:
-                    c, ln = _AC_ENC[0xF0]
-                    bw.put(c, ln)
-                    r -= 16
-                    for bit in pending:
-                        bw.put(bit, 1)
-                    pending = []
-                if t > 1:  # history-nonzero: one correction bit
-                    pending.append(t & 1)
-                    continue
-                # t == 1: newly nonzero at this level
-                c, ln = _AC_ENC[(r << 4) | 1]
-                bw.put(c, ln)
-                bw.put(1 if row[k] >= 0 else 0, 1)  # sign bit
-                for bit in pending:
-                    bw.put(bit, 1)
-                pending = []
-                r = 0
-            if r or pending:
-                c, ln = _AC_ENC[0x00]  # EOB (run 1) + buffered corrections
-                bw.put(c, ln)
-                for bit in pending:
-                    bw.put(bit, 1)
-
+    seq = [(1, row) for row in blocks]
     dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
     sof = _seg(
         0xC2,
@@ -415,17 +438,79 @@ def encode_progressive_jpeg(img: np.ndarray) -> bytes:
         + w.to_bytes(2, "big")
         + bytes([1, 1, 0x11, 0]),
     )
-    dht = _seg(
-        0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMS)
-    ) + _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMS))
-    out = b"\xff\xd8" + dqt + sof + dht
+    out = b"\xff\xd8" + dqt + sof + _PROG_DHT
+    one = [(1, 0x00)]
     for hdr, fn, args in (
-        (_sos_progressive(0, 0, 0, 1), dc_first, (1,)),
-        (_sos_progressive(1, 5, 0, 1), ac_first, (1, 5, 1)),
-        (_sos_progressive(6, 63, 0, 1), ac_first, (6, 63, 1)),
-        (_sos_progressive(0, 0, 1, 0), dc_refine, (0,)),
-        (_sos_progressive(1, 63, 1, 0), ac_refine, (1, 63, 0)),
+        (_sos_progressive(one, 0, 0, 0, 1), _enc_dc_first, (seq, 1)),
+        (_sos_progressive(one, 1, 5, 0, 1), _enc_ac_first, (blocks, 1, 5, 1)),
+        (_sos_progressive(one, 6, 63, 0, 1), _enc_ac_first, (blocks, 6, 63, 1)),
+        (_sos_progressive(one, 0, 0, 1, 0), _enc_dc_refine, (seq, 0)),
+        (_sos_progressive(one, 1, 63, 1, 0), _enc_ac_refine, (blocks, 1, 63, 0)),
     ):
+        bw = _BitWriter()
+        fn(bw, *args)
+        out += hdr + bw.flush()
+    return out + b"\xff\xd9"
+
+
+def encode_progressive_jpeg_color(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    subsample: bool | str = False,
+) -> bytes:
+    """3-component YCbCr PROGRESSIVE (SOF2) JFIF with the scan shape
+    real encoders (libjpeg's standard script) emit: one INTERLEAVED
+    DC-first scan over all three components in MCU order (per-component
+    predictors), per-component non-interleaved AC band scans (T.81
+    forbids interleaved AC in progressive mode), an interleaved DC
+    refinement, and per-component AC refinements.  Unit quant tables,
+    so ``decode(progressive_color(img)) == decode(baseline_color(img))``
+    EXACTLY — the pin the tests enforce for every sampling."""
+    name = subsample if isinstance(subsample, str) else ("420" if subsample else "444")
+    (lh, lv), (dx, dy) = _SAMPLINGS[name]
+    h, w = y.shape
+    assert h % (8 * lv) == 0 and w % (8 * lh) == 0
+    assert cb.shape == cr.shape == (h // dy, w // dx)
+    comps = [(1, lh, lv), (2, 1, 1), (3, 1, 1)]
+    blocks = {
+        1: _quantized_blocks(y)[0],
+        2: _quantized_blocks(cb)[0],
+        3: _quantized_blocks(cr)[0],
+    }
+    # MCU-order traversal for the interleaved DC scans: dims are
+    # MCU-aligned (asserted), so each component's row-major block grid
+    # is exactly (mcuy*vi) x (mcux*hi)
+    mcux, mcuy = w // (8 * lh), h // (8 * lv)
+    seq = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hi, vi in comps:
+                pbw = mcux * hi
+                for v in range(vi):
+                    for hh in range(hi):
+                        seq.append(
+                            (cid, blocks[cid][(my * vi + v) * pbw + mx * hi + hh])
+                        )
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof_body += bytes([3])
+    for cid, hi, vi in comps:
+        sof_body += bytes([cid, (hi << 4) | vi, 0])
+    out = b"\xff\xd8" + dqt + _seg(0xC2, sof_body) + _PROG_DHT
+    all3 = [(1, 0x00), (2, 0x00), (3, 0x00)]
+    script = [
+        (_sos_progressive(all3, 0, 0, 0, 1), _enc_dc_first, (seq, 1)),
+        (_sos_progressive([(1, 0x00)], 1, 5, 0, 1), _enc_ac_first, (blocks[1], 1, 5, 1)),
+        (_sos_progressive([(2, 0x00)], 1, 63, 0, 1), _enc_ac_first, (blocks[2], 1, 63, 1)),
+        (_sos_progressive([(3, 0x00)], 1, 63, 0, 1), _enc_ac_first, (blocks[3], 1, 63, 1)),
+        (_sos_progressive([(1, 0x00)], 6, 63, 0, 1), _enc_ac_first, (blocks[1], 6, 63, 1)),
+        (_sos_progressive(all3, 0, 0, 1, 0), _enc_dc_refine, (seq, 0)),
+        (_sos_progressive([(1, 0x00)], 1, 63, 1, 0), _enc_ac_refine, (blocks[1], 1, 63, 0)),
+        (_sos_progressive([(2, 0x00)], 1, 63, 1, 0), _enc_ac_refine, (blocks[2], 1, 63, 0)),
+        (_sos_progressive([(3, 0x00)], 1, 63, 1, 0), _enc_ac_refine, (blocks[3], 1, 63, 0)),
+    ]
+    for hdr, fn, args in script:
         bw = _BitWriter()
         fn(bw, *args)
         out += hdr + bw.flush()
@@ -486,12 +571,14 @@ def decode_baseline_jpeg(data: bytes):
     (h, w, 3) uint8 RGB for 3-component YCbCr frames (4:4:4, 4:2:2 and
     4:2:0 chroma samplings, via general MCU interleave + replication
     upsampling + BT.601 color transform).  Baseline (SOF0) frames fully;
-    PROGRESSIVE (SOF2) frames for the grayscale envelope — spectral
-    selection + successive approximation with EOB runs and the AC
-    correction-bit refinement (T.81 Annex G).  None on anything
-    malformed or unsupported (arithmetic coding, 12-bit, hierarchical,
-    color progressive, exotic samplings).  Tables are read from the
-    stream's own DQT/DHT."""
+    PROGRESSIVE (SOF2) frames grayscale AND color — spectral selection
+    + successive approximation with EOB runs, the AC correction-bit
+    refinement, interleaved multi-component DC scans in MCU order and
+    per-component non-interleaved AC scans over each component's own
+    block grid (T.81 Annex G).  None on anything malformed or
+    unsupported (arithmetic coding, 12-bit, hierarchical, DRI'd
+    progressive, exotic samplings).  Tables are read from the stream's
+    own DQT/DHT."""
     try:
         return _decode(data)
     except Exception:  # noqa: BLE001 — corrupt bytes fail soft by contract
@@ -560,8 +647,8 @@ def _decode(data: bytes):
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
-            if ncomp not in (1, 3) or (progressive and ncomp != 1):
-                return None  # progressive: grayscale envelope only
+            if ncomp not in (1, 3):
+                return None
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -581,7 +668,7 @@ def _decode(data: bytes):
                 # loop owns all scans + inter-scan tables from here
                 if restart_interval:
                     return None  # DRI'd progressive: outside the envelope
-                return _decode_progressive(data, i, h, w, comps[0][3], qt, huff)
+                return _decode_progressive(data, i, h, w, comps, qt, huff)
             i += 2 + ln
             ns = seg[0]
             if ns != len(comps):
@@ -683,12 +770,15 @@ def _scan_mcu(data, start, h, w, comps, qt, tables, restart_interval):
 
 
 # --------------------------------------------- progressive (SOF2) decode
-# T.81 Annex G successive-approximation + spectral-selection decoding for
-# single-component (grayscale) frames: DC first/refinement scans, AC
-# first scans with EOB-run batching, and the AC refinement algorithm
-# (correction bits interleaved into zero-run advances).  Coefficients
-# accumulate across scans in zigzag order; reconstruction is the same
-# dequantize + IDCT the baseline path uses.
+# T.81 Annex G successive-approximation + spectral-selection decoding,
+# grayscale AND color: interleaved multi-component DC scans in MCU order
+# (per-component predictors), single-component DC scans, AC first scans
+# with EOB-run batching, and the AC refinement algorithm (correction
+# bits interleaved into zero-run advances) — AC scans are always
+# non-interleaved per T.81, walking the component's OWN block grid.
+# Coefficients accumulate across scans in zigzag order per component;
+# reconstruction is the same dequantize + IDCT the baseline path uses,
+# followed by the same replication upsampling + BT.601 transform.
 
 
 def _entropy_end(data: bytes, i: int) -> int:
@@ -703,24 +793,26 @@ def _entropy_end(data: bytes, i: int) -> int:
     return len(data)
 
 
-def _prog_dc_first(br, coef, dc_t, al):
-    pred = 0
-    for b in range(coef.shape[0]):
-        ssss = _decode_huff(br, dc_t)
+def _prog_dc_first(br, coef, seq, dct, al):
+    """``seq`` = [(cid, block_index)] in scan order (MCU order when
+    interleaved, row-major otherwise); ``coef``/``dct`` keyed by cid."""
+    preds: dict[int, int] = {}
+    for cid, b in seq:
+        ssss = _decode_huff(br, dct[cid])
         diff = _extend(br.bits(ssss), ssss) if ssss else 0
-        pred += diff
-        coef[b, 0] = pred << al
+        preds[cid] = preds.get(cid, 0) + diff
+        coef[cid][b, 0] = preds[cid] << al
 
 
-def _prog_dc_refine(br, coef, al):
-    for b in range(coef.shape[0]):
+def _prog_dc_refine(br, coef, seq, al):
+    for cid, b in seq:
         if br.bit():
-            coef[b, 0] |= 1 << al
+            coef[cid][b, 0] |= 1 << al
 
 
-def _prog_ac_first(br, coef, ac_t, ss, se, al):
+def _prog_ac_first(br, coef, ac_t, ss, se, al, idxs):
     eobrun = 0
-    for b in range(coef.shape[0]):
+    for b in idxs:
         if eobrun > 0:
             eobrun -= 1
             continue
@@ -743,7 +835,7 @@ def _prog_ac_first(br, coef, ac_t, ss, se, al):
             k += 1
 
 
-def _prog_ac_refine(br, coef, ac_t, ss, se, al):
+def _prog_ac_refine(br, coef, ac_t, ss, se, al, idxs):
     """T.81 G.1.2.3 (the jdphuff-shaped formulation): newly-nonzero
     coefficients arrive as ±1<<Al after a run over zero-HISTORY
     positions; already-nonzero coefficients met along the way each
@@ -755,7 +847,7 @@ def _prog_ac_refine(br, coef, ac_t, ss, se, al):
         if br.bit() and (row[k] & p1) == 0:
             row[k] += p1 if row[k] >= 0 else m1
 
-    for b in range(coef.shape[0]):
+    for b in idxs:
         row = coef[b]
         k = ss
         if eobrun == 0:
@@ -795,39 +887,82 @@ def _prog_ac_refine(br, coef, ac_t, ss, se, al):
             eobrun -= 1
 
 
-def _decode_progressive(data, i, h, w, tq, qt, huff):
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    coef = np.zeros((bh * bw_, 64), dtype=np.int64)
+def _decode_progressive(data, i, h, w, comps, qt, huff):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per component: the MCU-padded block grid (interleaved DC scans
+    # cover all of it) and the NON-interleaved dims (AC / 1-component
+    # scans cover only ceil(comp_dim/8) blocks — T.81 A.2.2/A.2.3)
+    info: dict[int, tuple] = {}
+    coef: dict[int, np.ndarray] = {}
+    for cid, hi, vi, tq in comps:
+        pbw, pbh = mcux * hi, mcuy * vi
+        cw = -(-(w * hi) // hmax)
+        ch = -(-(h * vi) // vmax)
+        nbw, nbh = -(-cw // 8), -(-ch // 8)
+        info[cid] = (hi, vi, tq, pbw, pbh, cw, ch, nbw, nbh)
+        coef[cid] = np.zeros((pbh * pbw, 64), dtype=np.int64)
     while True:
         if data[i : i + 2] != b"\xff\xda":
             return None
         ln = int.from_bytes(data[i + 2 : i + 4], "big")
         seg = data[i + 4 : i + 2 + ln]
         i += 2 + ln
-        if seg[0] != 1:
-            return None  # single-component scans only
-        tt = seg[2]
-        ss, se, ah, al = seg[3], seg[4], seg[5] >> 4, seg[5] & 0xF
+        ns = seg[0]
+        if ns < 1 or len(seg) < 4 + 2 * ns:
+            return None
+        scomps = [(seg[1 + 2 * s], seg[2 + 2 * s]) for s in range(ns)]
+        if any(cs not in info for cs, _tt in scomps):
+            return None
+        ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+        ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
         end = _entropy_end(data, i)
         br = _BitReader(data[i:end])
         if ss == 0:
             if se != 0:
                 return None  # DC and AC never share a scan (B.2.3)
+            if ns == 1:  # non-interleaved single-component DC scan
+                cid = scomps[0][0]
+                _hi, _vi, _tq, pbw, _pbh, _cw, _ch, nbw, nbh = info[cid]
+                seq = [
+                    (cid, by * pbw + bx)
+                    for by in range(nbh)
+                    for bx in range(nbw)
+                ]
+            else:  # interleaved: MCU order, hi*vi blocks per component
+                seq = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for cid, _tt in scomps:
+                            hi, vi, *_rest = info[cid]
+                            pbw = info[cid][3]
+                            for v in range(vi):
+                                for hh in range(hi):
+                                    seq.append(
+                                        (cid, (my * vi + v) * pbw + mx * hi + hh)
+                                    )
             if ah == 0:
-                dc_t = huff.get((0, tt >> 4))
-                if dc_t is None:
+                dct = {cs: huff.get((0, tt >> 4)) for cs, tt in scomps}
+                if any(t is None for t in dct.values()):
                     return None
-                _prog_dc_first(br, coef, dc_t, al)
+                _prog_dc_first(br, coef, seq, dct, al)
             else:
-                _prog_dc_refine(br, coef, al)
+                _prog_dc_refine(br, coef, seq, al)
         else:
+            if ns != 1:
+                return None  # progressive AC scans are never interleaved
+            cid, tt = scomps[0]
             ac_t = huff.get((1, tt & 0xF))
             if ac_t is None or se > 63 or ss > se:
                 return None
+            _hi, _vi, _tq, pbw, _pbh, _cw, _ch, nbw, nbh = info[cid]
+            idxs = [by * pbw + bx for by in range(nbh) for bx in range(nbw)]
             if ah == 0:
-                _prog_ac_first(br, coef, ac_t, ss, se, al)
+                _prog_ac_first(br, coef[cid], ac_t, ss, se, al, idxs)
             else:
-                _prog_ac_refine(br, coef, ac_t, ss, se, al)
+                _prog_ac_refine(br, coef[cid], ac_t, ss, se, al, idxs)
         i = end
         # inter-scan markers: tables may be redefined between scans
         while i + 2 <= len(data):
@@ -835,7 +970,25 @@ def _decode_progressive(data, i, h, w, tq, qt, huff):
                 return None
             m = data[i + 1]
             if m == 0xD9:  # EOI — all scans in: reconstruct
-                return _reconstruct_blocks(coef, h, w, qt[tq])
+                planes = []
+                for cid, hi, vi, tq in comps:
+                    if tq not in qt:
+                        return None
+                    _h2, _v2, _tq2, pbw, pbh, cw, ch, _nbw, _nbh = info[cid]
+                    # reconstruct the full padded grid, then crop to the
+                    # component's true dims (same int-samples-first
+                    # convention as the baseline path)
+                    p = _reconstruct_blocks(
+                        coef[cid], pbh * 8, pbw * 8, qt[tq]
+                    ).astype(np.float64)[:ch, :cw]
+                    if hi < hmax or vi < vmax:
+                        p = np.repeat(
+                            np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1
+                        )
+                    planes.append(p[:h, :w])
+                if len(planes) == 1:
+                    return planes[0].astype(np.uint8)
+                return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
             if m == 0xDA:
                 break  # next scan
             ln2 = int.from_bytes(data[i + 2 : i + 4], "big")
@@ -883,7 +1036,10 @@ def make_block_jpeg(doc_id: int) -> bytes:
     """Deterministic block-flat grayscale JPEG: (2 + doc_id%3) x
     (2 + (doc_id*5)%3) blocks, block (bx, by) = one constant from the
     doc_id formula — DC-only content, so the decode is bit-exact and
-    the oracle recomputes decoded statistics arithmetically."""
+    the oracle recomputes decoded statistics arithmetically.  Odd
+    doc_ids emit the PROGRESSIVE (SOF2) stream shape, even ones
+    baseline (SOF0); both decode to identical pixels (unit quant), so
+    one oracle gates both entropy pipelines."""
     wb = 2 + doc_id % 3
     hb = 2 + (doc_id * 5) % 3
     img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
@@ -892,6 +1048,8 @@ def make_block_jpeg(doc_id: int) -> bytes:
             img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                 doc_id * 7 + 13 * bx + 29 * by
             ) % 256
+    if doc_id % 2:
+        return encode_progressive_jpeg(img)
     return encode_baseline_jpeg(img)
 
 
@@ -942,12 +1100,17 @@ def media_jpeg_decode(spark, sf_dir: str):
 
 def make_color_jpeg(doc_id: int) -> bytes:
     """Deterministic block-flat COLOR JPEG: even doc_ids are 4:4:4, odd
-    are 4:2:0 (the two samplings real crawls carry).  Every 8x8 luma
-    block is one constant; chroma is constant per chroma block, so after
-    replication upsampling each luma block sees one exact (Y, Cb, Cr)
-    and the decoded RGB is bit-exact — the oracle recomputes it with the
-    same floor(x+0.5) BT.601 arithmetic in SQL."""
+    are 4:2:0 (the two samplings real crawls carry); within each
+    sampling, doc_id%4 >= 2 emits the PROGRESSIVE (SOF2) stream shape
+    (interleaved DC scans + per-component AC band scans) and the rest
+    baseline — identical decoded pixels either way (unit quant), so one
+    oracle gates both entropy pipelines.  Every 8x8 luma block is one
+    constant; chroma is constant per chroma block, so after replication
+    upsampling each luma block sees one exact (Y, Cb, Cr) and the
+    decoded RGB is bit-exact — the oracle recomputes it with the same
+    floor(x+0.5) BT.601 arithmetic in SQL."""
     sub = doc_id % 2 == 1
+    prog = (doc_id % 4) >= 2  # half the fixtures per sampling: SOF2
     if sub:  # 4:2:0 needs even luma-block counts (whole MCUs)
         wb = 4
         hb = 2 + 2 * ((doc_id // 2) % 2)
@@ -971,7 +1134,8 @@ def make_color_jpeg(doc_id: int) -> bytes:
                 cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
                     doc_id * 5 + 19 * mx + 31 * my
                 ) % 256
-        return encode_baseline_jpeg_color(y, cb, cr, subsample=True)
+        enc = encode_progressive_jpeg_color if prog else encode_baseline_jpeg_color
+        return enc(y, cb, cr, subsample=True)
     cb = np.zeros_like(y)
     cr = np.zeros_like(y)
     for by in range(hb):
@@ -982,7 +1146,8 @@ def make_color_jpeg(doc_id: int) -> bytes:
             cr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                 doc_id * 5 + 19 * bx + 31 * by
             ) % 256
-    return encode_baseline_jpeg_color(y, cb, cr, subsample=False)
+    enc = encode_progressive_jpeg_color if prog else encode_baseline_jpeg_color
+    return enc(y, cb, cr, subsample=False)
 
 
 def _jpeg_color_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
