@@ -812,6 +812,54 @@ class TestJpegCodec:
                 assert prog.shape == (h, w, 3)
                 assert (prog == base).all(), sub
 
+    def test_dri_progressive_equals_baseline_decode(self):
+        """DRI'd progressive (restart markers inside progressive scans):
+        per-segment DC-predictor and EOB-run resets must still
+        reconstruct exactly the baseline coefficients — grayscale for
+        intervals that do and don't divide the block count, and color
+        for all three samplings (interleaved-DC MCU restarts +
+        non-interleaved AC block restarts)."""
+        import numpy as np
+
+        from textextraction_spark.operators.jpeg import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg,
+            encode_baseline_jpeg_color,
+            encode_progressive_jpeg,
+            encode_progressive_jpeg_color,
+        )
+
+        rng = np.random.RandomState(31)
+        img = rng.randint(0, 256, size=(24, 40)).astype(np.uint8)  # 15 blocks
+        base = decode_baseline_jpeg(encode_baseline_jpeg(img))
+        for ri in (1, 2, 4, 7):
+            prog = decode_baseline_jpeg(
+                encode_progressive_jpeg(img, restart_interval=ri)
+            )
+            assert prog is not None and (prog == base).all(), ri
+        for sub, (dx, dy) in (("444", (1, 1)), ("422", (2, 1)), ("420", (2, 2))):
+            y = rng.randint(0, 256, size=(32, 48)).astype(np.uint8)
+            cb = rng.randint(0, 256, size=(32 // dy, 48 // dx)).astype(np.uint8)
+            cr = rng.randint(0, 256, size=(32 // dy, 48 // dx)).astype(np.uint8)
+            basec = decode_baseline_jpeg(
+                encode_baseline_jpeg_color(y, cb, cr, subsample=sub)
+            )
+            for ri in (1, 3):
+                progc = decode_baseline_jpeg(
+                    encode_progressive_jpeg_color(
+                        y, cb, cr, subsample=sub, restart_interval=ri
+                    )
+                )
+                assert progc is not None and (progc == basec).all(), (sub, ri)
+        # fuzz: bit-flipped DRI'd progressive streams fail soft
+        data = encode_progressive_jpeg(img, restart_interval=2)
+        for _ in range(60):
+            b = bytearray(data)
+            for _ in range(3):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            r = decode_baseline_jpeg(bytes(b))
+            assert r is None or r.dtype == np.uint8
+
     def test_color_progressive_fuzz_soft(self):
         """Truncations and bit-flips of a color-progressive stream never
         raise — None or a valid uint8 array, the Arrow-batch contract."""

@@ -418,16 +418,35 @@ _PROG_DHT = _seg(
 ) + _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMS))
 
 
-def encode_progressive_jpeg(img: np.ndarray) -> bytes:
+def _emit_prog_scan(fn, payload, extra, step: int) -> bytes:
+    """Entropy-code one progressive scan, inserting RSTn every ``step``
+    traversal units when step > 0 (per-segment state reset falls out of
+    calling the emitter per chunk: fresh DC predictors, EOB runs ended)."""
+    bw = _BitWriter()
+    if not step:
+        step = len(payload)
+    nrst = 0
+    for pos in range(0, len(payload), max(step, 1)):
+        if pos:
+            bw.restart(nrst % 8)
+            nrst += 1
+        fn(bw, payload[pos : pos + step], *extra)
+    return bw.flush()
+
+
+def encode_progressive_jpeg(img: np.ndarray, restart_interval: int = 0) -> bytes:
     """Grayscale PROGRESSIVE (SOF2) JFIF: spectral selection + one level
     of successive approximation — the scan script real progressive
     encoders emit (DC first Al=1 → AC bands 1-5 / 6-63 first Al=1 → DC
     refinement → AC refinement 1-63), exercising EOB runs, ZRL-in-
     refinement, correction-bit buffering, and cross-scan coefficient
-    accumulation.  Same unit quant tables as the baseline encoder, so
-    ``decode(progressive(img)) == decode(baseline(img))`` EXACTLY — the
-    two entropy pipelines reconstruct identical quantized coefficients
-    (the cross-check the tests pin)."""
+    accumulation.  ``restart_interval`` > 0 emits DRI + RSTn every N
+    blocks inside every scan (single-component scans are
+    non-interleaved: one data unit per MCU).  Same unit quant tables as
+    the baseline encoder, so ``decode(progressive(img)) ==
+    decode(baseline(img))`` EXACTLY — the two entropy pipelines
+    reconstruct identical quantized coefficients (the cross-check the
+    tests pin)."""
     blocks, h, w = _quantized_blocks(img)
     seq = [(1, row) for row in blocks]
     dqt = _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
@@ -438,18 +457,21 @@ def encode_progressive_jpeg(img: np.ndarray) -> bytes:
         + w.to_bytes(2, "big")
         + bytes([1, 1, 0x11, 0]),
     )
-    out = b"\xff\xd8" + dqt + sof + _PROG_DHT
+    dri = (
+        _seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
+    out = b"\xff\xd8" + dqt + sof + dri + _PROG_DHT
     one = [(1, 0x00)]
-    for hdr, fn, args in (
-        (_sos_progressive(one, 0, 0, 0, 1), _enc_dc_first, (seq, 1)),
-        (_sos_progressive(one, 1, 5, 0, 1), _enc_ac_first, (blocks, 1, 5, 1)),
-        (_sos_progressive(one, 6, 63, 0, 1), _enc_ac_first, (blocks, 6, 63, 1)),
-        (_sos_progressive(one, 0, 0, 1, 0), _enc_dc_refine, (seq, 0)),
-        (_sos_progressive(one, 1, 63, 1, 0), _enc_ac_refine, (blocks, 1, 63, 0)),
+    for hdr, fn, payload, extra in (
+        (_sos_progressive(one, 0, 0, 0, 1), _enc_dc_first, seq, (1,)),
+        (_sos_progressive(one, 1, 5, 0, 1), _enc_ac_first, blocks, (1, 5, 1)),
+        (_sos_progressive(one, 6, 63, 0, 1), _enc_ac_first, blocks, (6, 63, 1)),
+        (_sos_progressive(one, 0, 0, 1, 0), _enc_dc_refine, seq, (0,)),
+        (_sos_progressive(one, 1, 63, 1, 0), _enc_ac_refine, blocks, (1, 63, 0)),
     ):
-        bw = _BitWriter()
-        fn(bw, *args)
-        out += hdr + bw.flush()
+        out += hdr + _emit_prog_scan(fn, payload, extra, restart_interval)
     return out + b"\xff\xd9"
 
 
@@ -458,14 +480,18 @@ def encode_progressive_jpeg_color(
     cb: np.ndarray,
     cr: np.ndarray,
     subsample: bool | str = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """3-component YCbCr PROGRESSIVE (SOF2) JFIF with the scan shape
     real encoders (libjpeg's standard script) emit: one INTERLEAVED
     DC-first scan over all three components in MCU order (per-component
     predictors), per-component non-interleaved AC band scans (T.81
     forbids interleaved AC in progressive mode), an interleaved DC
-    refinement, and per-component AC refinements.  Unit quant tables,
-    so ``decode(progressive_color(img)) == decode(baseline_color(img))``
+    refinement, and per-component AC refinements.  ``restart_interval``
+    > 0 emits DRI + RSTn every N MCUs in every scan — N whole MCUs of
+    the interleaved DC traversal, N blocks of a non-interleaved AC scan
+    (one data unit per MCU, B.2.3).  Unit quant tables, so
+    ``decode(progressive_color(img)) == decode(baseline_color(img))``
     EXACTLY — the pin the tests enforce for every sampling."""
     name = subsample if isinstance(subsample, str) else ("420" if subsample else "444")
     (lh, lv), (dx, dy) = _SAMPLINGS[name]
@@ -497,23 +523,27 @@ def encode_progressive_jpeg_color(
     sof_body += bytes([3])
     for cid, hi, vi in comps:
         sof_body += bytes([cid, (hi << 4) | vi, 0])
-    out = b"\xff\xd8" + dqt + _seg(0xC2, sof_body) + _PROG_DHT
+    dri = (
+        _seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
+    out = b"\xff\xd8" + dqt + _seg(0xC2, sof_body) + dri + _PROG_DHT
     all3 = [(1, 0x00), (2, 0x00), (3, 0x00)]
+    bpm = lh * lv + 2  # blocks per interleaved MCU
     script = [
-        (_sos_progressive(all3, 0, 0, 0, 1), _enc_dc_first, (seq, 1)),
-        (_sos_progressive([(1, 0x00)], 1, 5, 0, 1), _enc_ac_first, (blocks[1], 1, 5, 1)),
-        (_sos_progressive([(2, 0x00)], 1, 63, 0, 1), _enc_ac_first, (blocks[2], 1, 63, 1)),
-        (_sos_progressive([(3, 0x00)], 1, 63, 0, 1), _enc_ac_first, (blocks[3], 1, 63, 1)),
-        (_sos_progressive([(1, 0x00)], 6, 63, 0, 1), _enc_ac_first, (blocks[1], 6, 63, 1)),
-        (_sos_progressive(all3, 0, 0, 1, 0), _enc_dc_refine, (seq, 0)),
-        (_sos_progressive([(1, 0x00)], 1, 63, 1, 0), _enc_ac_refine, (blocks[1], 1, 63, 0)),
-        (_sos_progressive([(2, 0x00)], 1, 63, 1, 0), _enc_ac_refine, (blocks[2], 1, 63, 0)),
-        (_sos_progressive([(3, 0x00)], 1, 63, 1, 0), _enc_ac_refine, (blocks[3], 1, 63, 0)),
+        (_sos_progressive(all3, 0, 0, 0, 1), _enc_dc_first, seq, (1,), bpm),
+        (_sos_progressive([(1, 0x00)], 1, 5, 0, 1), _enc_ac_first, blocks[1], (1, 5, 1), 1),
+        (_sos_progressive([(2, 0x00)], 1, 63, 0, 1), _enc_ac_first, blocks[2], (1, 63, 1), 1),
+        (_sos_progressive([(3, 0x00)], 1, 63, 0, 1), _enc_ac_first, blocks[3], (1, 63, 1), 1),
+        (_sos_progressive([(1, 0x00)], 6, 63, 0, 1), _enc_ac_first, blocks[1], (6, 63, 1), 1),
+        (_sos_progressive(all3, 0, 0, 1, 0), _enc_dc_refine, seq, (0,), bpm),
+        (_sos_progressive([(1, 0x00)], 1, 63, 1, 0), _enc_ac_refine, blocks[1], (1, 63, 0), 1),
+        (_sos_progressive([(2, 0x00)], 1, 63, 1, 0), _enc_ac_refine, blocks[2], (1, 63, 0), 1),
+        (_sos_progressive([(3, 0x00)], 1, 63, 1, 0), _enc_ac_refine, blocks[3], (1, 63, 0), 1),
     ]
-    for hdr, fn, args in script:
-        bw = _BitWriter()
-        fn(bw, *args)
-        out += hdr + bw.flush()
+    for hdr, fn, payload, extra, units in script:
+        out += hdr + _emit_prog_scan(fn, payload, extra, restart_interval * units)
     return out + b"\xff\xd9"
 
 
@@ -575,10 +605,11 @@ def decode_baseline_jpeg(data: bytes):
     + successive approximation with EOB runs, the AC correction-bit
     refinement, interleaved multi-component DC scans in MCU order and
     per-component non-interleaved AC scans over each component's own
-    block grid (T.81 Annex G).  None on anything malformed or
-    unsupported (arithmetic coding, 12-bit, hierarchical, DRI'd
-    progressive, exotic samplings).  Tables are read from the stream's
-    own DQT/DHT."""
+    block grid (T.81 Annex G), with DRI/RSTn restart boundaries in any
+    scan (per-segment predictor + EOB-run resets).  None on anything
+    malformed or unsupported (arithmetic coding, 12-bit, hierarchical,
+    exotic samplings).  Tables are read from the stream's own
+    DQT/DHT."""
     try:
         return _decode(data)
     except Exception:  # noqa: BLE001 — corrupt bytes fail soft by contract
@@ -666,9 +697,9 @@ def _decode(data: bytes):
             if progressive:
                 # i still points at this SOS marker; the progressive
                 # loop owns all scans + inter-scan tables from here
-                if restart_interval:
-                    return None  # DRI'd progressive: outside the envelope
-                return _decode_progressive(data, i, h, w, comps, qt, huff)
+                return _decode_progressive(
+                    data, i, h, w, comps, qt, huff, restart_interval
+                )
             i += 2 + ln
             ns = seg[0]
             if ns != len(comps):
@@ -887,7 +918,20 @@ def _prog_ac_refine(br, coef, ac_t, ss, se, al, idxs):
             eobrun -= 1
 
 
-def _decode_progressive(data, i, h, w, comps, qt, huff):
+def _skip_rst(br: _BitReader) -> None:
+    """Restart boundary inside a progressive scan: byte-align and step
+    over the RSTn marker (T.81 E.1.4; state resets are the caller's —
+    predictors and EOB runs restart per segment)."""
+    br.align()
+    if (
+        br.i + 1 < len(br.d)
+        and br.d[br.i] == 0xFF
+        and 0xD0 <= br.d[br.i + 1] <= 0xD7
+    ):
+        br.i += 2
+
+
+def _decode_progressive(data, i, h, w, comps, qt, huff, ri):
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -931,6 +975,7 @@ def _decode_progressive(data, i, h, w, comps, qt, huff):
                     for by in range(nbh)
                     for bx in range(nbw)
                 ]
+                bpm = 1  # non-interleaved: one data unit per MCU (B.2.3)
             else:  # interleaved: MCU order, hi*vi blocks per component
                 seq = []
                 for my in range(mcuy):
@@ -943,13 +988,22 @@ def _decode_progressive(data, i, h, w, comps, qt, huff):
                                     seq.append(
                                         (cid, (my * vi + v) * pbw + mx * hi + hh)
                                     )
+                bpm = sum(info[cs][0] * info[cs][1] for cs, _tt in scomps)
             if ah == 0:
                 dct = {cs: huff.get((0, tt >> 4)) for cs, tt in scomps}
                 if any(t is None for t in dct.values()):
                     return None
-                _prog_dc_first(br, coef, seq, dct, al)
-            else:
-                _prog_dc_refine(br, coef, seq, al)
+            # restart boundaries every ri MCUs: predictors reset per
+            # segment (fresh _prog_dc_first call == fresh predictors)
+            step = ri * bpm if ri else len(seq)
+            for pos in range(0, len(seq), max(step, 1)):
+                if pos:
+                    _skip_rst(br)
+                chunk = seq[pos : pos + step]
+                if ah == 0:
+                    _prog_dc_first(br, coef, chunk, dct, al)
+                else:
+                    _prog_dc_refine(br, coef, chunk, al)
         else:
             if ns != 1:
                 return None  # progressive AC scans are never interleaved
@@ -959,10 +1013,17 @@ def _decode_progressive(data, i, h, w, comps, qt, huff):
                 return None
             _hi, _vi, _tq, pbw, _pbh, _cw, _ch, nbw, nbh = info[cid]
             idxs = [by * pbw + bx for by in range(nbh) for bx in range(nbw)]
-            if ah == 0:
-                _prog_ac_first(br, coef[cid], ac_t, ss, se, al, idxs)
-            else:
-                _prog_ac_refine(br, coef[cid], ac_t, ss, se, al, idxs)
+            # non-interleaved: restart every ri blocks; EOB runs end at
+            # the boundary (fresh call == fresh eobrun)
+            step = ri if ri else len(idxs)
+            for pos in range(0, len(idxs), max(step, 1)):
+                if pos:
+                    _skip_rst(br)
+                chunk = idxs[pos : pos + step]
+                if ah == 0:
+                    _prog_ac_first(br, coef[cid], ac_t, ss, se, al, chunk)
+                else:
+                    _prog_ac_refine(br, coef[cid], ac_t, ss, se, al, chunk)
         i = end
         # inter-scan markers: tables may be redefined between scans
         while i + 2 <= len(data):
@@ -997,6 +1058,8 @@ def _decode_progressive(data, i, h, w, comps, qt, huff):
                 _parse_dht(seg2, huff)
             elif m == 0xDB:
                 _parse_dqt(seg2, qt)
+            elif m == 0xDD:  # DRI may be redefined between scans
+                ri = int.from_bytes(seg2[:2], "big")
             i += 2 + ln2
         else:
             return None
