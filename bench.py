@@ -843,6 +843,19 @@ def main() -> None:
             ):
                 break
         queries[name] = round(min(times), 3)
+    # Opportunistic e2e re-measure in this (already warm) session:
+    # extract_e2e is timed FIRST in the run, ~12 minutes before this
+    # point — when the run opens inside a hypervisor trough (ledger run
+    # 33: e2e 8.0 s at t+150 while the same input did 56k docs/s at
+    # HALF the cores at t+830), both early attempts are polluted and
+    # nothing downstream revisits them.  Two warm re-runs here cost
+    # ~2x warm e2e (bounded seconds) and min() keeps the honest best.
+    if queries["extract_e2e"] > 1.5 * QUERY_BASELINES["extract_e2e"]:
+        best = queries["extract_e2e"]
+        for _ in range(2):
+            best = min(best, run_extract(spark, pages_sf, cpus * 3)[0])
+        queries["extract_e2e"] = round(best, 3)
+        _mark(t_start, f"e2e late re-measure: {queries['extract_e2e']}")
     spark.stop()
     _mark(t_start, "query phase done")
     # Soft regression gate: warn (never fail) when a headliner runs >1.5x
@@ -859,8 +872,11 @@ def main() -> None:
     # hypervisor burst (all three runs are slow, min included) — re-run
     # ONLY the flagged queries in a fresh session and keep the min; a
     # query stays flagged only if it is slow in both sessions.  Cost is
-    # bounded: one session + <=2 runs for <=3 queries.
-    if regressions and (time.time() - t_start) < budget_s + 60:
+    # bounded: one session + <=2 runs for <=3 queries.  The gate allows
+    # budget + 6 min because protocol v3's guaranteed-long scaling pairs
+    # end near t+830 s — under the old budget+60 gate the re-check could
+    # never fire in a full run (ledger run 33), exactly when it matters.
+    if regressions and (time.time() - t_start) < budget_s + 360:
         # Defensive: a crash here must NEVER cost the run its JSON line —
         # the re-check only ever tightens numbers already measured.
         s = None
@@ -927,10 +943,16 @@ def main() -> None:
     }
     # Full receipt payload → file + stderr (the driver keeps only a
     # ~2000-char stdout tail; see the module-docstring size contract).
+    # SPARK_GRAFT_BENCH_RECEIPT redirects the receipt file so harness
+    # runs (the pytest subprocess smoke at sf0.001) never clobber the
+    # last real full-protocol receipt under BENCH/.
     here = os.path.dirname(os.path.abspath(__file__))
+    receipt = os.environ.get("SPARK_GRAFT_BENCH_RECEIPT") or os.path.join(
+        here, "BENCH", "LAST_RUN.json"
+    )
     try:
-        os.makedirs(os.path.join(here, "BENCH"), exist_ok=True)
-        with open(os.path.join(here, "BENCH", "LAST_RUN.json"), "w") as f:
+        os.makedirs(os.path.dirname(receipt), exist_ok=True)
+        with open(receipt, "w") as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass

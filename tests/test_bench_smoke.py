@@ -28,7 +28,7 @@ import pytest
 pytestmark = pytest.mark.bench_serial
 
 
-def test_bench_emits_one_valid_json_line():
+def test_bench_emits_one_valid_json_line(tmp_path):
     from pyspark import SparkContext
 
     if SparkContext._gateway is not None:
@@ -37,6 +37,7 @@ def test_bench_emits_one_valid_json_line():
             "must never share the CPUs with other Spark work (run this "
             "test first or standalone)"
         )
+    receipt = tmp_path / "LAST_RUN.json"
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -44,6 +45,9 @@ def test_bench_emits_one_valid_json_line():
         SPARK_GRAFT_BENCH_REP="2",
         SPARK_GRAFT_BENCH_SCALING="0",
         SPARK_GRAFT_BENCH_BUDGET="60",
+        # keep the sf0.001 smoke receipt out of BENCH/LAST_RUN.json so
+        # it never overwrites the last real full-protocol run's receipt
+        SPARK_GRAFT_BENCH_RECEIPT=str(receipt),
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
@@ -66,6 +70,6 @@ def test_bench_emits_one_valid_json_line():
     assert d["throughput"]["n_docs"] == 1000  # 500 docs x rep 2
     assert d["sf"] == "0.001"
     # the full receipt payload is preserved on the side
-    with open("/root/repo/BENCH/LAST_RUN.json") as f:
+    with open(receipt) as f:
         full = json.load(f)
     assert full["queries"]["extract_e2e"] == d["queries"]["extract_e2e"]
