@@ -117,3 +117,45 @@ def test_round4_shaped_payload_would_have_parsed():
     line = bench.compact_line(_worst_case_full())
     # leave >=100 chars of interleave slack inside a 2000-char tail
     assert len(line) <= 1900
+
+
+def _pair(eff: float, steal4: float = 0.0, steal16: float = 0.0) -> dict:
+    return {"efficiency": eff, "steal4": steal4, "steal16": steal16}
+
+
+def test_pair_median_steal_gating():
+    """Ledger run 34: one steal-wrecked pair must not halve the median.
+
+    Steal% is an external /proc/stat receipt, so a pair with a >=5%
+    side is a provably contaminated measurement; the median runs over
+    the steal-clean pairs when any exist, over all pairs otherwise."""
+    # run-34 shape: clean 0.813 pair + a 17.71%-steal 0.318 pair
+    med, excl = bench._pair_median(
+        [_pair(0.813, 0.02, 0.08), _pair(0.318, 0.12, 17.71)]
+    )
+    assert (med, excl) == (0.813, 1)
+    # run-29 shape: BOTH pairs stolen -> no clean evidence, use all
+    med, excl = bench._pair_median(
+        [_pair(0.553, 0.1, 9.49), _pair(0.717, 0.2, 5.45)]
+    )
+    assert (med, excl) == (0.635, 0)
+    # all-clean pairs: plain median, nothing excluded (odd + even counts)
+    med, excl = bench._pair_median(
+        [_pair(0.88, 0.1, 0.1), _pair(0.92), _pair(0.80)]
+    )
+    assert (med, excl) == (0.88, 0)
+    med, excl = bench._pair_median([_pair(0.9), _pair(0.8)])
+    assert (med, excl) == (0.85, 0)
+    # the 4-side's steal gates too, and 5.0 is the exclusive boundary
+    med, excl = bench._pair_median([_pair(0.3, 5.0, 0.0), _pair(0.9)])
+    assert (med, excl) == (0.9, 1)
+    med, excl = bench._pair_median([_pair(0.3, 4.99, 0.0), _pair(0.9)])
+    assert (med, excl) == (0.6, 0)
+
+
+def test_compact_line_carries_steal_exclusion_receipt():
+    full = _worst_case_full()
+    full["scaling"]["steal_excluded_pairs"] = 1
+    line = bench.compact_line(full)
+    assert len(line) <= 1900
+    assert json.loads(line)["scaling"]["steal_excluded_pairs"] == 1
