@@ -503,6 +503,26 @@ class TestOperatorFamilyBranches:
                 "doc_id", "fmt", "w", "h", "mean_r", "mean_g", "mean_b"
             ),
         )
+        # round-5: the lossless PNG pixel path rides as kind='png'
+        from textextraction_spark.operators import png as P
+
+        assert_df_equal(
+            P.media_png_decode(spark, SF),
+            comp.filter(F.col("kind") == "png").select(
+                "doc_id", "fmt", "w", "h", "mean_px", "min_px", "max_px",
+                "mean_r", "mean_g", "mean_b"
+            ),
+        )
+        # round-5: the BI_RGB BMP pixel path rides as kind='bmp'
+        from textextraction_spark.operators import bmp as B
+
+        assert_df_equal(
+            B.media_bmp_decode(spark, SF),
+            comp.filter(F.col("kind") == "bmp").select(
+                "doc_id", "fmt", "w", "h", "mean_px", "min_px", "max_px",
+                "mean_r", "mean_g", "mean_b"
+            ),
+        )
 
     def test_pq_suite_slices(self, spark):
         """Round-5 rotation: pq_encode + ann_pq_adc gate as one row;

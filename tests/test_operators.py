@@ -1026,6 +1026,232 @@ class TestJpegCodec:
         assert not problems, problems
 
 
+class TestPngCodec:
+    """Round-5: real lossless PNG pixel path (operators/png.py) — the
+    web's second-dominant image format after JPEG.  PNG is lossless,
+    so every pin is bit-exact with NO error bound (stronger than the
+    JPEG |err| <= 2 AC-path bound).  Driver-gated as media_features
+    kind='png' (slice-pinned in test_composites.py)."""
+
+    def test_fixtures_round_trip_bit_exact_all_families(self):
+        """All four fixture families (gray / rgb / rgba / palette)
+        reproduce the formula grid exactly.  Fixture heights are >= 4
+        rows + the filter cycles row % 5, so families taller than 4
+        rows exercise every filter type; across doc_ids 0..59 all five
+        appear many times in each family."""
+        import numpy as np
+
+        from textextraction_spark.operators.png import (
+            _png_geometry,
+            decode_png,
+            make_png,
+        )
+
+        for d in range(60):
+            w, h = _png_geometry(d)
+            dec = decode_png(make_png(d))
+            assert dec is not None, d
+            ctype, img = dec
+            fam = d % 4
+            rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            base = (d + 3 * rr + 5 * cc) % 256
+            if fam == 0:
+                assert ctype == 0 and (img == base).all(), d
+            elif fam in (1, 2):
+                spp = 3 if fam == 1 else 4
+                want = np.stack(
+                    [(base + 77 * k) % 256 for k in range(spp)], axis=-1
+                )
+                assert img.shape == (h, w, spp) and (img == want).all(), d
+            else:
+                n_pal = 2 + d % 15
+                idx = (d + 3 * rr + 5 * cc) % n_pal
+                want = np.stack(
+                    [(7 * d + 11 * idx) % 256, (13 * d + 17 * idx) % 256,
+                     (3 * d + 19 * idx) % 256],
+                    axis=-1,
+                )
+                assert ctype == 3 and (img == want).all(), d
+
+    def test_arbitrary_content_round_trips_exact(self):
+        """Lossless on arbitrary pixels for every color type — the
+        all-five-filter encoder means a single filter bug breaks this."""
+        import numpy as np
+
+        from textextraction_spark.operators.png import decode_png, encode_png
+
+        rng = np.random.RandomState(9)
+        for _ in range(8):
+            h, w = int(rng.randint(6, 40)), int(rng.randint(1, 40))
+            g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            assert (decode_png(encode_png(g, 0))[1] == g).all()
+            rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            assert (decode_png(encode_png(rgb, 2))[1] == rgb).all()
+            rgba = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+            assert (decode_png(encode_png(rgba, 6))[1] == rgba).all()
+
+    def test_corrupt_png_never_raises(self):
+        """Truncation at every third byte and random bit flips return
+        None or a valid decode, never raise — CRC-32 verification makes
+        nearly every flip a deterministic None."""
+        import numpy as np
+
+        from textextraction_spark.operators.png import decode_png, make_png
+
+        data = make_png(13)
+        for cut in range(0, len(data), 3):
+            assert decode_png(data[:cut]) is None, cut
+        rng = np.random.RandomState(3)
+        for _ in range(200):
+            b = bytearray(data)
+            for _ in range(2):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            r = decode_png(bytes(b))
+            assert r is None or isinstance(r, tuple)
+
+    def test_unsupported_envelope_fails_soft(self):
+        """16-bit depth, Adam7 interlace, and a palette stream missing
+        its PLTE return None, not garbage — the pinned envelope."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from textextraction_spark.operators.png import (
+            _SIG,
+            _chunk,
+            decode_png,
+            encode_png,
+            make_png,
+        )
+
+        img = np.zeros((4, 4), np.uint8)
+        good = encode_png(img, 0)
+
+        def with_ihdr(depth, inter):
+            ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 0, 0, 0, inter)
+            rest = good[8 + 25 :]  # skip sig + original IHDR chunk
+            return _SIG + _chunk(b"IHDR", ihdr) + rest
+
+        assert decode_png(with_ihdr(16, 0)) is None
+        assert decode_png(with_ihdr(8, 1)) is None
+        # palette stream with the PLTE chunk excised
+        pal_png = make_png(3)  # fam 3 = palette
+        (ln,) = struct.unpack(">I", pal_png[33:37])  # PLTE after IHDR
+        no_plte = pal_png[:33] + pal_png[33 + 12 + ln :]
+        assert decode_png(no_plte) is None
+        # wrong inflated length: claim 5x4 but carry 4x4 scanlines
+        ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 0, 0, 0, 0)
+        lied = _SIG + _chunk(b"IHDR", ihdr) + good[8 + 25 :]
+        assert decode_png(lied) is None
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.png import (
+            MEDIA_PNG_DECODE_ORACLE,
+            media_png_decode,
+        )
+
+        got = media_png_decode(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(MEDIA_PNG_DECODE_ORACLE).df()
+        problems = compare("media_png_decode", got, want)
+        assert not problems, problems
+
+
+class TestBmpCodec:
+    """Round-5: real BI_RGB BMP pixel path (operators/bmp.py) — the
+    uncompressed-bitmap crawl tail.  Uncompressed format, so every pin
+    is bit-exact (row de-padding, bottom-up reversal, BGR swizzle,
+    palette map).  Driver-gated as media_features kind='bmp'."""
+
+    def test_fixtures_round_trip_bit_exact_all_families(self):
+        import numpy as np
+
+        from textextraction_spark.operators.bmp import (
+            _bmp_geometry,
+            decode_bmp,
+            make_bmp,
+        )
+
+        for d in range(80):
+            w, h = _bmp_geometry(d)
+            img = decode_bmp(make_bmp(d))
+            assert img is not None and img.shape == (h, w, 3), d
+            fam = d % 4
+            rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            base = (d + 3 * rr + 5 * cc) % 256
+            if fam < 2:
+                want = np.stack(
+                    [(base + 77 * k) % 256 for k in range(3)], axis=-1
+                )
+            else:
+                n_pal = 2 + d % 15
+                idx = (d + 3 * rr + 5 * cc) % n_pal
+                want = np.stack(
+                    [(7 * d + 11 * idx) % 256, (13 * d + 17 * idx) % 256,
+                     (3 * d + 19 * idx) % 256],
+                    axis=-1,
+                )
+            assert (img == want).all(), d
+
+    def test_every_padding_remainder_round_trips(self):
+        """Widths 1..8 hit every 4-byte row-padding remainder for both
+        depths; both row orders — a stride bug cannot survive this."""
+        import numpy as np
+
+        from textextraction_spark.operators.bmp import decode_bmp, encode_bmp
+
+        rng = np.random.RandomState(5)
+        for w in range(1, 9):
+            for td in (False, True):
+                img = rng.randint(0, 256, (7, w, 3)).astype(np.uint8)
+                got = decode_bmp(encode_bmp(img, top_down=td))
+                assert (got == img).all(), (w, td)
+                idx = rng.randint(0, 16, (7, w)).astype(np.uint8)
+                pal = [
+                    tuple(int(x) for x in rng.randint(0, 256, 3))
+                    for _ in range(16)
+                ]
+                got = decode_bmp(encode_bmp(idx, palette=pal, top_down=td))
+                assert (got == np.array(pal, np.uint8)[idx]).all(), (w, td)
+
+    def test_corrupt_and_unsupported_fail_soft(self):
+        import struct
+
+        import numpy as np
+
+        from textextraction_spark.operators.bmp import decode_bmp, make_bmp
+
+        data = make_bmp(6)
+        for cut in range(0, len(data), 2):
+            r = decode_bmp(data[:cut])
+            assert r is None or (r.ndim == 3 and r.dtype == np.uint8), cut
+        rng = np.random.RandomState(3)
+        for _ in range(200):
+            b = bytearray(data)
+            for _ in range(2):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            r = decode_bmp(bytes(b))
+            assert r is None or (r.ndim == 3 and r.dtype == np.uint8)
+        # pinned envelope: 16-bit depth, RLE8 compression -> None
+        bad = bytearray(make_bmp(0))
+        struct.pack_into("<H", bad, 28, 16)
+        assert decode_bmp(bytes(bad)) is None
+        bad = bytearray(make_bmp(0))
+        struct.pack_into("<I", bad, 30, 1)
+        assert decode_bmp(bytes(bad)) is None
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.bmp import (
+            MEDIA_BMP_DECODE_ORACLE,
+            media_bmp_decode,
+        )
+
+        got = media_bmp_decode(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(MEDIA_BMP_DECODE_ORACLE).df()
+        problems = compare("media_bmp_decode", got, want)
+        assert not problems, problems
+
+
 class TestMediaDecoderRobustness:
     def test_corrupt_media_never_kills_batch(self):
         from textextraction_spark.operators.multimodal import (

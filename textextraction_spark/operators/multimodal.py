@@ -50,12 +50,15 @@ IMG_FORMATS = ["png", "gif", "jpeg", "webp", "bmp", "tiff"]
 def real_decode(data: bytes, kind: str):
     """Swap-in point for production codec libraries (pillow / pyav /
     ffmpeg — none exist in this image).  Every kind already has an
-    honest pure-stdlib decode path (PGM pixel decode, PNG/GIF/JPEG/WebP/
+    honest pure-stdlib decode path (PGM pixel decode, GIF/JPEG/WebP/
     BMP/TIFF/MP4 header parses, RIFF WAV audio, animated-GIF video incl.
-    full LZW, and — round 5 — FULL baseline-JPEG pixel decode with
-    Huffman entropy decoding + IDCT in operators/jpeg.py); wiring a
-    production codec here changes the supported-format list (color
-    JPEG chroma pipelines, WebP/AVIF bitstreams, H.264), not the Spark
+    full LZW, and — round 5 — FULL pixel decodes for the two dominant
+    crawl image formats: baseline+progressive JPEG, grayscale and color,
+    with Huffman entropy decoding + IDCT in operators/jpeg.py, and
+    lossless PNG with CRC'd chunk walk + zlib inflate + all five
+    scanline unfilters + palette mapping in operators/png.py); wiring a
+    production codec here changes the supported-format list (arithmetic
+    JPEG, 16-bit/Adam7 PNG, WebP/AVIF bitstreams, H.264), not the Spark
     plumbing."""
     raise NotImplementedError(
         "broad-format media decoding requires codec libraries not present "
@@ -1018,13 +1021,20 @@ def media_features(spark, sf_dir: str):
     in tests/test_composites.py keep ``kind='image'`` identical to
     ``media_decode_resize``, ``kind='audio'`` to
     ``media_audio_features``, ``kind='frame'`` to
-    ``media_frame_sample``, ``kind='jpeg'`` to ``media_jpeg_decode``
-    and ``kind='jpeg_color'`` to ``media_jpeg_color``.  All branches
-    stay mapInPandas over Arrow batches — the union adds no exchange."""
+    ``media_frame_sample``, ``kind='jpeg'`` to ``media_jpeg_decode``,
+    ``kind='jpeg_color'`` to ``media_jpeg_color``, ``kind='png'``
+    to ``media_png_decode`` (the round-5 lossless pixel path — CRC'd
+    chunk walk, zlib inflate, all-five-filter unfilter, palette map,
+    operators/png.py) and ``kind='bmp'`` to ``media_bmp_decode``
+    (BI_RGB 24-bit + 8-bit palette in both row orders,
+    operators/bmp.py).  All branches stay mapInPandas over Arrow
+    batches — the union adds no exchange."""
+    from textextraction_spark.operators.bmp import media_bmp_decode
     from textextraction_spark.operators.jpeg import (
         media_jpeg_color,
         media_jpeg_decode,
     )
+    from textextraction_spark.operators.png import media_png_decode
 
     def _nulls(*cols):
         types = {
@@ -1080,11 +1090,31 @@ def media_features(spark, sf_dir: str):
                 "frame_idx", "fw", "fh"),
         "fmt", "w", "h", "mean_r", "mean_g", "mean_b",
     )
+    png = media_png_decode(spark, sf_dir).select(
+        F.lit("png").alias("kind"),
+        "doc_id",
+        *_nulls("rw", "rh"),
+        "mean_px", "min_px", "max_px",
+        *_nulls("sample_rate", "n_samples", "rms", "peak",
+                "frame_idx", "fw", "fh"),
+        "fmt", "w", "h", "mean_r", "mean_g", "mean_b",
+    )
+    bmp = media_bmp_decode(spark, sf_dir).select(
+        F.lit("bmp").alias("kind"),
+        "doc_id",
+        *_nulls("rw", "rh"),
+        "mean_px", "min_px", "max_px",
+        *_nulls("sample_rate", "n_samples", "rms", "peak",
+                "frame_idx", "fw", "fh"),
+        "fmt", "w", "h", "mean_r", "mean_g", "mean_b",
+    )
     return (
         img.unionByName(aud)
         .unionByName(frm)
         .unionByName(jpg)
         .unionByName(jpc)
+        .unionByName(png)
+        .unionByName(bmp)
     )
 
 
@@ -1093,6 +1123,8 @@ def _media_features_oracle() -> str:
         MEDIA_JPEG_COLOR_ORACLE,
         MEDIA_JPEG_DECODE_ORACLE,
     )
+    from textextraction_spark.operators.bmp import MEDIA_BMP_DECODE_ORACLE
+    from textextraction_spark.operators.png import MEDIA_PNG_DECODE_ORACLE
 
     jnull = (
         "NULL::VARCHAR AS fmt, NULL::BIGINT AS w, NULL::BIGINT AS h, "
@@ -1137,6 +1169,22 @@ SELECT 'jpeg_color' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
        NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
        fmt, w, h, mean_r, mean_g, mean_b
 FROM ({MEDIA_JPEG_COLOR_ORACLE})
+UNION ALL
+SELECT 'png' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
+       mean_px, min_px, max_px,
+       NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::DOUBLE AS rms, NULL::BIGINT AS peak,
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
+       fmt, w, h, mean_r, mean_g, mean_b
+FROM ({MEDIA_PNG_DECODE_ORACLE})
+UNION ALL
+SELECT 'bmp' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
+       mean_px, min_px, max_px,
+       NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::DOUBLE AS rms, NULL::BIGINT AS peak,
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
+       fmt, w, h, mean_r, mean_g, mean_b
+FROM ({MEDIA_BMP_DECODE_ORACLE})
 """
 
 
