@@ -523,6 +523,16 @@ class TestOperatorFamilyBranches:
                 "mean_r", "mean_g", "mean_b"
             ),
         )
+        # round-5: the baseline-TIFF pixel path rides as kind='tiff'
+        from textextraction_spark.operators import tiff as TF
+
+        assert_df_equal(
+            TF.media_tiff_decode(spark, SF),
+            comp.filter(F.col("kind") == "tiff").select(
+                "doc_id", "fmt", "w", "h", "mean_px", "min_px", "max_px",
+                "mean_r", "mean_g", "mean_b"
+            ),
+        )
 
     def test_pq_suite_slices(self, spark):
         """Round-5 rotation: pq_encode + ann_pq_adc gate as one row;

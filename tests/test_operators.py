@@ -1252,6 +1252,119 @@ class TestBmpCodec:
         assert not problems, problems
 
 
+class TestTiffCodec:
+    """Round-5: real baseline-TIFF pixel path (operators/tiff.py) —
+    the scanned-document tail.  Uncompressed and PackBits are lossless,
+    so every pin is bit-exact (endian-correct IFD walk, multi-strip
+    assembly, RLE expansion).  Driver-gated as media_features
+    kind='tiff'."""
+
+    def test_packbits_round_trips(self):
+        import numpy as np
+
+        from textextraction_spark.operators.tiff import (
+            packbits_decode,
+            packbits_encode,
+        )
+
+        rng = np.random.RandomState(2)
+        for _ in range(30):
+            n = int(rng.randint(0, 300))
+            runs = bytes(rng.randint(0, 4, n).astype(np.uint8))
+            assert packbits_decode(packbits_encode(runs), n) == runs
+            lits = bytes(rng.randint(0, 256, n).astype(np.uint8))
+            assert packbits_decode(packbits_encode(lits), n) == lits
+        # >128-byte homogeneous run splits across max-run codes
+        long_run = b"\x07" * 1000
+        assert packbits_decode(packbits_encode(long_run), 1000) == long_run
+
+    def test_fixtures_round_trip_bit_exact_all_families(self):
+        """gray/rgb x uncompressed-LE/PackBits-BE; every fixture is
+        multi-strip (rows_per_strip=2 < h), and the round-4 header
+        parse agrees with the full decode on dims."""
+        import numpy as np
+
+        from textextraction_spark.operators.multimodal import parse_image_dims
+        from textextraction_spark.operators.tiff import (
+            _tiff_geometry,
+            decode_tiff,
+            make_tiff,
+        )
+
+        for d in range(80):
+            w, h = _tiff_geometry(d)
+            img = decode_tiff(make_tiff(d))
+            assert img is not None, d
+            fam = d % 4
+            rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            base = (d + 3 * rr + 5 * cc) % 256
+            if fam % 2 == 0:
+                assert img.shape == (h, w) and (img == base).all(), d
+            else:
+                want = np.stack(
+                    [(base + 77 * k) % 256 for k in range(3)], axis=-1
+                )
+                assert img.shape == (h, w, 3) and (img == want).all(), d
+            assert parse_image_dims(make_tiff(d)) == ("tiff", w, h), d
+
+    def test_arbitrary_content_round_trips_exact(self):
+        """endian x compression x spp on random content and odd dims
+        (single-row, single-column, final short strip)."""
+        import numpy as np
+
+        from textextraction_spark.operators.tiff import decode_tiff, encode_tiff
+
+        rng = np.random.RandomState(5)
+        for _ in range(6):
+            h, w = int(rng.randint(1, 20)), int(rng.randint(1, 20))
+            for be in (False, True):
+                for pb in (False, True):
+                    g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+                    assert (decode_tiff(encode_tiff(g, be, pb)) == g).all()
+                    c = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                    assert (decode_tiff(encode_tiff(c, be, pb)) == c).all()
+
+    def test_corrupt_and_unsupported_fail_soft(self):
+        import struct
+
+        import numpy as np
+
+        from textextraction_spark.operators.tiff import decode_tiff, make_tiff
+
+        data = make_tiff(7)
+        for cut in range(0, len(data), 2):
+            r = decode_tiff(data[:cut])
+            assert r is None or r.dtype == np.uint8, cut
+        rng = np.random.RandomState(3)
+        for _ in range(200):
+            b = bytearray(data)
+            for _ in range(2):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            r = decode_tiff(bytes(b))
+            assert r is None or r.dtype == np.uint8
+        # pinned envelope: LZW compression (tag 259 -> 5) returns None
+        lzw = bytearray(make_tiff(0))  # LE fixture: IFD entries at
+        (ifd,) = struct.unpack("<I", lzw[4:8])
+        (n,) = struct.unpack("<H", lzw[ifd : ifd + 2])
+        for i in range(n):
+            base = ifd + 2 + 12 * i
+            (tag,) = struct.unpack("<H", lzw[base : base + 2])
+            if tag == 259:
+                struct.pack_into("<I", lzw, base + 8, 5)
+        assert decode_tiff(bytes(lzw)) is None
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.tiff import (
+            MEDIA_TIFF_DECODE_ORACLE,
+            media_tiff_decode,
+        )
+
+        got = media_tiff_decode(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(MEDIA_TIFF_DECODE_ORACLE).df()
+        problems = compare("media_tiff_decode", got, want)
+        assert not problems, problems
+
+
 class TestMediaDecoderRobustness:
     def test_corrupt_media_never_kills_batch(self):
         from textextraction_spark.operators.multimodal import (

@@ -52,14 +52,16 @@ def real_decode(data: bytes, kind: str):
     ffmpeg — none exist in this image).  Every kind already has an
     honest pure-stdlib decode path (PGM pixel decode, GIF/JPEG/WebP/
     BMP/TIFF/MP4 header parses, RIFF WAV audio, animated-GIF video incl.
-    full LZW, and — round 5 — FULL pixel decodes for the two dominant
-    crawl image formats: baseline+progressive JPEG, grayscale and color,
-    with Huffman entropy decoding + IDCT in operators/jpeg.py, and
-    lossless PNG with CRC'd chunk walk + zlib inflate + all five
-    scanline unfilters + palette mapping in operators/png.py); wiring a
+    full LZW, and — round 5 — FULL pixel decodes for every format whose
+    bitstream needs no external codec: baseline+progressive JPEG,
+    grayscale and color, with Huffman entropy decoding + IDCT in
+    operators/jpeg.py; lossless PNG with CRC'd chunk walk + zlib
+    inflate + all five scanline unfilters + palette mapping in
+    operators/png.py; BI_RGB BMP in operators/bmp.py; baseline TIFF
+    incl. PackBits and both byte orders in operators/tiff.py); wiring a
     production codec here changes the supported-format list (arithmetic
-    JPEG, 16-bit/Adam7 PNG, WebP/AVIF bitstreams, H.264), not the Spark
-    plumbing."""
+    JPEG, 16-bit/Adam7 PNG, LZW TIFF, WebP/AVIF bitstreams, H.264), not
+    the Spark plumbing."""
     raise NotImplementedError(
         "broad-format media decoding requires codec libraries not present "
         "in this image; wire pillow/av here in production (the GIF/WAV/PGM/"
@@ -1025,16 +1027,19 @@ def media_features(spark, sf_dir: str):
     ``kind='jpeg_color'`` to ``media_jpeg_color``, ``kind='png'``
     to ``media_png_decode`` (the round-5 lossless pixel path — CRC'd
     chunk walk, zlib inflate, all-five-filter unfilter, palette map,
-    operators/png.py) and ``kind='bmp'`` to ``media_bmp_decode``
+    operators/png.py), ``kind='bmp'`` to ``media_bmp_decode``
     (BI_RGB 24-bit + 8-bit palette in both row orders,
-    operators/bmp.py).  All branches stay mapInPandas over Arrow
-    batches — the union adds no exchange."""
+    operators/bmp.py) and ``kind='tiff'`` to ``media_tiff_decode``
+    (baseline TIFF: endian-correct IFD walk, multi-strip assembly,
+    PackBits RLE, operators/tiff.py).  All branches stay mapInPandas
+    over Arrow batches — the union adds no exchange."""
     from textextraction_spark.operators.bmp import media_bmp_decode
     from textextraction_spark.operators.jpeg import (
         media_jpeg_color,
         media_jpeg_decode,
     )
     from textextraction_spark.operators.png import media_png_decode
+    from textextraction_spark.operators.tiff import media_tiff_decode
 
     def _nulls(*cols):
         types = {
@@ -1108,6 +1113,15 @@ def media_features(spark, sf_dir: str):
                 "frame_idx", "fw", "fh"),
         "fmt", "w", "h", "mean_r", "mean_g", "mean_b",
     )
+    tif = media_tiff_decode(spark, sf_dir).select(
+        F.lit("tiff").alias("kind"),
+        "doc_id",
+        *_nulls("rw", "rh"),
+        "mean_px", "min_px", "max_px",
+        *_nulls("sample_rate", "n_samples", "rms", "peak",
+                "frame_idx", "fw", "fh"),
+        "fmt", "w", "h", "mean_r", "mean_g", "mean_b",
+    )
     return (
         img.unionByName(aud)
         .unionByName(frm)
@@ -1115,6 +1129,7 @@ def media_features(spark, sf_dir: str):
         .unionByName(jpc)
         .unionByName(png)
         .unionByName(bmp)
+        .unionByName(tif)
     )
 
 
@@ -1125,6 +1140,7 @@ def _media_features_oracle() -> str:
     )
     from textextraction_spark.operators.bmp import MEDIA_BMP_DECODE_ORACLE
     from textextraction_spark.operators.png import MEDIA_PNG_DECODE_ORACLE
+    from textextraction_spark.operators.tiff import MEDIA_TIFF_DECODE_ORACLE
 
     jnull = (
         "NULL::VARCHAR AS fmt, NULL::BIGINT AS w, NULL::BIGINT AS h, "
@@ -1185,6 +1201,14 @@ SELECT 'bmp' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
        NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
        fmt, w, h, mean_r, mean_g, mean_b
 FROM ({MEDIA_BMP_DECODE_ORACLE})
+UNION ALL
+SELECT 'tiff' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
+       mean_px, min_px, max_px,
+       NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::DOUBLE AS rms, NULL::BIGINT AS peak,
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
+       fmt, w, h, mean_r, mean_g, mean_b
+FROM ({MEDIA_TIFF_DECODE_ORACLE})
 """
 
 
