@@ -1364,6 +1364,30 @@ class TestTiffCodec:
         problems = compare("media_tiff_decode", got, want)
         assert not problems, problems
 
+    def test_cross_codec_pixel_agreement(self):
+        """The PNG / BMP / TIFF fixture families share one value
+        formula, so three INDEPENDENT container decoders must agree
+        pixel-for-pixel on the same doc_id — three separate
+        encoder/decoder pairs cannot carry complementary bugs that all
+        cancel identically (the cross-format analog of the JPEG
+        progressive==baseline pin).  doc_id % 4 == 1: PNG rgb == BMP
+        rgb24-top-down == TIFF rgb; % 4 == 0: PNG gray == TIFF gray,
+        and BMP rgb24's k=0 channel == the gray grid."""
+        from textextraction_spark.operators.bmp import decode_bmp, make_bmp
+        from textextraction_spark.operators.png import decode_png, make_png
+        from textextraction_spark.operators.tiff import decode_tiff, make_tiff
+
+        for d in range(1, 160, 4):  # d % 4 == 1
+            png = decode_png(make_png(d))[1]
+            bmp = decode_bmp(make_bmp(d))
+            tif = decode_tiff(make_tiff(d))
+            assert (png == bmp).all() and (png == tif).all(), d
+        for d in range(0, 160, 4):  # d % 4 == 0
+            png = decode_png(make_png(d))[1]
+            tif = decode_tiff(make_tiff(d))
+            bmp_r = decode_bmp(make_bmp(d))[:, :, 0]
+            assert (png == tif).all() and (png == bmp_r).all(), d
+
 
 class TestMediaDecoderRobustness:
     def test_corrupt_media_never_kills_batch(self):
