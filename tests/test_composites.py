@@ -533,6 +533,15 @@ class TestOperatorFamilyBranches:
                 "mean_r", "mean_g", "mean_b"
             ),
         )
+        # round-5: the AIFF / AU audio path rides as kind='audio_ext'
+        from textextraction_spark.operators import audioext as AX
+
+        assert_df_equal(
+            AX.media_audio_ext(spark, SF),
+            comp.filter(F.col("kind") == "audio_ext").select(
+                "doc_id", "fmt", "sample_rate", "n_samples", "rms", "peak"
+            ),
+        )
 
     def test_pq_suite_slices(self, spark):
         """Round-5 rotation: pq_encode + ann_pq_adc gate as one row;

@@ -1389,6 +1389,118 @@ class TestTiffCodec:
             assert (png == tif).all() and (png == bmp_r).all(), d
 
 
+class TestAudioExtCodec:
+    """Round-5: AIFF + Sun AU audio paths (operators/audioext.py) —
+    the audio-container tail beyond RIFF WAV: big-endian PCM, the
+    80-bit extended-float AIFF rate field, and G.711 mu-law expansion.
+    Driver-gated as media_features kind='audio_ext'."""
+
+    def test_rates_mirror_wav(self):
+        """AUDIO_RATES duplicates multimodal.WAV_RATES to break an
+        import cycle — pinned equal so they cannot drift."""
+        from textextraction_spark.operators.audioext import AUDIO_RATES
+        from textextraction_spark.operators.multimodal import WAV_RATES
+
+        assert AUDIO_RATES == WAV_RATES
+
+    def test_float80_rate_field_exact(self):
+        from textextraction_spark.operators.audioext import (
+            _float80_decode,
+            _float80_encode,
+        )
+
+        for r in (1, 8000, 11025, 16000, 22050, 44100, 48000, 192000):
+            assert _float80_decode(_float80_encode(r)) == r, r
+        assert _float80_decode(b"\x00" * 10) == 0
+        assert _float80_decode(b"\xff" * 10) is None  # negative rate
+
+    def test_ulaw_anchors_and_inversion(self):
+        """G.711 anchors (0x00 -> -32124, 0xFF -> 0) plus exact
+        encoder inversion on all 255 non-degenerate codes; the one
+        degenerate code (0x7F, 'negative zero') collapses to 0xFF."""
+        from textextraction_spark.operators.audioext import (
+            ulaw_decode_byte,
+            ulaw_encode_sample,
+        )
+
+        assert ulaw_decode_byte(0x00) == -32124
+        assert ulaw_decode_byte(0x80) == 32124
+        assert ulaw_decode_byte(0xFF) == 0
+        for u in range(256):
+            x = ulaw_decode_byte(u)
+            re = ulaw_encode_sample(x)
+            if u == 0x7F:
+                assert x == 0 and re == 0xFF
+            else:
+                assert re == u, (u, x, re)
+
+    def test_containers_round_trip_and_agree(self):
+        """AIFF and AU carry the same PCM buffer -> identical decodes
+        (two independent container walks cannot carry complementary
+        bugs), and arbitrary int16 content round-trips at every
+        fixture rate."""
+        import numpy as np
+
+        from textextraction_spark.operators.audioext import (
+            decode_aiff,
+            decode_au,
+            encode_aiff,
+            encode_au,
+        )
+
+        rng = np.random.RandomState(11)
+        for r in (8000, 16000, 44100):
+            x = rng.randint(-32768, 32768, int(rng.randint(1, 400))).astype(
+                np.int16
+            )
+            ra, ga = decode_aiff(encode_aiff(x, r))
+            ru, gu = decode_au(encode_au(x.astype(">i2").tobytes(), r, 3))
+            assert ra == ru == r and (ga == x).all() and (gu == x).all()
+
+    def test_corrupt_and_unsupported_fail_soft(self):
+        import struct
+
+        from textextraction_spark.operators.audioext import (
+            decode_aiff,
+            decode_au,
+            make_audio_ext,
+        )
+
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        for doc, dec in ((0, decode_aiff), (2, decode_au)):
+            data = make_audio_ext(doc)
+            for cut in range(0, len(data), 3):
+                r = dec(data[:cut])
+                assert r is None or isinstance(r, tuple), cut
+            for _ in range(150):
+                b = bytearray(data)
+                for _ in range(2):
+                    b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+                r = dec(bytes(b))
+                assert r is None or isinstance(r, tuple)
+        # pinned envelope: A-law AU (encoding 27) and stereo AIFF -> None
+        bad = bytearray(make_audio_ext(2))
+        struct.pack_into(">I", bad, 12, 27)
+        assert decode_au(bytes(bad)) is None
+        aiff = bytearray(make_audio_ext(0))
+        comm = bytes(aiff).find(b"COMM")
+        struct.pack_into(">h", aiff, comm + 8, 2)  # channels = 2
+        assert decode_aiff(bytes(aiff)) is None
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.audioext import (
+            MEDIA_AUDIO_EXT_ORACLE,
+            media_audio_ext,
+        )
+
+        got = media_audio_ext(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(MEDIA_AUDIO_EXT_ORACLE).df()
+        problems = compare("media_audio_ext", got, want)
+        assert not problems, problems
+
+
 class TestMediaDecoderRobustness:
     def test_corrupt_media_never_kills_batch(self):
         from textextraction_spark.operators.multimodal import (

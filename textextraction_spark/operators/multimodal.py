@@ -1029,10 +1029,13 @@ def media_features(spark, sf_dir: str):
     chunk walk, zlib inflate, all-five-filter unfilter, palette map,
     operators/png.py), ``kind='bmp'`` to ``media_bmp_decode``
     (BI_RGB 24-bit + 8-bit palette in both row orders,
-    operators/bmp.py) and ``kind='tiff'`` to ``media_tiff_decode``
+    operators/bmp.py), ``kind='tiff'`` to ``media_tiff_decode``
     (baseline TIFF: endian-correct IFD walk, multi-strip assembly,
-    PackBits RLE, operators/tiff.py).  All branches stay mapInPandas
-    over Arrow batches — the union adds no exchange."""
+    PackBits RLE, operators/tiff.py) and ``kind='audio_ext'`` to
+    ``media_audio_ext`` (AIFF with the 80-bit-float rate + Sun AU
+    PCM/G.711-mu-law, operators/audioext.py).  All branches stay
+    mapInPandas over Arrow batches — the union adds no exchange."""
+    from textextraction_spark.operators.audioext import media_audio_ext
     from textextraction_spark.operators.bmp import media_bmp_decode
     from textextraction_spark.operators.jpeg import (
         media_jpeg_color,
@@ -1122,6 +1125,15 @@ def media_features(spark, sf_dir: str):
                 "frame_idx", "fw", "fh"),
         "fmt", "w", "h", "mean_r", "mean_g", "mean_b",
     )
+    aux = media_audio_ext(spark, sf_dir).select(
+        F.lit("audio_ext").alias("kind"),
+        "doc_id",
+        *_nulls("rw", "rh", "mean_px", "min_px", "max_px"),
+        "sample_rate", "n_samples", "rms", "peak",
+        *_nulls("frame_idx", "fw", "fh"),
+        "fmt",
+        *_nulls("w", "h", "mean_r", "mean_g", "mean_b"),
+    )
     return (
         img.unionByName(aud)
         .unionByName(frm)
@@ -1130,6 +1142,7 @@ def media_features(spark, sf_dir: str):
         .unionByName(png)
         .unionByName(bmp)
         .unionByName(tif)
+        .unionByName(aux)
     )
 
 
@@ -1137,6 +1150,9 @@ def _media_features_oracle() -> str:
     from textextraction_spark.operators.jpeg import (
         MEDIA_JPEG_COLOR_ORACLE,
         MEDIA_JPEG_DECODE_ORACLE,
+    )
+    from textextraction_spark.operators.audioext import (
+        MEDIA_AUDIO_EXT_ORACLE,
     )
     from textextraction_spark.operators.bmp import MEDIA_BMP_DECODE_ORACLE
     from textextraction_spark.operators.png import MEDIA_PNG_DECODE_ORACLE
@@ -1209,6 +1225,14 @@ SELECT 'tiff' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
        NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
        fmt, w, h, mean_r, mean_g, mean_b
 FROM ({MEDIA_TIFF_DECODE_ORACLE})
+UNION ALL
+SELECT 'audio_ext' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
+       NULL::DOUBLE AS mean_px, NULL::BIGINT AS min_px, NULL::BIGINT AS max_px,
+       sample_rate, n_samples, rms, peak,
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
+       fmt, NULL::BIGINT AS w, NULL::BIGINT AS h,
+       NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g, NULL::DOUBLE AS mean_b
+FROM ({MEDIA_AUDIO_EXT_ORACLE})
 """
 
 
