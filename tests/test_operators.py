@@ -1501,6 +1501,99 @@ class TestAudioExtCodec:
         assert not problems, problems
 
 
+class TestOfficeText:
+    """Round-5: DOCX/ODT text extraction (operators/office.py) — real
+    ZIP + XML walks over genuine office containers, the document-format
+    family beyond HTML/PDF.  Both formats emit identical text for the
+    same doc_id (cross-format pin), and the oracle rebuilds the exact
+    extracted string in SQL.  Pytest-oracle-gated (outside the pinned
+    50-query driver cap)."""
+
+    def test_extraction_exact_and_cross_format(self):
+        """Run joins (docx splits every paragraph into two runs, one
+        bolded), explicit tabs, and ODT text:s expansion all reproduce
+        the formula text exactly — and the two independent container
+        walks agree character for character."""
+        from textextraction_spark.operators.office import (
+            _n_paras,
+            _para_text,
+            extract_docx_text,
+            extract_odt_text,
+            make_docx,
+            make_odt,
+        )
+
+        for d in range(60):
+            want = "\n".join(_para_text(d, j) for j in range(_n_paras(d)))
+            assert extract_docx_text(make_docx(d)) == want, d
+            assert extract_odt_text(make_odt(d)) == want, d
+        # byte-deterministic fixtures (fixed DOS timestamps)
+        assert make_docx(7) == make_docx(7)
+        assert make_odt(7) == make_odt(7)
+
+    def test_odt_nested_spans_and_counted_spaces(self):
+        """Document-order assembly through nested spans with tails, and
+        the namespaced text:c space count."""
+        import io
+        import zipfile
+
+        from textextraction_spark.operators.office import extract_odt_text
+
+        xml = (
+            b'<?xml version="1.0"?>'
+            b'<office:document-content xmlns:office="urn:oasis:names:tc:'
+            b'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:tc:'
+            b'opendocument:xmlns:text:1.0"><office:body><office:text>'
+            b'<text:p>a<text:span>b<text:s text:c="3"/>c</text:span>d</text:p>'
+            b"</office:text></office:body></office:document-content>"
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+            zf.writestr("content.xml", xml)
+        assert extract_odt_text(buf.getvalue()) == "ab   cd"
+
+    def test_corrupt_archives_fail_soft(self):
+        import numpy as np
+
+        from textextraction_spark.operators.office import (
+            extract_docx_text,
+            extract_odt_text,
+            make_docx,
+            make_odt,
+        )
+
+        rng = np.random.RandomState(3)
+        for make, ext in (
+            (make_docx, extract_docx_text),
+            (make_odt, extract_odt_text),
+        ):
+            data = make(5)
+            for cut in range(0, len(data), 7):
+                r = ext(data[:cut])
+                assert r is None or isinstance(r, str), cut
+            for _ in range(150):
+                b = bytearray(data)
+                for _ in range(2):
+                    b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+                r = ext(bytes(b))
+                assert r is None or isinstance(r, str)
+        # wrong container for the extractor -> None, not a crash
+        assert extract_docx_text(make_odt(4)) is None
+        assert extract_odt_text(make_docx(4)) is None
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.office import (
+            OFFICE_TEXT_ORACLE,
+            office_text,
+        )
+
+        got = office_text(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(OFFICE_TEXT_ORACLE).df()
+        problems = compare("office_text", got, want)
+        assert not problems, problems
+
+
 class TestMediaDecoderRobustness:
     def test_corrupt_media_never_kills_batch(self):
         from textextraction_spark.operators.multimodal import (
