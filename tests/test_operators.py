@@ -1582,6 +1582,43 @@ class TestOfficeText:
         assert extract_docx_text(make_odt(4)) is None
         assert extract_odt_text(make_docx(4)) is None
 
+    def test_epub_spine_order_via_html_pipeline(self):
+        """EPUB chapters extract through the package's own HTML
+        pipeline (core.extract_document) and concatenate in SPINE
+        order — odd doc_ids store chapters forward in the archive but
+        list them reversed in the spine, so archive-order extraction
+        cannot pass; truncation/bit-flip fuzz fails soft."""
+        import numpy as np
+
+        from textextraction_spark.operators.office import (
+            extract_epub_text,
+            make_epub,
+        )
+
+        for d in range(40):
+            n_ch = 1 + d % 3
+            order = range(n_ch - 1, -1, -1) if d % 2 else range(n_ch)
+            want = "\n".join(
+                "\n".join(
+                    f"doc {d} ch {c} para {j} value "
+                    f"{(31 * d + 17 * j + 7 * c) % 1000}"
+                    for j in range(2)
+                )
+                for c in order
+            )
+            assert extract_epub_text(make_epub(d)) == want, d
+        rng = np.random.RandomState(3)
+        data = make_epub(5)
+        for cut in range(0, len(data), 7):
+            r = extract_epub_text(data[:cut])
+            assert r is None or isinstance(r, str), cut
+        for _ in range(150):
+            b = bytearray(data)
+            for _ in range(2):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            r = extract_epub_text(bytes(b))
+            assert r is None or isinstance(r, str)
+
     def test_operator_matches_oracle(self, spark):
         from textextraction_spark.operators.office import (
             OFFICE_TEXT_ORACLE,

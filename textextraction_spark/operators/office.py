@@ -166,6 +166,59 @@ def make_odt(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
+_CONTAINER = "urn:oasis:names:tc:opendocument:xmlns:container"
+_OPF = "http://www.idpf.org/2007/opf"
+
+
+def make_epub(doc_id: int) -> bytes:
+    """Genuine minimal EPUB: stored ``mimetype`` first, OCF container
+    pointing at an OPF package, spine over ``1 + doc_id % 3`` XHTML
+    chapters of 2 paragraphs each.  Odd doc_ids list the chapters in
+    REVERSE spine order while the zip stores them forward — pinning
+    that extraction follows the spine, not archive order."""
+    n_ch = 1 + doc_id % 3
+    chapters = {}
+    for c in range(n_ch):
+        paras = "".join(
+            f"<p>doc {doc_id} ch {c} para {j} value "
+            f"{(31 * doc_id + 17 * j + 7 * c) % 1000}</p>"
+            for j in range(2)
+        )
+        chapters[f"ch{c}.xhtml"] = (
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+            "<html xmlns=\"http://www.w3.org/1999/xhtml\">"
+            f"<head><title>ch{c}</title></head><body>{paras}</body></html>"
+        )
+    order = range(n_ch - 1, -1, -1) if doc_id % 2 else range(n_ch)
+    manifest = "".join(
+        f"<item id=\"c{c}\" href=\"ch{c}.xhtml\" "
+        "media-type=\"application/xhtml+xml\"/>"
+        for c in range(n_ch)
+    )
+    spine = "".join(f"<itemref idref=\"c{c}\"/>" for c in order)
+    opf = (
+        "<?xml version=\"1.0\"?>"
+        f"<package xmlns=\"{_OPF}\" version=\"3.0\" unique-identifier=\"id\">"
+        f"<manifest>{manifest}</manifest><spine>{spine}</spine></package>"
+    )
+    container = (
+        "<?xml version=\"1.0\"?>"
+        f"<container xmlns=\"{_CONTAINER}\" version=\"1.0\"><rootfiles>"
+        "<rootfile full-path=\"OEBPS/content.opf\" "
+        "media-type=\"application/oebps-package+xml\"/>"
+        "</rootfiles></container>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        _zwrite(zf, "mimetype", b"application/epub+zip",
+                compress=zipfile.ZIP_STORED)
+        _zwrite(zf, "META-INF/container.xml", container.encode())
+        _zwrite(zf, "OEBPS/content.opf", opf.encode())
+        for name, xhtml in chapters.items():  # forward archive order
+            _zwrite(zf, f"OEBPS/{name}", xhtml.encode())
+    return buf.getvalue()
+
+
 # ----------------------------------------------------------------- extractors
 def extract_docx_text(data: bytes) -> str | None:
     """DOCX -> newline-joined paragraph text, or None (never raises).
@@ -228,16 +281,58 @@ def extract_odt_text(data: bytes) -> str | None:
         return None
 
 
+def extract_epub_text(data: bytes) -> str | None:
+    """EPUB -> newline-joined chapter text IN SPINE ORDER, each chapter
+    extracted by the package's own HTML pipeline
+    (``core.extract_document`` — the same DOM walk, boilerplate gate,
+    and char-strip the web corpus gets), or None.  Never raises."""
+    from textextraction_spark.core import extract_document
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            container = ET.fromstring(zf.read("META-INF/container.xml"))
+            rf = container.find(
+                f".//{{{_CONTAINER}}}rootfile[@full-path]"
+            )
+            if rf is None:
+                return None
+            opf_path = rf.get("full-path")
+            opf = ET.fromstring(zf.read(opf_path))
+            base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+            hrefs = {
+                item.get("id"): item.get("href")
+                for item in opf.iter(f"{{{_OPF}}}item")
+            }
+            chapters = []
+            for ref in opf.iter(f"{{{_OPF}}}itemref"):
+                href = hrefs.get(ref.get("idref"))
+                if href is None:
+                    return None
+                r = extract_document(zf.read(base + href))
+                if r.error:
+                    return None
+                chapters.append(r.extracted_text)
+        return "\n".join(chapters)
+    except Exception:
+        return None
+
+
 # ------------------------------------------------------------------ operator
-OFFICE_FMTS = ["docx", "odt"]
+OFFICE_FMTS = ["docx", "odt", "epub"]
+
+
+_MAKERS = [make_docx, make_odt, make_epub]
+_EXTRACTORS = [extract_docx_text, extract_odt_text, extract_epub_text]
 
 
 def office_text(spark, sf_dir: str):
-    """Office-document extraction path: genuine DOCX/ODT containers per
-    doc (family by doc_id % 2) -> mapInPandas runs the full unzip + XML
-    walk on the actual bytes and emits the extracted text plus simple
-    stats.  Pytest-oracle-gated (outside the 50-query driver cap; the
-    cap is pinned exactly 50 — see __spark_entry__)."""
+    """Office-document extraction path: genuine DOCX/ODT/EPUB
+    containers per doc (family by doc_id % 3) -> mapInPandas runs the
+    full unzip + XML/XHTML walk on the actual bytes and emits the
+    extracted text plus simple stats; the EPUB family routes its
+    chapters through the package's own HTML extractor.
+    Pytest-oracle-gated (outside the 50-query driver cap; the cap is
+    pinned exactly 50 — see __spark_entry__)."""
     from pyspark.sql import types as T
 
     from textextraction_spark.job.packaging import ensure_shipped
@@ -247,12 +342,7 @@ def office_text(spark, sf_dir: str):
 
     @F.pandas_udf(T.BinaryType())
     def office_udf(doc_id: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                (make_docx if int(i) % 2 == 0 else make_odt)(int(i))
-                for i in doc_id
-            ]
-        )
+        return pd.Series([_MAKERS[int(i) % 3](int(i)) for i in doc_id])
 
     media = d.select("doc_id", office_udf("doc_id").alias("media"))
 
@@ -261,10 +351,8 @@ def office_text(spark, sf_dir: str):
         for pdf in batches:
             rows = {k: [] for k in cols}
             for doc_id, blob in zip(pdf["doc_id"].values, pdf["media"].values):
-                fam = int(doc_id) % 2
-                txt = (extract_docx_text if fam == 0 else extract_odt_text)(
-                    bytes(blob)
-                )
+                fam = int(doc_id) % 3
+                txt = _EXTRACTORS[fam](bytes(blob))
                 rows["doc_id"].append(doc_id)
                 rows["fmt"].append(OFFICE_FMTS[fam])
                 if txt is None:
@@ -287,10 +375,11 @@ def office_text(spark, sf_dir: str):
 
 # the oracle rebuilds the EXACT extracted text in SQL: per-paragraph
 # string construction from the fixture formulas, tab = chr(9),
-# paragraphs joined with chr(10) in order
+# paragraphs joined with chr(10) in order; the epub branch orders
+# chapters by SPINE position (odd doc_ids reversed) before joining
 OFFICE_TEXT_ORACLE = """
 WITH g AS (
-  SELECT doc_id, 2 + doc_id % 5 AS n FROM documents
+  SELECT doc_id, 2 + doc_id % 5 AS n FROM documents WHERE doc_id % 3 < 2
 ),
 p AS (
   SELECT g.doc_id, g.n, j,
@@ -301,11 +390,29 @@ p AS (
                    || ' value ' || (31 * g.doc_id + 17 * j) % 1000
          END AS line
   FROM g, UNNEST(range(g.n)) AS u(j)
+),
+eg AS (
+  SELECT doc_id, 1 + doc_id % 3 AS n_ch FROM documents WHERE doc_id % 3 = 2
+),
+ep AS (
+  SELECT eg.doc_id, eg.n_ch, j,
+         CASE WHEN eg.doc_id % 2 = 1 THEN eg.n_ch - 1 - c ELSE c END
+             AS spine_pos,
+         'doc ' || eg.doc_id || ' ch ' || c || ' para ' || j || ' value '
+             || (31 * eg.doc_id + 17 * j + 7 * c) % 1000 AS line
+  FROM eg, UNNEST(range(eg.n_ch)) a(c), UNNEST(range(2)) b(j)
 )
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'odt' END AS fmt,
+       CASE WHEN doc_id % 3 = 0 THEN 'docx' ELSE 'odt' END AS fmt,
        n::BIGINT AS n_paras,
        length(string_agg(line, chr(10) ORDER BY j))::BIGINT AS n_chars,
        string_agg(line, chr(10) ORDER BY j) AS text
 FROM p GROUP BY doc_id, n
+UNION ALL
+SELECT doc_id, 'epub' AS fmt,
+       (2 * n_ch)::BIGINT AS n_paras,
+       length(string_agg(line, chr(10) ORDER BY spine_pos, j))::BIGINT
+           AS n_chars,
+       string_agg(line, chr(10) ORDER BY spine_pos, j) AS text
+FROM ep GROUP BY doc_id, n_ch
 """
