@@ -1501,6 +1501,102 @@ class TestAudioExtCodec:
         assert not problems, problems
 
 
+class TestFeedItems:
+    """Round-5: RSS 2.0 / Atom feed extraction (operators/feeds.py) —
+    two independent XML envelope walks and two date grammars (RFC 822
+    vs RFC 3339, cycling UTC offsets) must agree on identical item
+    tuples, summaries route through the package's own HTML pipeline,
+    and the oracle recomputes the publication epoch with integer
+    arithmetic so neither Python date parser can vouch for itself.
+    Pytest-oracle-gated (outside the pinned 50-query driver cap)."""
+
+    def test_formula_exact_and_cross_format(self):
+        from textextraction_spark.operators.feeds import (
+            _item_fields,
+            _n_items,
+            extract_feed_items,
+            make_atom,
+            make_rss,
+        )
+
+        for d in range(60):
+            r = extract_feed_items(make_rss(d))
+            a = extract_feed_items(make_atom(d))
+            assert r is not None and a is not None, d
+            assert len(r) == len(a) == _n_items(d), d
+            for j, (ri, ai) in enumerate(zip(r, a)):
+                title, link, epoch, summary = _item_fields(d, j)
+                stripped = summary[3:-4]  # <p>...</p> -> HTML-extracted
+                assert ri == ("rss", title, link, epoch, stripped), (d, j)
+                assert ai == ("atom", title, link, epoch, stripped), (d, j)
+        # byte-deterministic fixtures (gzip mtime=0 on the % 4 >= 2 tail)
+        assert make_rss(6) == make_rss(6)
+        assert make_atom(7) == make_atom(7)
+        assert make_rss(6)[:2] == b"\x1f\x8b"  # gzip transport family
+
+    def test_timezone_normalization_is_load_bearing(self):
+        """Dropping the UTC offset would shift the epoch by hours: pin
+        that at least one fixture item carries a non-zero offset whose
+        naive wall-clock parse differs from the normalized epoch."""
+        from datetime import datetime, timezone
+        from email.utils import parsedate_to_datetime
+
+        from textextraction_spark.operators.feeds import (
+            _item_fields,
+            make_rss,
+        )
+        import gzip as _gz
+        from xml.etree import ElementTree as ET
+
+        data = make_rss(2)  # (d + j) % 4 hits -08:00 and +05:30
+        root = ET.fromstring(_gz.decompress(data))
+        pubs = [i.findtext("pubDate") for i in root.iter("item")]
+        shifted = 0
+        for j, pub in enumerate(pubs):
+            dt = parsedate_to_datetime(pub)
+            naive_utc = dt.replace(tzinfo=timezone.utc)
+            epoch = _item_fields(2, j)[2]
+            assert int(dt.timestamp()) == epoch, (j, pub)
+            if int(naive_utc.timestamp()) != epoch:
+                shifted += 1
+        assert shifted >= 1, pubs
+
+    def test_fail_soft_on_truncation_and_bit_flips(self):
+        import numpy as np
+
+        from textextraction_spark.operators.feeds import (
+            extract_feed_items,
+            make_atom,
+            make_rss,
+        )
+
+        rng = np.random.RandomState(7)
+        for maker in (make_rss, make_atom):
+            data = maker(6)  # gzip transport family
+            for cut in range(0, len(data), 5):
+                r = extract_feed_items(data[:cut])
+                assert r is None or isinstance(r, list), cut
+            for _ in range(200):
+                b = bytearray(data)
+                for _ in range(2):
+                    b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+                r = extract_feed_items(bytes(b))
+                assert r is None or isinstance(r, list)
+        assert extract_feed_items(b"<html><p>x</p></html>") is None
+        assert extract_feed_items(b"") is None
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.feeds import (
+            FEED_ITEMS_ORACLE,
+            feed_items,
+        )
+
+        got = feed_items(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(FEED_ITEMS_ORACLE).df()
+        problems = compare("feed_items", got, want)
+        assert not problems, problems
+
+
 class TestOfficeText:
     """Round-5: DOCX/ODT text extraction (operators/office.py) — real
     ZIP + XML walks over genuine office containers, the document-format
