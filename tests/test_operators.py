@@ -1501,6 +1501,77 @@ class TestAudioExtCodec:
         assert not problems, problems
 
 
+class TestExtractAny:
+    """Round-5: the universal content-sniffing front door
+    (operators/dispatch.py) — one extractor routed purely by magic
+    bytes across html / gzip transport / pdf / docx / odt / epub /
+    rss / atom, with every family's expected text rebuilt by the
+    oracle so a mis-route cannot pass.  Pytest-oracle-gated (outside
+    the pinned 50-query driver cap)."""
+
+    def test_routing_and_transport_composition(self):
+        import gzip as _gz
+
+        from textextraction_spark.operators.dispatch import (
+            FAMILIES,
+            extract_any,
+            make_any,
+            sniff_format,
+        )
+        from textextraction_spark.sources.pages import make_pdf_bytes
+
+        for d in range(32):
+            fmt, gz, txt = extract_any(make_any(d))
+            fam = FAMILIES[d % 8]
+            assert fmt == ("html" if fam == "html_gz" else fam), (d, fmt)
+            assert gz == (fam in ("html_gz", "rss", "atom")), (d, gz)
+            assert txt is not None, d
+        # transport composes with ANY content format, not just html:
+        pdf = make_pdf_bytes("doc 9 pdf value 279", 9)
+        assert extract_any(_gz.compress(pdf, mtime=0))[:2] == ("pdf", True)
+        # opaque zip and non-feed XML take the default route, fail-soft
+        import io as _io
+        import zipfile as _zf
+
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            z.writestr("data.bin", b"\x00\x01")
+        assert sniff_format(buf.getvalue()) == "html"
+        assert sniff_format(b'<?xml version="1.0"?><urlset/>') == "html"
+
+    def test_fail_soft_on_truncation_and_bit_flips(self):
+        import numpy as np
+
+        from textextraction_spark.operators.dispatch import (
+            extract_any,
+            make_any,
+        )
+
+        rng = np.random.RandomState(11)
+        for d in range(8):  # one blob per family
+            data = make_any(d)
+            for cut in range(0, len(data), max(1, len(data) // 40)):
+                fmt, gz, txt = extract_any(data[:cut])
+                assert txt is None or isinstance(txt, str), (d, cut)
+            for _ in range(60):
+                b = bytearray(data)
+                for _ in range(2):
+                    b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+                fmt, gz, txt = extract_any(bytes(b))
+                assert txt is None or isinstance(txt, str), d
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.dispatch import (
+            EXTRACT_ANY_ORACLE,
+            extract_any_docs,
+        )
+
+        got = extract_any_docs(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(EXTRACT_ANY_ORACLE).df()
+        problems = compare("extract_any_docs", got, want)
+        assert not problems, problems
+
+
 class TestFeedItems:
     """Round-5: RSS 2.0 / Atom feed extraction (operators/feeds.py) —
     two independent XML envelope walks and two date grammars (RFC 822
