@@ -396,6 +396,27 @@ class TestShuffleBudgets:
                 over[name] = (n, SHUFFLE_BUDGETS[name])
         assert not over, f"shuffle budget exceeded: {over}"
 
+    def test_pytest_gated_extractors_are_zero_exchange(self, spark):
+        """The round-5 pytest-gated extraction operators (outside the
+        pinned 50-query driver cap) are pure narrow pipelines: scan →
+        Arrow synth UDF → mapInPandas.  Document/feed bytes must never
+        cross an exchange — at 100 TB an accidental shuffle here moves
+        the whole corpus."""
+        from textextraction_spark.operators.dispatch import (
+            extract_any_docs,
+        )
+        from textextraction_spark.operators.feeds import feed_items
+        from textextraction_spark.operators.office import office_text
+
+        for name, fn in [
+            ("office_text", office_text),
+            ("feed_items", feed_items),
+            ("extract_any_docs", extract_any_docs),
+        ]:
+            plan = plan_of(fn(spark, "/root/testdata/sf0.001"))
+            assert "Exchange" not in plan, (name, plan)
+            assert "MapInPandas" in plan, name
+
 
 class TestAqeSkewJoin:
     def test_aqe_splits_skewed_join_partition(self, spark):
