@@ -1501,6 +1501,81 @@ class TestAudioExtCodec:
         assert not problems, problems
 
 
+class TestPageMetadata:
+    """Round-5: page-metadata extraction (operators/metadata.py) —
+    title / base+canonical resolution / OpenGraph / JSON-LD, with
+    decoy furniture (second canonical, repeated og:title, ld+json
+    inside an HTML comment) pinning first-wins and comment-blindness,
+    attribute-order variation pinning read-by-name, and the
+    publication epoch recomputed by the oracle in integer SQL.
+    Pytest-oracle-gated (outside the pinned 50-query driver cap)."""
+
+    def test_formula_exact_including_decoys(self):
+        from textextraction_spark.operators.metadata import (
+            _expected_fields,
+            extract_page_metadata,
+            make_meta_page,
+        )
+
+        for d in range(120):  # covers every decoy family several times
+            assert extract_page_metadata(make_meta_page(d)) == (
+                _expected_fields(d)
+            ), d
+        # the decoys are really in the fixtures (pin the pin)
+        assert b"/wrong/5" in make_meta_page(5)  # d%4==1 second canonical
+        assert b'content="WRONG"' in make_meta_page(7)  # d%5==2 og decoy
+        assert b'"@type":"Decoy"' in make_meta_page(9)  # d%6==3 comment
+
+    def test_relative_canonical_needs_base_resolution(self):
+        """The d % 3 == 0 family stores ``../c/{d}`` — an extractor
+        that skips urljoin surfaces the raw relative path and fails."""
+        from textextraction_spark.operators.metadata import (
+            extract_page_metadata,
+            make_meta_page,
+        )
+
+        m = extract_page_metadata(make_meta_page(6))
+        assert m["canonical"] == "https://site6.example.com/a/c/6"
+        assert b'href="../c/6"' in make_meta_page(6)
+
+    def test_fail_soft(self):
+        import numpy as np
+
+        from textextraction_spark.operators.metadata import (
+            extract_page_metadata,
+            make_meta_page,
+        )
+
+        assert all(
+            v is None
+            for v in extract_page_metadata(b"\x00\xff junk").values()
+        )
+        # malformed JSON-LD nulls the ld_* fields, keeps the rest
+        page = make_meta_page(4).replace(b'"@context"', b'"@context')
+        m = extract_page_metadata(page)
+        assert m["ld_type"] is None and m["title"] is not None
+        rng = np.random.RandomState(13)
+        data = make_meta_page(3)
+        for cut in range(0, len(data), 7):
+            assert isinstance(extract_page_metadata(data[:cut]), dict)
+        for _ in range(200):
+            b = bytearray(data)
+            for _ in range(2):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            assert isinstance(extract_page_metadata(bytes(b)), dict)
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.metadata import (
+            PAGE_METADATA_ORACLE,
+            page_metadata,
+        )
+
+        got = page_metadata(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(PAGE_METADATA_ORACLE).df()
+        problems = compare("page_metadata", got, want)
+        assert not problems, problems
+
+
 class TestExtractAny:
     """Round-5: the universal content-sniffing front door
     (operators/dispatch.py) — one extractor routed purely by magic

@@ -406,12 +406,14 @@ class TestShuffleBudgets:
             extract_any_docs,
         )
         from textextraction_spark.operators.feeds import feed_items
+        from textextraction_spark.operators.metadata import page_metadata
         from textextraction_spark.operators.office import office_text
 
         for name, fn in [
             ("office_text", office_text),
             ("feed_items", feed_items),
             ("extract_any_docs", extract_any_docs),
+            ("page_metadata", page_metadata),
         ]:
             plan = plan_of(fn(spark, "/root/testdata/sf0.001"))
             assert "Exchange" not in plan, (name, plan)
