@@ -1526,6 +1526,30 @@ class TestPageMetadata:
         assert b'content="WRONG"' in make_meta_page(7)  # d%5==2 og decoy
         assert b'"@type":"Decoy"' in make_meta_page(9)  # d%6==3 comment
 
+    def test_robots_directives_and_lang_normalization(self):
+        """Index-control parse is comma-tokenized, case-insensitive,
+        whitespace-tolerant; html lang lowercases BCP 47 tags; both
+        default correctly when absent."""
+        from textextraction_spark.operators.metadata import (
+            extract_page_metadata,
+            make_meta_page,
+        )
+
+        m8 = extract_page_metadata(make_meta_page(8))  # 8%7==1: both
+        assert (m8["robots_noindex"], m8["robots_nofollow"]) == (True, True)
+        assert b" NOINDEX , NoFollow " in make_meta_page(8)
+        m3 = extract_page_metadata(make_meta_page(3))  # 3%7==3: noindex
+        assert (m3["robots_noindex"], m3["robots_nofollow"]) == (True, False)
+        m5 = extract_page_metadata(make_meta_page(5))  # 5%7==5: nofollow
+        assert (m5["robots_noindex"], m5["robots_nofollow"]) == (False, True)
+        m0 = extract_page_metadata(make_meta_page(0))  # absent: defaults
+        assert (m0["robots_noindex"], m0["robots_nofollow"]) == (False, False)
+        assert extract_page_metadata(make_meta_page(3))["html_lang"] == (
+            "zh-cn"  # fixture renders ZH-cn
+        )
+        assert b'lang="ZH-cn"' in make_meta_page(3)
+        assert extract_page_metadata(make_meta_page(4))["html_lang"] is None
+
     def test_relative_canonical_needs_base_resolution(self):
         """The d % 3 == 0 family stores ``../c/{d}`` — an extractor
         that skips urljoin surfaces the raw relative path and fails."""
@@ -1546,10 +1570,11 @@ class TestPageMetadata:
             make_meta_page,
         )
 
+        junk = extract_page_metadata(b"\x00\xff junk")
         assert all(
-            v is None
-            for v in extract_page_metadata(b"\x00\xff junk").values()
-        )
+            v is (False if k.startswith("robots_") else None)
+            for k, v in junk.items()
+        ), junk
         # malformed JSON-LD nulls the ld_* fields, keeps the rest
         page = make_meta_page(4).replace(b'"@context"', b'"@context')
         m = extract_page_metadata(page)

@@ -25,6 +25,16 @@ single-pass scan:
   with integer arithmetic).  Decoy ld+json inside HTML COMMENTS must
   be ignored (html.parser routes comments away from data events);
   malformed JSON fails soft to nulls.
+- ``<meta name="robots" content=...>`` — index-control directives
+  (which extracted pages may be KEPT is a compliance gate at corpus
+  scale): comma-tokenized, case-insensitive, whitespace-tolerant
+  (fixtures render ``" NOINDEX , NoFollow "`` variants), emitted as
+  ``robots_noindex`` / ``robots_nofollow`` booleans (false when the
+  meta is absent).  ``name=`` metas are a different attribute
+  namespace than OpenGraph's ``property=`` — both scans coexist in
+  the one pass.
+- ``<html lang=...>`` — the declared document language, lowercased
+  (fixtures cycle case), None when undeclared.
 
 Fail-soft envelope: any input produces one row; fields the page
 lacks (or that fail to parse) are NULL, never an exception.
@@ -51,6 +61,17 @@ _EPOCH0 = 1_600_000_000
 _TZ_SUFFIX = ["+00:00", "-08:00", "+05:30", "+01:00"]
 _TZ_MINUTES = [0, -480, 330, 60]
 
+# declared-language cycle — mixed case in the FIXTURES, lowercased by
+# extraction (BCP 47 tags are case-insensitive)
+_LANG_CYCLE = ["en", "DE", "fr-FR", "ZH-cn"]
+
+# robots-meta fixture families: (content rendering, noindex, nofollow)
+_ROBOTS_CYCLE = {
+    1: (" NOINDEX , NoFollow ", True, True),
+    3: ("noindex", True, False),
+    5: ("index, NOFOLLOW", False, True),
+}
+
 
 # ------------------------------------------------------------------ fixtures
 def _expected_fields(doc_id: int) -> dict:
@@ -68,6 +89,11 @@ def _expected_fields(doc_id: int) -> dict:
         "ld_type": "NewsArticle" if doc_id % 2 else "Article",
         "ld_headline": f"headline {doc_id} value {(13 * doc_id) % 1000}",
         "ld_published_epoch": _EPOCH0 + 86400 * doc_id,
+        "html_lang": (
+            None if doc_id % 3 == 1 else _LANG_CYCLE[doc_id % 4].lower()
+        ),
+        "robots_noindex": doc_id % 7 in (1, 3),
+        "robots_nofollow": doc_id % 7 in (1, 5),
     }
 
 
@@ -80,6 +106,9 @@ def make_meta_page(doc_id: int) -> bytes:
     e = _expected_fields(doc_id)
     site = f"https://site{doc_id % 50}.example.com"
     head = [f"<title>{e['title']}</title>"]
+    if doc_id % 7 in _ROBOTS_CYCLE:
+        content = _ROBOTS_CYCLE[doc_id % 7][0]
+        head.append(f'<meta name="robots" content="{content}">')
     if doc_id % 3 == 0:
         head.append(f'<base href="{site}/a/b/">')
         head.append(f'<link rel="canonical" href="../c/{doc_id}">')
@@ -117,8 +146,14 @@ def make_meta_page(doc_id: int) -> bytes:
         + "</script>"
     )
     body = f"<p>doc {doc_id} body text value {(31 * doc_id) % 1000}</p>"
+    html_open = (
+        "<html>"
+        if doc_id % 3 == 1
+        else f'<html lang="{_LANG_CYCLE[doc_id % 4]}">'
+    )
     return (
-        "<html><head>" + "".join(head) + f"</head><body>{body}</body></html>"
+        html_open + "<head>" + "".join(head)
+        + f"</head><body>{body}</body></html>"
     ).encode()
 
 
@@ -135,13 +170,17 @@ class _MetaScanner(HTMLParser):
         self.canonical_raw: str | None = None
         self.og: dict[str, str] = {}
         self.ld_raw: str | None = None
+        self.html_lang: str | None = None
+        self.robots: str | None = None
         self._in_title = False
         self._in_ld = False
         self._buf: list[str] = []
 
     def handle_starttag(self, tag, attrs):  # noqa: ANN001
         a = dict(attrs)
-        if tag == "title" and self.title is None:
+        if tag == "html" and self.html_lang is None and a.get("lang"):
+            self.html_lang = a["lang"].lower()
+        elif tag == "title" and self.title is None:
             self._in_title = True
             self._buf = []
         elif tag == "base" and self.base is None and a.get("href"):
@@ -157,6 +196,12 @@ class _MetaScanner(HTMLParser):
             prop = a.get("property") or ""
             if prop.startswith("og:") and a.get("content") is not None:
                 self.og.setdefault(prop, a["content"])
+            elif (
+                (a.get("name") or "").lower() == "robots"
+                and self.robots is None
+                and a.get("content") is not None
+            ):
+                self.robots = a["content"]
         elif (
             tag == "script"
             and self.ld_raw is None
@@ -191,11 +236,19 @@ def extract_page_metadata(data: bytes) -> dict:
         "ld_type": None,
         "ld_headline": None,
         "ld_published_epoch": None,
+        "html_lang": None,
+        "robots_noindex": False,
+        "robots_nofollow": False,
     }
     try:
         s = _MetaScanner()
         s.feed(data.decode("utf-8", "replace"))
         out["title"] = s.title
+        out["html_lang"] = s.html_lang
+        if s.robots is not None:
+            toks = {t.strip().lower() for t in s.robots.split(",")}
+            out["robots_noindex"] = "noindex" in toks
+            out["robots_nofollow"] = "nofollow" in toks
         if s.canonical_raw is not None:
             out["canonical"] = (
                 urljoin(s.base, s.canonical_raw) if s.base else s.canonical_raw
@@ -251,6 +304,9 @@ def page_metadata(spark, sf_dir: str):
         "ld_type",
         "ld_headline",
         "ld_published_epoch",
+        "html_lang",
+        "robots_noindex",
+        "robots_nofollow",
     )
 
     def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -268,7 +324,8 @@ def page_metadata(spark, sf_dir: str):
         schema=(
             "doc_id long, title string, canonical string, og_title string, "
             "og_url string, ld_type string, ld_headline string, "
-            "ld_published_epoch long"
+            "ld_published_epoch long, html_lang string, "
+            "robots_noindex boolean, robots_nofollow boolean"
         ),
     )
 
@@ -291,6 +348,11 @@ SELECT doc_id,
            AS ld_type,
        'headline ' || doc_id || ' value ' || (13 * doc_id) % 1000
            AS ld_headline,
-       (1600000000 + 86400 * doc_id)::BIGINT AS ld_published_epoch
+       (1600000000 + 86400 * doc_id)::BIGINT AS ld_published_epoch,
+       CASE WHEN doc_id % 3 = 1 THEN NULL
+            ELSE lower(['en', 'DE', 'fr-FR', 'ZH-cn'][doc_id % 4 + 1])
+       END AS html_lang,
+       doc_id % 7 IN (1, 3) AS robots_noindex,
+       doc_id % 7 IN (1, 5) AS robots_nofollow
 FROM documents
 """
