@@ -1501,6 +1501,173 @@ class TestAudioExtCodec:
         assert not problems, problems
 
 
+class TestExtractionSurfaceProperties:
+    """Hypothesis properties for the round-5 extraction surfaces —
+    beyond the formula fixtures: arbitrary values (including
+    XML/HTML-escapable characters), arbitrary attribute order, and
+    arbitrary transport wrapping must all round-trip."""
+
+    # visible ASCII + space, excluding raw markup metachars — the
+    # builders escape &, <, > explicitly, so include them
+    _TEXT = None
+
+    @staticmethod
+    def _esc(s: str) -> str:
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    @staticmethod
+    def _attr(s: str) -> str:
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;").replace('"', "&quot;")
+        )
+
+    def test_feed_parse_roundtrips_arbitrary_values(self):
+        """Hand-built RSS with hypothesis-drawn titles (escapable
+        chars included), epochs, and offsets parses back to the exact
+        inputs — the parser is not specialized to the fixture
+        formulas."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from textextraction_spark.operators.feeds import (
+            extract_feed_items,
+        )
+
+        # titles only cross XML (fully general printable ASCII);
+        # summaries also cross the HTML pipeline, whose char strip and
+        # whitespace normalization transform markup metachars BY
+        # DESIGN — so the summary strategy stays inside the pipeline's
+        # preserved alphabet
+        title_s = st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=40,
+        ).map(str.strip).filter(bool)
+        body_s = st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .,:-",
+            min_size=1,
+            max_size=40,
+        ).map(lambda s: " ".join(s.split())).filter(bool)
+
+        @given(
+            items_src=st.lists(
+                st.tuples(title_s, body_s), min_size=1, max_size=5
+            ),
+            epoch=st.integers(min_value=0, max_value=2_000_000_000),
+            off=st.sampled_from([0, -480, 330, 60, 840, -720]),
+        )
+        @settings(max_examples=120, deadline=None)
+        def roundtrip(items_src, epoch, off):
+            from datetime import datetime, timedelta, timezone
+            from email.utils import format_datetime
+
+            tz = timezone(timedelta(minutes=off))
+            items = []
+            for i, (t, b) in enumerate(items_src):
+                dt = datetime.fromtimestamp(epoch + i, tz=tz)
+                items.append(
+                    f"<item><title>{self._esc(t)}</title>"
+                    f"<link>https://x.example.com/{i}</link>"
+                    f"<pubDate>{format_datetime(dt)}</pubDate>"
+                    f"<description>&lt;p&gt;{b}&lt;/p&gt;"
+                    f"</description></item>"
+                )
+            doc = (
+                '<rss version="2.0"><channel><title>c</title>'
+                + "".join(items)
+                + "</channel></rss>"
+            ).encode()
+            got = extract_feed_items(doc)
+            assert got is not None
+            n = len(items_src)
+            assert [g[1] for g in got] == [t for t, _ in items_src]
+            assert [g[3] for g in got] == [epoch + i for i in range(n)]
+            assert [g[4] for g in got] == [b for _, b in items_src]
+
+        roundtrip()
+
+    def test_metadata_scan_attribute_order_and_escape_invariance(self):
+        """og content survives arbitrary attribute order, interleaved
+        junk metas, and attribute-value escaping; robots tokenization
+        survives arbitrary case and padding."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from textextraction_spark.operators.metadata import (
+            extract_page_metadata,
+        )
+
+        val = st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=30,
+        ).map(str.strip).filter(bool)
+
+        @given(
+            og=val,
+            title=val,
+            flip=st.booleans(),
+            junk=st.integers(min_value=0, max_value=3),
+            ni=st.booleans(),
+            nf=st.booleans(),
+            pad=st.sampled_from(["", " ", "  \t"]),
+            case=st.sampled_from([str.lower, str.upper, str.title]),
+        )
+        @settings(max_examples=150, deadline=None)
+        def scan(og, title, flip, junk, ni, nf, pad, case):
+            og_attr = self._attr(og)
+            meta = (
+                f'<meta content="{og_attr}" property="og:title">'
+                if flip
+                else f'<meta property="og:title" content="{og_attr}">'
+            )
+            junk_metas = '<meta name="viewport" content="x">' * junk
+            toks = [
+                w
+                for w, on in (("noindex", ni), ("nofollow", nf))
+                if on
+            ]
+            robots = (
+                f'<meta name="robots" content="{pad}'
+                + f",{pad}".join(case(t) for t in toks)
+                + '">'
+                if toks
+                else ""
+            )
+            page = (
+                f"<html><head><title>{self._esc(title)}</title>"
+                f"{junk_metas}{meta}{robots}</head><body></body></html>"
+            ).encode()
+            m = extract_page_metadata(page)
+            assert m["og_title"] == og
+            assert m["title"] == title
+            assert m["robots_noindex"] is ni
+            assert m["robots_nofollow"] is nf
+
+        scan()
+
+    def test_dispatch_transport_invariance(self):
+        """gzip-wrapping any non-wrapped blob changes ONLY the gz
+        flag — fmt and text are invariant under transport."""
+        import gzip as _gz
+
+        from textextraction_spark.operators.dispatch import (
+            extract_any,
+            make_any,
+        )
+
+        for d in range(40):
+            if d % 8 in (1, 6, 7):  # already gzip-wrapped families
+                continue
+            blob = make_any(d)
+            fmt0, gz0, txt0 = extract_any(blob)
+            fmt1, gz1, txt1 = extract_any(_gz.compress(blob, mtime=0))
+            assert (gz0, gz1) == (False, True), d
+            assert (fmt1, txt1) == (fmt0, txt0), d
+
+
 class TestPageMetadata:
     """Round-5: page-metadata extraction (operators/metadata.py) —
     title / base+canonical resolution / OpenGraph / JSON-LD, with
