@@ -31,6 +31,12 @@ def _tumbling_oracle() -> str:
     return tumbling_host_counts_oracle()
 
 
+def _extract_any_docs(spark, sf_dir):
+    from textextraction_spark.operators.dispatch import extract_any_docs
+
+    return extract_any_docs(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract main content + spans from the synthetic
     Common-Crawl-style pages table at sf0.001."""
@@ -83,7 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact_substr_dedup (Lee et al. exact-substring removal),
     # host_pagerank (persisted-graph iteration), and pq_suite (IVF-PQ
     # codes + ADC re-rank), the highest-value operators that had only
-    # pytest oracles before.
+    # pytest oracles before.  Late round 5: grouping_multi + set_ops
+    # merged into sql_surface_suite, freeing the slot for
+    # extract_any_docs (the universal content-sniffing front door).
     return {
         # --- extraction pipeline (SURVEY.md §2.1-2.3, §2.8) ---
         "extract_html_text": X.extract_html_text,
@@ -136,8 +144,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         # --- analytic suite (windows, grouping sets, as-of/band joins) ---
         "window_analytics": A.window_analytics,  # w2 frames + w4 ranking
-        "grouping_multi": A.grouping_multi,  # rollup + cube
-        "set_ops": A.set_ops,  # except + intersect
+        # rollup + cube + except + intersect (round-5 rotation: freed a
+        # slot for extract_any_docs; constituents slice-pinned)
+        "sql_surface_suite": A.sql_surface_suite,
+        # the universal content-sniffing front door (round-5 capstone)
+        "extract_any_docs": _extract_any_docs,
         "event_joins": A.event_joins,  # as-of + band/interval join
         "pivot_user_type_counts": A.pivot_user_type_counts,
         "sessionize_batch": A.sessionize_batch,
@@ -147,6 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from textextraction_spark.operators.dispatch import (
+        EXTRACT_ANY_ORACLE as _EXTRACT_ANY_ORACLE,
+    )
+
     from textextraction_spark.functions import analytics as A
     from textextraction_spark.functions import relational as R
     from textextraction_spark.operators import bpe as BPE
@@ -207,8 +222,8 @@ def oracle_sql() -> dict[str, str]:
         "j3_large_join_smj": R.J3_ORACLE,
         "q1_pricing_summary": R.Q1_ORACLE,
         "window_analytics": A.WINDOW_ANALYTICS_ORACLE,
-        "grouping_multi": A.GROUPING_MULTI_ORACLE,
-        "set_ops": A.SET_OPS_ORACLE,
+        "sql_surface_suite": A.SQL_SURFACE_SUITE_ORACLE,
+        "extract_any_docs": _EXTRACT_ANY_ORACLE,
         "event_joins": A.EVENT_JOINS_ORACLE,
         "pivot_user_type_counts": A.PIVOT_ORACLE,
         "sessionize_batch": A.SESSIONIZE_ORACLE,

@@ -378,12 +378,41 @@ class TestAnalyticSlices:
             comp.select("event_id", "event_type", "decile", "pct_rank"),
         )
 
+    def test_sql_surface_suite_slices(self, spark):
+        """Late-round-5 rotation: the retired standalone composites
+        (grouping_multi, set_ops) stay pinned equal to their branch
+        slices of the merged driver row."""
+        from pyspark.sql import functions as F
+
+        from textextraction_spark.functions import analytics as A
+
+        comp = E.queries()["sql_surface_suite"](spark, SF)
+        gm = comp.filter(
+            F.col("branch").isin("rollup", "cube")
+        ).select(
+            F.col("branch").alias("shape"),
+            "event_type",
+            "k2",
+            "n",
+            "sum_value",
+        )
+        assert_df_equal(A.grouping_multi(spark, SF), gm)
+        so = comp.filter(
+            F.col("branch").isin("except", "intersect")
+        ).select(
+            F.col("branch").alias("op"),
+            "user_id",
+            "event_type",
+            "value_bucket",
+        )
+        assert_df_equal(A.set_ops(spark, SF), so)
+
     def test_grouping_multi_branches(self, spark):
         from pyspark.sql import functions as F
 
         from textextraction_spark.functions import analytics as A
 
-        comp = E.queries()["grouping_multi"](spark, SF)
+        comp = A.grouping_multi(spark, SF)
         roll = comp.filter(F.col("shape") == "rollup").select(
             "event_type", F.col("k2").alias("day"), "n", "sum_value"
         )
@@ -403,7 +432,7 @@ class TestAnalyticSlices:
         from textextraction_spark.functions import analytics as A
         from textextraction_spark.functions import relational as R
 
-        comp = E.queries()["set_ops"](spark, SF)
+        comp = A.set_ops(spark, SF)
         assert_df_equal(
             R.set_except_types(spark, SF),
             comp.filter(F.col("op") == "except").select(

@@ -42,8 +42,8 @@ FAST_SUBSET = [
     "exact_substr_dedup",
     "q1_pricing_summary",
     "window_analytics",
-    "grouping_multi",
-    "set_ops",
+    "sql_surface_suite",
+    "extract_any_docs",
     "event_joins",
     "pivot_user_type_counts",
     "sessionize_batch",

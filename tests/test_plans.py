@@ -199,8 +199,10 @@ SHUFFLE_BUDGETS = {
     "a1_type_stats": 1,
     "user_event_profile": 1,
     "window_analytics": 2,
-    "grouping_multi": 2,
-    "set_ops": 3,
+    # grouping_multi (2) + set_ops (3) merged in the late-round-5
+    # rotation; extract_any_docs is a pure narrow pipeline
+    "sql_surface_suite": 5,
+    "extract_any_docs": 0,
     "politeness_schedule": 2,
     # round-5 rotation: w1's one window shuffle; s1 stays TakeOrdered
     "rank_suite": 1,
@@ -396,12 +398,13 @@ class TestShuffleBudgets:
                 over[name] = (n, SHUFFLE_BUDGETS[name])
         assert not over, f"shuffle budget exceeded: {over}"
 
-    def test_pytest_gated_extractors_are_zero_exchange(self, spark):
-        """The round-5 pytest-gated extraction operators (outside the
-        pinned 50-query driver cap) are pure narrow pipelines: scan →
-        Arrow synth UDF → mapInPandas.  Document/feed bytes must never
-        cross an exchange — at 100 TB an accidental shuffle here moves
-        the whole corpus."""
+    def test_round5_extractors_are_zero_exchange(self, spark):
+        """The round-5 extraction operators (extract_any_docs is
+        driver-gated after the late rotation; the others are
+        pytest-gated outside the pinned 50-query cap) are pure narrow
+        pipelines: scan → Arrow synth UDF → mapInPandas.
+        Document/feed bytes must never cross an exchange — at 100 TB
+        an accidental shuffle here moves the whole corpus."""
         from textextraction_spark.operators.dispatch import (
             extract_any_docs,
         )

@@ -528,3 +528,46 @@ SELECT 'intersect' AS op, user_id, event_type, -1::BIGINT AS value_bucket FROM (
   SELECT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-04'
 )
 """
+
+
+# ---- sql_surface_suite: grouping_multi + set_ops in one gated row --------
+def sql_surface_suite(spark, sf_dir: str):
+    """Round-5 gate rotation (same pattern as rank_suite /
+    project_gates): the two SQL-surface composites — grouping_multi
+    (rollup + cube Expand plans) and set_ops (EXCEPT ALL + INTERSECT)
+    — union-tagged by ``branch`` into ONE driver row, freeing a slot
+    for extract_any_docs.  Off-branch slots are typed NULLs per the
+    tag-union convention; slice-equality pins in
+    tests/test_composites.py keep every constituent (and the retired
+    standalone composites) identical to its slice.  The union adds no
+    exchange: each branch keeps its own one-shuffle plan."""
+    gm = grouping_multi(spark, sf_dir).select(
+        F.col("shape").alias("branch"),
+        "event_type",
+        "k2",
+        "n",
+        "sum_value",
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("bigint").alias("value_bucket"),
+    )
+    so = set_ops(spark, sf_dir).select(
+        F.col("op").alias("branch"),
+        "event_type",
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+        "user_id",
+        "value_bucket",
+    )
+    return gm.unionByName(so)
+
+
+SQL_SURFACE_SUITE_ORACLE = f"""
+SELECT shape AS branch, event_type, k2, n, sum_value,
+       NULL::BIGINT AS user_id, NULL::BIGINT AS value_bucket
+FROM ({GROUPING_MULTI_ORACLE})
+UNION ALL
+SELECT op AS branch, event_type, NULL::VARCHAR AS k2, NULL::BIGINT AS n,
+       NULL::DOUBLE AS sum_value, user_id, value_bucket
+FROM ({SET_OPS_ORACLE})
+"""

@@ -17,7 +17,9 @@ the doc_id family — across every format the engine decodes:
     (default)   HTML                     -> core DOM pipeline
 
 Routing is pinned by construction: each fixture family's expected
-text is rebuilt by the DuckDB oracle from per-family formulas, so a
+text is rebuilt by the DuckDB oracle from per-family formulas
+(driver-gated since the late-round rotation — `extract_any_docs` in
+`__spark_entry__.queries()`), so a
 blob routed to the wrong extractor produces the wrong text (or None),
 never a silently-plausible result.  The zip dispatch deliberately
 reads CONTAINER content (mimetype entry / part names), not file
@@ -175,8 +177,9 @@ def extract_any_docs(spark, sf_dir: str):
     fixture families → one content-sniffing extract.  The UDF sees
     ONLY bytes (family provenance never reaches the executor-side
     routing), so a mis-sniff produces oracle-visibly wrong text.
-    Pytest-oracle-gated (outside the 50-query driver cap; the cap is
-    pinned exactly 50 — see __spark_entry__)."""
+    DRIVER-gated (late-round rotation: grouping_multi + set_ops
+    merged into sql_surface_suite to free the slot — the cap stays
+    pinned at exactly 50, see __spark_entry__)."""
     from pyspark.sql import types as T
 
     from textextraction_spark.job.packaging import ensure_shipped
