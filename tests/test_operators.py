@@ -1254,10 +1254,11 @@ class TestBmpCodec:
 
 class TestTiffCodec:
     """Round-5: real baseline-TIFF pixel path (operators/tiff.py) —
-    the scanned-document tail.  Uncompressed and PackBits are lossless,
-    so every pin is bit-exact (endian-correct IFD walk, multi-strip
-    assembly, RLE expansion).  Driver-gated as media_features
-    kind='tiff'."""
+    the scanned-document tail.  Uncompressed, PackBits, and §13 LZW
+    (with Predictor=2 horizontal differencing) are all lossless, so
+    every pin is bit-exact (endian-correct IFD walk, multi-strip
+    assembly, RLE expansion, early-change LZW widths, differencing
+    undo).  Driver-gated as media_features kind='tiff'."""
 
     def test_packbits_round_trips(self):
         import numpy as np
@@ -1279,9 +1280,12 @@ class TestTiffCodec:
         assert packbits_decode(packbits_encode(long_run), 1000) == long_run
 
     def test_fixtures_round_trip_bit_exact_all_families(self):
-        """gray/rgb x uncompressed-LE/PackBits-BE; every fixture is
-        multi-strip (rows_per_strip=2 < h), and the round-4 header
-        parse agrees with the full decode on dims."""
+        """gray/rgb x uncompressed-LE / PackBits-BE / LZW-LE / LZW-BE
+        (Predictor=2 on families 5/6); every fixture is multi-strip
+        (rows_per_strip=2 < h), and the round-4 header parse agrees
+        with the full decode on dims.  Only parity decides gray vs
+        rgb, so the d%4 loop covers all eight d%8 families via
+        range(80)."""
         import numpy as np
 
         from textextraction_spark.operators.multimodal import parse_image_dims
@@ -1318,11 +1322,50 @@ class TestTiffCodec:
         for _ in range(6):
             h, w = int(rng.randint(1, 20)), int(rng.randint(1, 20))
             for be in (False, True):
-                for pb in (False, True):
-                    g = rng.randint(0, 256, (h, w)).astype(np.uint8)
-                    assert (decode_tiff(encode_tiff(g, be, pb)) == g).all()
-                    c = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
-                    assert (decode_tiff(encode_tiff(c, be, pb)) == c).all()
+                for pb, lz in ((False, False), (True, False), (False, True)):
+                    for pred in (1, 2):
+                        g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+                        got = decode_tiff(
+                            encode_tiff(g, be, pb, lzw=lz, predictor=pred))
+                        assert (got == g).all()
+                        c = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                        got = decode_tiff(
+                            encode_tiff(c, be, pb, lzw=lz, predictor=pred))
+                        assert (got == c).all()
+
+    def test_lzw_stream_round_trips_and_widths(self):
+        """TIFF §13 LZW at the stream level: the 20k-random case walks
+        every early-change width bump (9->10->11->12) AND a 4094-entry
+        ClearCode table reset; compressible shapes exercise long
+        matches and the KwKwK corner; wrong expected length and
+        truncation fail soft as None."""
+        import numpy as np
+
+        from textextraction_spark.operators.tiff import lzw_decode, lzw_encode
+
+        rng = np.random.RandomState(11)
+        cases = [
+            b"",
+            b"A",
+            b"A" * 500,
+            b"AB" * 4000,
+            bytes(range(256)) * 40,
+            bytes(rng.randint(0, 256, 20000, dtype=np.uint8)),
+            bytes(rng.randint(0, 4, 30000, dtype=np.uint8)),
+        ]
+        for c in cases:
+            assert lzw_decode(lzw_encode(c), len(c)) == c
+        enc = lzw_encode(b"hello world")
+        assert lzw_decode(enc, 10) is None
+        assert lzw_decode(enc, 12) is None
+        full = lzw_encode(bytes(rng.randint(0, 256, 400, dtype=np.uint8)))
+        for cut in range(0, len(full) - 1, 7):
+            assert lzw_decode(full[:cut], 400) is None
+        # LZW actually compresses the differenced smooth ramp (the
+        # predictor's whole point on scanned gradients)
+        smooth = np.arange(8000, dtype=np.uint8).tobytes()
+        diffed = b"\x00" + b"\x01" * 7999
+        assert len(lzw_encode(diffed)) < len(lzw_encode(smooth)) / 4
 
     def test_corrupt_and_unsupported_fail_soft(self):
         import struct
@@ -1342,16 +1385,33 @@ class TestTiffCodec:
                 b[rng.randint(len(b))] ^= 1 << rng.randint(8)
             r = decode_tiff(bytes(b))
             assert r is None or r.dtype == np.uint8
-        # pinned envelope: LZW compression (tag 259 -> 5) returns None
-        lzw = bytearray(make_tiff(0))  # LE fixture: IFD entries at
-        (ifd,) = struct.unpack("<I", lzw[4:8])
-        (n,) = struct.unpack("<H", lzw[ifd : ifd + 2])
-        for i in range(n):
-            base = ifd + 2 + 12 * i
-            (tag,) = struct.unpack("<H", lzw[base : base + 2])
-            if tag == 259:
-                struct.pack_into("<I", lzw, base + 8, 5)
-        assert decode_tiff(bytes(lzw)) is None
+        # pinned envelope: Deflate compression (tag 259 -> 8) returns
+        # None (LZW moved INSIDE the envelope in the round-5 close-out;
+        # relabeling raw strips as LZW makes an invalid stream, which
+        # must also fail soft rather than decode to garbage)
+        for comp, expect_none in ((8, True), (5, True)):
+            mut = bytearray(make_tiff(0))  # LE fixture, uncompressed strips
+            (ifd,) = struct.unpack("<I", mut[4:8])
+            (n,) = struct.unpack("<H", mut[ifd : ifd + 2])
+            for i in range(n):
+                base = ifd + 2 + 12 * i
+                (tag,) = struct.unpack("<H", mut[base : base + 2])
+                if tag == 259:
+                    struct.pack_into("<I", mut, base + 8, comp)
+            r = decode_tiff(bytes(mut))
+            assert r is None if expect_none else r is not None, comp
+        # truncation / bit-flip fuzz on an LZW + predictor fixture too
+        lzwfix = make_tiff(13)  # fam 5: rgb LZW-LE predictor 2
+        for cut in range(0, len(lzwfix), 3):
+            r = decode_tiff(lzwfix[:cut])
+            assert r is None or r.dtype == np.uint8, cut
+        rng2 = np.random.RandomState(7)
+        for _ in range(200):
+            b = bytearray(lzwfix)
+            for _ in range(2):
+                b[rng2.randint(len(b))] ^= 1 << rng2.randint(8)
+            r = decode_tiff(bytes(b))
+            assert r is None or r.dtype == np.uint8
 
     def test_operator_matches_oracle(self, spark):
         from textextraction_spark.operators.tiff import (

@@ -18,11 +18,23 @@ with NO error bound: decode must reproduce the encoder's input exactly
 and the DuckDB oracle recomputes decoded pixel statistics
 arithmetically from the fixture formulas.
 
+Round-5 close-out extends the envelope with the scanned-document
+mainstay: **Compression=5 (LZW, spec §13)** — MSB-first bit packing
+with the "early change" code widths (the writer widens the field when
+the next code to assign reaches ``(1 << width) - 1``; the reader, whose
+string table runs one entry behind the writer's, mirrors the bump at
+``- 2``), ClearCode/EOI handling, and the 4094-entry table reset — plus
+**Predictor=2 (horizontal differencing, tag 317)**, applied per row per
+sample channel before compression and undone with a wrapping cumulative
+sum after.  LZW+predictor is what real scanner output uses; both are
+lossless, so the bit-exact standard holds: NO error bound anywhere.
+
 Supported envelope (pinned by fail-soft tests): BitsPerSample 8,
-SamplesPerPixel 1 / 3, Compression 1 / 32773, strip layout.  LZW /
-JPEG-in-TIFF / deflate compression, tiled layout, 16-bit samples, and
-planar configuration 2 return None rather than garbage —
-``multimodal.real_decode`` remains the production swap-in for those.
+SamplesPerPixel 1 / 3, Compression 1 / 5 / 32773, Predictor 1 / 2,
+strip layout.  JPEG-in-TIFF / deflate compression, tiled layout,
+16-bit samples, and planar configuration 2 return None rather than
+garbage — ``multimodal.real_decode`` remains the production swap-in
+for those.
 
 Reference analog: the reference feeds Tesseract TIFF renders of PDF
 pages (/root/reference/OCR/Image.cs:20-66) but never decodes crawl
@@ -45,6 +57,129 @@ from pyspark.sql import functions as F
 # tag ids (TIFF 6.0 baseline)
 _W, _H, _BPS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _RPS, _STRIP_CNT, _PLANAR = 273, 277, 278, 279, 284
+_PREDICTOR = 317
+
+_CLEAR, _EOI = 256, 257  # LZW control codes (TIFF 6.0 §13)
+
+
+# ---------------------------------------------------------------------- LZW
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): codes packed MSB-first, initial
+    width 9, ClearCode=256 / EOI=257, and the spec's "early change" —
+    the code width widens as soon as the next code to ASSIGN reaches
+    ``(1 << width) - 1`` (one code earlier than GIF's LSB-first
+    variant, ``multimodal._lzw_encode``).  The table resets via an
+    explicit ClearCode when the next code reaches 4094."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(_CLEAR, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:  # spec §13: ClearCode when the table fills
+            emit(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+        # the reader will create one more entry on seeing EOI's
+        # predecessor — mirror its width bump for the EOI field
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(_EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes | None:
+    """Decode a TIFF §13 LZW strip to exactly ``expected`` bytes, or
+    None for any malformed / truncated / mis-sized stream.  The
+    decoder's string table runs one entry behind the writer's (the
+    entry for the code just read is only created when the NEXT code
+    arrives), so the early-change width bump fires at
+    ``(1 << width) - 2`` where the writer used ``- 1``."""
+    out = bytearray()
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width, prev = 9, None
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return None  # ran out of stream before EOI
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        bitbuf &= (1 << nbits) - 1
+        if code == _CLEAR:
+            table = list(base)
+            width, prev = 9, None
+            continue
+        if code == _EOI:
+            break
+        if prev is None:
+            if code > 255:
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        out += entry
+        if len(out) > expected:
+            return None
+        prev = entry
+    return bytes(out) if len(out) == expected else None
+
+
+# ----------------------------------------------- Predictor 2 (h-differencing)
+def _hdiff_encode(strip: np.ndarray, spp: int) -> np.ndarray:
+    """Horizontal differencing (tag 317 = 2) on a (rows, w*spp) strip:
+    each row independently, per sample channel, wrapping mod 256."""
+    px = strip.reshape(strip.shape[0], -1, spp).astype(np.uint8)
+    out = px.copy()
+    out[:, 1:] = px[:, 1:] - px[:, :-1]
+    return out.reshape(strip.shape)
+
+
+def _hdiff_decode(strip: np.ndarray, spp: int) -> np.ndarray:
+    px = strip.reshape(strip.shape[0], -1, spp)
+    return np.cumsum(px, axis=1, dtype=np.uint8).reshape(strip.shape)
 
 
 # ----------------------------------------------------------------- PackBits
@@ -102,10 +237,16 @@ def encode_tiff(
     big_endian: bool = False,
     packbits: bool = False,
     rows_per_strip: int = 2,
+    lzw: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Encode an 8-bit image ((h, w) gray or (h, w, 3) RGB) as a real
     baseline TIFF: header + pixel strips + one IFD.  ``rows_per_strip``
-    defaults to 2 so every fixture is multi-strip."""
+    defaults to 2 so every fixture is multi-strip.  ``lzw=True`` uses
+    Compression=5 (§13 LZW); ``predictor=2`` applies horizontal
+    differencing (tag 317) per row before compression."""
+    if packbits and lzw:
+        raise ValueError("pick one compression")
     e = ">" if big_endian else "<"
     if img.ndim == 2:
         h, w = img.shape
@@ -115,10 +256,19 @@ def encode_tiff(
         h, w = img.shape[:2]
         spp, photo = 3, 2
         flat = img.astype(np.uint8).reshape(h, w * 3)
+    comp = 5 if lzw else (32773 if packbits else 1)
     strips = []
     for y0 in range(0, h, rows_per_strip):
-        raw = flat[y0 : y0 + rows_per_strip].tobytes()
-        strips.append(packbits_encode(raw) if packbits else raw)
+        rows = flat[y0 : y0 + rows_per_strip]
+        if predictor == 2:
+            rows = _hdiff_encode(rows, spp)
+        raw = rows.tobytes()
+        if lzw:
+            strips.append(lzw_encode(raw))
+        elif packbits:
+            strips.append(packbits_encode(raw))
+        else:
+            strips.append(raw)
     header = struct.pack(e + "2sHI", b"MM" if big_endian else b"II", 42, 0)
     body = bytearray(header)
     offsets = []
@@ -136,7 +286,7 @@ def encode_tiff(
     n_strips = len(strips)
     # out-of-line arrays (strip offsets/counts, and SHORT BPS for rgb)
     extra = bytearray()
-    extra_base = ifd_off + 2 + 12 * 10 + 4
+    extra_base = ifd_off + 2 + 12 * 11 + 4  # 11 entries (317 always written)
     if n_strips == 1:
         off_val, cnt_val = offsets[0], len(strips[0])
     else:
@@ -156,8 +306,7 @@ def encode_tiff(
         entry(_W, 3, 1, (w << 16) if big_endian else w),
         entry(_H, 3, 1, (h << 16) if big_endian else h),
         bps_entry,
-        entry(_COMP, 3, 1, ((32773 if packbits else 1) << 16)
-              if big_endian else (32773 if packbits else 1)),
+        entry(_COMP, 3, 1, (comp << 16) if big_endian else comp),
         entry(_PHOTO, 3, 1, (photo << 16) if big_endian else photo),
         entry(_STRIP_OFF, 4, n_strips, off_val),
         entry(_SPP, 3, 1, (spp << 16) if big_endian else spp),
@@ -165,6 +314,7 @@ def encode_tiff(
               if big_endian else rows_per_strip),
         entry(_STRIP_CNT, 4, n_strips, cnt_val),
         entry(_PLANAR, 3, 1, (1 << 16) if big_endian else 1),
+        entry(_PREDICTOR, 3, 1, (predictor << 16) if big_endian else predictor),
     ]
     body += struct.pack(e + "H", len(entries))
     for en in entries:
@@ -233,6 +383,7 @@ def decode_tiff(data: bytes):
         offs = val(_STRIP_OFF)
         cnts = val(_STRIP_CNT)
         rps = val(_RPS, [None])
+        pred = val(_PREDICTOR, [1])
         if None in (w, h, photo, offs, cnts) or not w or not h:
             return None
         w, h = w[0], h[0]
@@ -242,7 +393,8 @@ def decode_tiff(data: bytes):
             w == 0 or h == 0 or w * h > 1 << 26
             or spp not in (1, 3)
             or any(b != 8 for b in bps)
-            or comp not in (1, 32773)
+            or comp not in (1, 5, 32773)
+            or pred[0] not in (1, 2)
             or planar[0] != 1
             or photo[0] not in (1, 2)
             or (photo[0] == 1) != (spp == 1)
@@ -263,6 +415,10 @@ def decode_tiff(data: bytes):
                 seg = packbits_decode(seg, expected)
                 if seg is None:
                     return None
+            elif comp == 5:
+                seg = lzw_decode(seg, expected)
+                if seg is None:
+                    return None
             elif len(seg) != expected:
                 return None
             raw += seg
@@ -270,17 +426,26 @@ def decode_tiff(data: bytes):
         if y != h or len(raw) != h * stride:
             return None
         arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, stride)
+        if pred[0] == 2:
+            arr = _hdiff_decode(arr, spp)
         return arr if spp == 1 else arr.reshape(h, w, 3)
     except Exception:
         return None
 
 
 # ------------------------------------------------------- fixture + operator
-# family = doc_id % 4: gray uncompressed LE / rgb uncompressed LE /
-# gray PackBits BE / rgb PackBits BE — compression x byte order x spp
-# in four streams, all multi-strip (rows_per_strip=2 < h).  Value
-# formulas mirror the PNG/BMP fixtures so the oracles share one shape.
-TIFF_FMTS = ["gray", "rgb", "gray_pb", "rgb_pb"]
+# family = doc_id % 8: gray/rgb x {uncompressed LE, PackBits BE,
+# LZW LE, LZW BE} with Predictor=2 on families 5/6 — compression x
+# byte order x spp x predictor in eight streams, all multi-strip
+# (rows_per_strip=2 < h).  Even families are gray, odd rgb, so the
+# cross-codec agreement pins (PNG==BMP==TIFF on d%4 slices) keep
+# holding.  Value formulas mirror the PNG/BMP fixtures so the oracles
+# share one shape; compression never changes decoded statistics, so
+# the oracle's only family-dependent column is fmt.
+TIFF_FMTS = [
+    "gray", "rgb", "gray_pb", "rgb_pb",
+    "gray_lzw", "rgb_lzw_p2", "gray_lzw_be_p2", "rgb_lzw_be",
+]
 
 
 def _tiff_geometry(doc_id: int) -> tuple[int, int]:
@@ -290,19 +455,25 @@ def _tiff_geometry(doc_id: int) -> tuple[int, int]:
 def make_tiff(doc_id: int) -> bytes:
     """Deterministic TIFF fixture: gray v = (d + 3r + 5c) % 256, rgb
     channel k = (d + 3r + 5c + 77k) % 256; families 2/3 are PackBits +
-    big-endian (MM)."""
+    big-endian (MM); families 4-7 are LZW (LE then BE), with
+    Predictor=2 horizontal differencing on 5/6."""
     w, h = _tiff_geometry(doc_id)
-    fam = doc_id % 4
+    fam = doc_id % 8
     rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     base = (doc_id + 3 * rr + 5 * cc) % 256
-    pb = fam >= 2
     if fam % 2 == 0:
         img = base.astype(np.uint8)
     else:
         img = np.stack(
             [(base + 77 * k) % 256 for k in range(3)], axis=-1
         ).astype(np.uint8)
-    return encode_tiff(img, big_endian=pb, packbits=pb)
+    return encode_tiff(
+        img,
+        big_endian=fam in (2, 3, 6, 7),
+        packbits=fam in (2, 3),
+        lzw=fam >= 4,
+        predictor=2 if fam in (5, 6) else 1,
+    )
 
 
 def _tiff_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -315,7 +486,7 @@ def _tiff_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         for doc_id, media in zip(pdf["doc_id"].values, pdf["media"].values):
             img = decode_tiff(bytes(media))
             rows["doc_id"].append(doc_id)
-            rows["fmt"].append(TIFF_FMTS[int(doc_id) % 4])
+            rows["fmt"].append(TIFF_FMTS[int(doc_id) % 8])
             if img is None:
                 rows["w"].append(0)
                 rows["h"].append(0)
@@ -340,11 +511,13 @@ def _tiff_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def media_tiff_decode(spark, sf_dir: str):
     """Real TIFF pixel path: synthesize a genuine baseline TIFF per doc
-    (family by doc_id % 4: gray/rgb x uncompressed-LE/PackBits-BE, all
-    multi-strip) -> mapInPandas runs the full decode (endian-correct
-    IFD walk, strip assembly, PackBits expansion) on the actual bytes
-    and emits decoded pixel statistics.  Driver-gated as
-    ``media_features`` kind='tiff' (slice-pinned)."""
+    (family by doc_id % 8: gray/rgb x uncompressed-LE / PackBits-BE /
+    LZW-LE / LZW-BE, Predictor=2 on families 5/6, all multi-strip) ->
+    mapInPandas runs the full decode (endian-correct IFD walk, strip
+    assembly, PackBits expansion, §13 LZW with early-change widths,
+    horizontal-differencing undo) on the actual bytes and emits decoded
+    pixel statistics.  Driver-gated as ``media_features`` kind='tiff'
+    (slice-pinned)."""
     from pyspark.sql import types as T
 
     from textextraction_spark.job.packaging import ensure_shipped
@@ -375,7 +548,7 @@ def media_tiff_decode(spark, sf_dir: str):
 MEDIA_TIFF_DECODE_ORACLE = """
 WITH g AS (
   SELECT doc_id,
-         CAST(doc_id % 4 AS INT) AS fam,
+         CAST(doc_id % 8 AS INT) AS fam,
          4 + doc_id % 5 AS w,
          4 + (doc_id * 3) % 5 AS h
   FROM documents
@@ -387,7 +560,8 @@ samp AS (
        UNNEST(range(CASE WHEN g.fam % 2 = 0 THEN 1 ELSE 3 END)) d(k)
 )
 SELECT doc_id,
-       (['gray', 'rgb', 'gray_pb', 'rgb_pb'])[fam + 1] AS fmt,
+       (['gray', 'rgb', 'gray_pb', 'rgb_pb',
+         'gray_lzw', 'rgb_lzw_p2', 'gray_lzw_be_p2', 'rgb_lzw_be'])[fam + 1] AS fmt,
        w::BIGINT AS w, h::BIGINT AS h,
        round(avg(v), 6) AS mean_px,
        min(v)::BIGINT AS min_px, max(v)::BIGINT AS max_px,
