@@ -1109,9 +1109,53 @@ class TestPngCodec:
             r = decode_png(bytes(b))
             assert r is None or isinstance(r, tuple)
 
+    def test_adam7_and_16bit_round_trip(self):
+        """Round-5 close-out: Adam7 interlace and 16-bit depth are IN
+        the envelope.  Bit-exact round trips for every color type x
+        interlace x depth combination, including dims < 8 where Adam7
+        passes are empty; the interlaced stream must decode identical
+        to the sequential one (two independent scanline layouts cannot
+        carry complementary bugs); fuzz on an interlaced stream fails
+        soft."""
+        import numpy as np
+
+        from textextraction_spark.operators.png import decode_png, encode_png
+
+        rng = np.random.RandomState(17)
+        for h, w in [(1, 1), (2, 3), (4, 4), (5, 7), (8, 8), (9, 13), (16, 17)]:
+            for ct, shape in ((0, (h, w)), (2, (h, w, 3)), (6, (h, w, 4))):
+                img8 = rng.randint(0, 256, shape).astype(np.uint8)
+                seq = decode_png(encode_png(img8, ct))[1]
+                inter = decode_png(encode_png(img8, ct, interlace=True))[1]
+                assert (seq == img8).all() and (inter == img8).all(), (h, w, ct)
+                img16 = rng.randint(0, 65536, shape).astype(np.uint16)
+                for il in (False, True):
+                    got_ct, got = decode_png(
+                        encode_png(img16, ct, depth=16, interlace=il))
+                    assert got_ct == ct and got.dtype == np.uint16
+                    assert (got == img16).all(), (h, w, ct, il)
+            idx = rng.randint(0, 5, (h, w)).astype(np.uint8)
+            pal = [(i * 11 % 256, i * 17 % 256, i * 23 % 256) for i in range(5)]
+            want = np.array(pal, np.uint8)[idx]
+            got = decode_png(encode_png(idx, 3, palette=pal, interlace=True))[1]
+            assert (got == want).all(), (h, w, "pal")
+        # truncation + bit-flip fuzz on an interlaced 16-bit stream
+        data = encode_png(
+            rng.randint(0, 65536, (9, 7, 3)).astype(np.uint16),
+            2, depth=16, interlace=True)
+        for cut in range(0, len(data), 5):
+            assert decode_png(data[:cut]) is None, cut
+        for _ in range(200):
+            b = bytearray(data)
+            for _ in range(2):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            r = decode_png(bytes(b))
+            assert r is None or isinstance(r, tuple)
+
     def test_unsupported_envelope_fails_soft(self):
-        """16-bit depth, Adam7 interlace, and a palette stream missing
-        its PLTE return None, not garbage — the pinned envelope."""
+        """Sub-byte depths, 16-bit palette, unknown interlace methods,
+        lying IHDRs, and a palette stream missing its PLTE return
+        None, not garbage — the pinned envelope."""
         import struct
         import zlib
 
@@ -1128,13 +1172,22 @@ class TestPngCodec:
         img = np.zeros((4, 4), np.uint8)
         good = encode_png(img, 0)
 
-        def with_ihdr(depth, inter):
-            ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 0, 0, 0, inter)
+        def with_ihdr(depth, inter, ctype=0):
+            ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, inter)
             rest = good[8 + 25 :]  # skip sig + original IHDR chunk
             return _SIG + _chunk(b"IHDR", ihdr) + rest
 
+        # lying IHDRs over 8-bit sequential payload: claiming 16-bit or
+        # Adam7 changes the expected inflated length, so both must fail
+        # soft even though depth 16 / interlace 1 are now in-envelope
         assert decode_png(with_ihdr(16, 0)) is None
         assert decode_png(with_ihdr(8, 1)) is None
+        # genuinely outside the envelope: sub-byte depths, unknown
+        # interlace method, 16-bit palette
+        assert decode_png(with_ihdr(4, 0)) is None
+        assert decode_png(with_ihdr(1, 0)) is None
+        assert decode_png(with_ihdr(8, 2)) is None
+        assert decode_png(with_ihdr(16, 0, ctype=3)) is None
         # palette stream with the PLTE chunk excised
         pal_png = make_png(3)  # fam 3 = palette
         (ln,) = struct.unpack(">I", pal_png[33:37])  # PLTE after IHDR

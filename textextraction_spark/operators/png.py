@@ -12,14 +12,19 @@ input BIT-EXACTLY on every fixture and every arbitrary image, and the
 DuckDB oracle recomputes decoded pixel statistics arithmetically from
 the fixture formulas with no error bound.
 
-Supported envelope (pinned by fail-soft tests): bit depth 8, color
-types 0 (grayscale), 2 (truecolor), 3 (palette + PLTE), 6 (RGBA),
-compression 0, filter method 0, interlace 0.  Adam7 interlace, 16-bit
-channels, and 1/2/4-bit depths return None rather than garbage —
+Supported envelope (pinned by fail-soft tests): bit depths 8 and —
+since the round-5 close-out — 16 (big-endian samples, color types
+0/2/6), color types 0 (grayscale), 2 (truecolor), 3 (palette + PLTE,
+8-bit only per spec practice here), 6 (RGBA), compression 0, filter
+method 0, interlace 0 AND 1 (**Adam7**: seven independently-filtered
+passes over the spec §8.2 sub-grids, each with its own
+previous-row-resets-to-zero filter state, scattered back onto the full
+pixel grid; empty passes on small images contribute no bytes, and the
+expected inflated length is the per-pass sum — a lying IHDR still
+fails soft).  1/2/4-bit depths return None rather than garbage —
 ``multimodal.real_decode`` remains the production swap-in for those
 (they need nothing beyond more code, unlike WebP/AVIF which need codec
-libraries, but the crawl-dominant 8-bit non-interlaced envelope is
-complete here).
+libraries).
 
 The encoder cycles the scanline filter type with the row index
 (row % 5), so every fixture stream exercises ALL FIVE unfilter paths —
@@ -96,33 +101,75 @@ def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> byte
     return bytes(out)
 
 
-def encode_png(
-    img: np.ndarray, color_type: int, palette: list | None = None
-) -> bytes:
-    """Encode an 8-bit image as a real PNG stream.
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    ``img`` is (h, w) for color types 0 and 3 (for 3, values are
-    palette indices) or (h, w, spp) for types 2 / 6.  The scanline
-    filter type cycles with the row index (row % 5) so every stream
-    exercises all five filters.
-    """
-    if img.ndim == 2:
-        h, w = img.shape
-        raw = img.astype(np.uint8)[:, :, None]
-    else:
-        h, w = img.shape[:2]
-        raw = img.astype(np.uint8)
-    spp = _SPP[color_type]
-    bpp = spp  # bit depth 8 -> bytes per pixel == samples per pixel
-    flat = raw.reshape(h, w * spp)
-    prev = np.zeros(w * spp, np.uint8)
+
+def _byte_rows(px: np.ndarray, depth: int) -> np.ndarray:
+    """(rows, cols, spp) pixel block -> (rows, cols*spp*depth//8) uint8
+    scanline bytes (16-bit samples are big-endian per spec)."""
+    rows = px.shape[0]
+    if depth == 16:
+        return px.astype(">u2").view(np.uint8).reshape(rows, -1)
+    return px.astype(np.uint8).reshape(rows, -1)
+
+
+def _filter_block(px: np.ndarray, depth: int, spp: int) -> bytearray:
+    """Filter one (sub-)image's scanlines, cycling the filter type with
+    the row index so every stream exercises all five filters.  The
+    previous-row predictor resets at the block start (each Adam7 pass
+    filters independently, spec §8.2)."""
+    flat = _byte_rows(px, depth)
+    bpp = spp * depth // 8
+    prev = np.zeros(flat.shape[1], np.uint8)
     lines = bytearray()
-    for y in range(h):
+    for y in range(flat.shape[0]):
         ftype = y % 5
         lines.append(ftype)
         lines += _filter_row(ftype, flat[y], prev, bpp)
         prev = flat[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return lines
+
+
+def encode_png(
+    img: np.ndarray,
+    color_type: int,
+    palette: list | None = None,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Encode an image as a real PNG stream.
+
+    ``img`` is (h, w) for color types 0 and 3 (for 3, values are
+    palette indices) or (h, w, spp) for types 2 / 6.  ``depth=16``
+    (color types 0/2/6) takes uint16 samples, written big-endian.
+    ``interlace=True`` writes Adam7: seven independently-filtered
+    passes over the pixel sub-grids.  The scanline filter type cycles
+    with the row index (row % 5) so every stream exercises all five
+    filters."""
+    if img.ndim == 2:
+        h, w = img.shape
+        raw = img[:, :, None]
+    else:
+        h, w = img.shape[:2]
+        raw = img
+    spp = _SPP[color_type]
+    if depth == 16 and color_type == 3:
+        raise ValueError("palette PNGs are 8-bit here")
+    lines = bytearray()
+    if interlace:
+        for xs, ys, xstep, ystep in _ADAM7:
+            sub = raw[ys::ystep, xs::xstep]
+            if sub.shape[0] and sub.shape[1]:
+                lines += _filter_block(sub, depth, spp)
+    else:
+        lines = _filter_block(raw, depth, spp)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
     out = _SIG + _chunk(b"IHDR", ihdr)
     if color_type == 3:
         plte = b"".join(bytes(rgb) for rgb in (palette or []))
@@ -132,12 +179,54 @@ def encode_png(
 
 
 # ------------------------------------------------------------------ decoder
+def _unfilter_block(raw: bytes, base: int, rows: int, stride: int, bpp: int):
+    """Undo the per-scanline filters over one filtered block (the whole
+    image, or one Adam7 pass): ``rows`` scanlines of ``1 + stride``
+    bytes starting at ``base``.  Returns a (rows, stride) uint8 array
+    or None on an unknown filter type."""
+    out = np.zeros((rows, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(rows):
+        off = base + y * (1 + stride)
+        ftype = raw[off]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=off + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) % 256
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + (a + prev[i]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (cur[i] + _paeth(a, b, c)) % 256
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
 def decode_png(data: bytes):
-    """Full PNG decode.  Returns ``(color_type, array)`` — (h, w) uint8
-    for grayscale, (h, w, 3) for truecolor and palette (mapped), and
-    (h, w, 4) for RGBA — or None for anything malformed or outside the
-    supported envelope (truncated stream, bad CRC, bad zlib stream,
-    wrong inflated length, interlaced, non-8-bit).  Never raises."""
+    """Full PNG decode.  Returns ``(color_type, array)`` — (h, w) for
+    grayscale, (h, w, 3) for truecolor and palette (mapped), and
+    (h, w, 4) for RGBA; uint8 at depth 8, uint16 at depth 16 — or None
+    for anything malformed or outside the supported envelope (truncated
+    stream, bad CRC, bad zlib stream, wrong inflated length — sequential
+    or per-Adam7-pass — 1/2/4-bit depths, 16-bit palette).  Never
+    raises."""
     try:
         if len(data) < 8 or data[:8] != _SIG:
             return None
@@ -174,54 +263,57 @@ def decode_png(data: bytes):
             return None
         w, h, depth, ctype, comp, filt, inter = ihdr
         if (
-            depth != 8
+            depth not in (8, 16)
             or ctype not in _SPP
+            or (depth == 16 and ctype == 3)
             or comp != 0
             or filt != 0
-            or inter != 0
+            or inter not in (0, 1)
             or w == 0
             or h == 0
             or w * h > 1 << 26  # decompression-bomb guard
         ):
             return None
         spp = _SPP[ctype]
-        bpp = spp
-        stride = w * spp
+        bpp = spp * depth // 8
         raw = zlib.decompress(bytes(idat))
-        if len(raw) != h * (1 + stride):
-            return None
-        out = np.zeros((h, stride), np.uint8)
-        prev = np.zeros(stride, np.int32)
-        for y in range(h):
-            base = y * (1 + stride)
-            ftype = raw[base]
-            line = np.frombuffer(
-                raw, np.uint8, count=stride, offset=base + 1
-            ).astype(np.int32)
-            if ftype == 0:
-                cur = line
-            elif ftype == 1:  # Sub
-                cur = line.copy()
-                for i in range(bpp, stride):
-                    cur[i] = (cur[i] + cur[i - bpp]) % 256
-            elif ftype == 2:  # Up
-                cur = (line + prev) % 256
-            elif ftype == 3:  # Average
-                cur = line.copy()
-                for i in range(stride):
-                    a = cur[i - bpp] if i >= bpp else 0
-                    cur[i] = (cur[i] + (a + prev[i]) // 2) % 256
-            elif ftype == 4:  # Paeth
-                cur = line.copy()
-                for i in range(stride):
-                    a = int(cur[i - bpp]) if i >= bpp else 0
-                    b = int(prev[i])
-                    c = int(prev[i - bpp]) if i >= bpp else 0
-                    cur[i] = (cur[i] + _paeth(a, b, c)) % 256
-            else:
+        if inter == 0:
+            if len(raw) != h * (1 + w * bpp):
                 return None
-            out[y] = cur.astype(np.uint8)
-            prev = cur
+            out = _unfilter_block(raw, 0, h, w * bpp, bpp)
+            if out is None:
+                return None
+        else:  # Adam7: seven independently-filtered sub-grids
+            passes = []
+            total = 0
+            for xs, ys, xstep, ystep in _ADAM7:
+                pw = (w - xs + xstep - 1) // xstep if w > xs else 0
+                ph = (h - ys + ystep - 1) // ystep if h > ys else 0
+                passes.append((xs, ys, xstep, ystep, pw, ph))
+                if pw and ph:
+                    total += ph * (1 + pw * bpp)
+            if len(raw) != total:
+                return None
+            out = np.zeros((h, w * bpp), np.uint8)
+            pos2 = 0
+            for xs, ys, xstep, ystep, pw, ph in passes:
+                if not (pw and ph):
+                    continue
+                block = _unfilter_block(raw, pos2, ph, pw * bpp, bpp)
+                if block is None:
+                    return None
+                pos2 += ph * (1 + pw * bpp)
+                # scatter the pass's pixels onto the full byte grid
+                px = block.reshape(ph, pw, bpp)
+                grid = out.reshape(h, w, bpp)
+                grid[ys::ystep, xs::xstep] = px
+        if depth == 16:
+            out = (
+                out.reshape(h, w * spp, 2)
+                .view(">u2")
+                .reshape(h, w * spp)
+                .astype(np.uint16)
+            )
         if ctype == 0:
             return 0, out
         if ctype == 2:
