@@ -1229,16 +1229,23 @@ class TestBmpCodec:
             w, h = _bmp_geometry(d)
             img = decode_bmp(make_bmp(d))
             assert img is not None and img.shape == (h, w, 3), d
-            fam = d % 4
+            fam = d % 8
             rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
             base = (d + 3 * rr + 5 * cc) % 256
-            if fam < 2:
+            if fam < 2 or fam == 5:
+                # truecolor formula: BI_RGB fams 0/1, and the RLE8
+                # palette that reproduces it exactly (fam 5)
                 want = np.stack(
                     [(base + 77 * k) % 256 for k in range(3)], axis=-1
                 )
+            elif fam == 4:  # RLE8 gray ramp palette
+                want = np.stack([base] * 3, axis=-1)
             else:
-                n_pal = 2 + d % 15
-                idx = (d + 3 * rr + 5 * cc) % n_pal
+                if fam == 7:  # RLE8, run-heavy gray // 32 index
+                    idx = base // 32
+                else:  # pal8 fams 2/3 and the RLE8 twin fam 6
+                    n_pal = 2 + d % 15
+                    idx = (d + 3 * rr + 5 * cc) % n_pal
                 want = np.stack(
                     [(7 * d + 11 * idx) % 256, (13 * d + 17 * idx) % 256,
                      (3 * d + 19 * idx) % 256],
@@ -1285,13 +1292,69 @@ class TestBmpCodec:
                 b[rng.randint(len(b))] ^= 1 << rng.randint(8)
             r = decode_bmp(bytes(b))
             assert r is None or (r.ndim == 3 and r.dtype == np.uint8)
-        # pinned envelope: 16-bit depth, RLE8 compression -> None
+        # pinned envelope: 16-bit depth -> None; RLE8 claimed on a
+        # 24-bit stream -> None (RLE8 is 8-bit only; it moved INSIDE
+        # the envelope for 8-bit in the round-5 close-out); RLE4 ->
+        # None; RLE8 with negative height (top-down is illegal under
+        # RLE) -> None
         bad = bytearray(make_bmp(0))
         struct.pack_into("<H", bad, 28, 16)
         assert decode_bmp(bytes(bad)) is None
-        bad = bytearray(make_bmp(0))
+        bad = bytearray(make_bmp(0))  # fam 0: 24-bit BI_RGB
         struct.pack_into("<I", bad, 30, 1)
         assert decode_bmp(bytes(bad)) is None
+        bad = bytearray(make_bmp(6))  # fam 6: genuine RLE8
+        struct.pack_into("<I", bad, 30, 2)  # relabel as RLE4
+        assert decode_bmp(bytes(bad)) is None
+        bad = bytearray(make_bmp(6))
+        (h,) = struct.unpack("<i", bad[22:26])
+        struct.pack_into("<i", bad, 22, -h)
+        assert decode_bmp(bytes(bad)) is None
+
+    def test_rle8_round_trips_and_escapes(self):
+        """BI_RLE8: bit-exact round trips on random, low-cardinality,
+        and constant-row content (encoded runs, absolute mode, and the
+        word-alignment pad all exercised); a hand-built stream pins the
+        delta escape (skipped pixels are index 0) and a stream without
+        the end-of-bitmap escape fails soft."""
+        import numpy as np
+
+        from textextraction_spark.operators.bmp import (
+            _rle8_decode,
+            decode_bmp,
+            encode_bmp,
+            rle8_encode,
+        )
+
+        rng = np.random.RandomState(9)
+        for _ in range(30):
+            h, w = int(rng.randint(1, 25)), int(rng.randint(1, 25))
+            for gen in (
+                lambda: rng.randint(0, 256, (h, w)),   # literal-heavy
+                lambda: rng.randint(0, 3, (h, w)),     # mixed runs
+                lambda: np.tile(rng.randint(0, 5, (h, 1)), (1, w)),  # rows
+            ):
+                idx = gen().astype(np.uint8)
+                assert (_rle8_decode(rle8_encode(idx), 0, w, h) == idx).all()
+                pal = [
+                    tuple(int(x) for x in rng.randint(0, 256, 3))
+                    for _ in range(256)
+                ]
+                got = decode_bmp(encode_bmp(idx, palette=pal, rle=True))
+                assert (got == np.array(pal, np.uint8)[idx]).all(), (h, w)
+        # delta escape: run of two 9s, jump (+2, +1), run of three 5s
+        stream = (
+            bytes([2, 9]) + bytes([0, 2, 2, 1]) + bytes([3, 5])
+            + b"\x00\x00" + b"\x00\x01"
+        )
+        want = np.zeros((2, 8), np.uint8)
+        want[1, 0:2] = 9  # storage row 0 = visual bottom row
+        want[0, 4:7] = 5  # post-delta row lands on the visual top row
+        got = _rle8_decode(stream, 0, 8, 2)
+        assert got is not None and (got == want).all()
+        # missing end-of-bitmap -> None; run past the row edge -> None
+        assert _rle8_decode(bytes([2, 9]) + b"\x00\x00", 0, 8, 2) is None
+        assert _rle8_decode(bytes([9, 1]) + b"\x00\x01", 0, 8, 2) is None
 
     def test_operator_matches_oracle(self, spark):
         from textextraction_spark.operators.bmp import (
