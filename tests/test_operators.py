@@ -1438,15 +1438,18 @@ class TestTiffCodec:
         for _ in range(6):
             h, w = int(rng.randint(1, 20)), int(rng.randint(1, 20))
             for be in (False, True):
-                for pb, lz in ((False, False), (True, False), (False, True)):
+                for pb, lz, zp in (
+                    (False, False, False), (True, False, False),
+                    (False, True, False), (False, False, True),
+                ):
                     for pred in (1, 2):
                         g = rng.randint(0, 256, (h, w)).astype(np.uint8)
-                        got = decode_tiff(
-                            encode_tiff(g, be, pb, lzw=lz, predictor=pred))
+                        got = decode_tiff(encode_tiff(
+                            g, be, pb, lzw=lz, deflate=zp, predictor=pred))
                         assert (got == g).all()
                         c = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
-                        got = decode_tiff(
-                            encode_tiff(c, be, pb, lzw=lz, predictor=pred))
+                        got = decode_tiff(encode_tiff(
+                            c, be, pb, lzw=lz, deflate=zp, predictor=pred))
                         assert (got == c).all()
 
     def test_lzw_stream_round_trips_and_widths(self):
@@ -1501,11 +1504,11 @@ class TestTiffCodec:
                 b[rng.randint(len(b))] ^= 1 << rng.randint(8)
             r = decode_tiff(bytes(b))
             assert r is None or r.dtype == np.uint8
-        # pinned envelope: Deflate compression (tag 259 -> 8) returns
-        # None (LZW moved INSIDE the envelope in the round-5 close-out;
-        # relabeling raw strips as LZW makes an invalid stream, which
-        # must also fail soft rather than decode to garbage)
-        for comp, expect_none in ((8, True), (5, True)):
+        # relabeling RAW strips as LZW or Deflate makes invalid streams
+        # (both compressions are now in-envelope), which must fail soft
+        # rather than decode to garbage; genuinely unsupported
+        # JPEG-in-TIFF (comp 6/7) also pins None
+        for comp, expect_none in ((8, True), (5, True), (6, True), (7, True)):
             mut = bytearray(make_tiff(0))  # LE fixture, uncompressed strips
             (ifd,) = struct.unpack("<I", mut[4:8])
             (n,) = struct.unpack("<H", mut[ifd : ifd + 2])

@@ -30,11 +30,13 @@ sum after.  LZW+predictor is what real scanner output uses; both are
 lossless, so the bit-exact standard holds: NO error bound anywhere.
 
 Supported envelope (pinned by fail-soft tests): BitsPerSample 8,
-SamplesPerPixel 1 / 3, Compression 1 / 5 / 32773, Predictor 1 / 2,
-strip layout.  JPEG-in-TIFF / deflate compression, tiled layout,
-16-bit samples, and planar configuration 2 return None rather than
-garbage — ``multimodal.real_decode`` remains the production swap-in
-for those.
+SamplesPerPixel 1 / 3, Compression 1 / 5 / 8 / 32946 / 32773
+(Deflate — the modern TIFF writer default — is a per-strip zlib
+stream, accepted under both its standard tag 8 and the legacy Adobe
+32946, and composes with Predictor 2 like LZW does), Predictor 1 / 2,
+strip layout.  JPEG-in-TIFF compression, tiled layout, 16-bit samples,
+and planar configuration 2 return None rather than garbage —
+``multimodal.real_decode`` remains the production swap-in for those.
 
 Reference analog: the reference feeds Tesseract TIFF renders of PDF
 pages (/root/reference/OCR/Image.cs:20-66) but never decodes crawl
@@ -48,6 +50,7 @@ data ever crosses an exchange or reaches the driver.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -239,13 +242,15 @@ def encode_tiff(
     rows_per_strip: int = 2,
     lzw: bool = False,
     predictor: int = 1,
+    deflate: bool = False,
 ) -> bytes:
     """Encode an 8-bit image ((h, w) gray or (h, w, 3) RGB) as a real
     baseline TIFF: header + pixel strips + one IFD.  ``rows_per_strip``
     defaults to 2 so every fixture is multi-strip.  ``lzw=True`` uses
-    Compression=5 (§13 LZW); ``predictor=2`` applies horizontal
-    differencing (tag 317) per row before compression."""
-    if packbits and lzw:
+    Compression=5 (§13 LZW); ``deflate=True`` uses Compression=8
+    (per-strip zlib); ``predictor=2`` applies horizontal differencing
+    (tag 317) per row before compression."""
+    if packbits + lzw + deflate > 1:
         raise ValueError("pick one compression")
     e = ">" if big_endian else "<"
     if img.ndim == 2:
@@ -256,7 +261,7 @@ def encode_tiff(
         h, w = img.shape[:2]
         spp, photo = 3, 2
         flat = img.astype(np.uint8).reshape(h, w * 3)
-    comp = 5 if lzw else (32773 if packbits else 1)
+    comp = 5 if lzw else (8 if deflate else (32773 if packbits else 1))
     strips = []
     for y0 in range(0, h, rows_per_strip):
         rows = flat[y0 : y0 + rows_per_strip]
@@ -265,6 +270,8 @@ def encode_tiff(
         raw = rows.tobytes()
         if lzw:
             strips.append(lzw_encode(raw))
+        elif deflate:
+            strips.append(zlib.compress(raw))
         elif packbits:
             strips.append(packbits_encode(raw))
         else:
@@ -393,7 +400,7 @@ def decode_tiff(data: bytes):
             w == 0 or h == 0 or w * h > 1 << 26
             or spp not in (1, 3)
             or any(b != 8 for b in bps)
-            or comp not in (1, 5, 32773)
+            or comp not in (1, 5, 8, 32946, 32773)
             or pred[0] not in (1, 2)
             or planar[0] != 1
             or photo[0] not in (1, 2)
@@ -419,6 +426,10 @@ def decode_tiff(data: bytes):
                 seg = lzw_decode(seg, expected)
                 if seg is None:
                     return None
+            elif comp in (8, 32946):  # Deflate (standard + legacy Adobe)
+                seg = zlib.decompress(seg)
+                if len(seg) != expected:
+                    return None
             elif len(seg) != expected:
                 return None
             raw += seg
@@ -434,17 +445,18 @@ def decode_tiff(data: bytes):
 
 
 # ------------------------------------------------------- fixture + operator
-# family = doc_id % 8: gray/rgb x {uncompressed LE, PackBits BE,
-# LZW LE, LZW BE} with Predictor=2 on families 5/6 — compression x
-# byte order x spp x predictor in eight streams, all multi-strip
-# (rows_per_strip=2 < h).  Even families are gray, odd rgb, so the
-# cross-codec agreement pins (PNG==BMP==TIFF on d%4 slices) keep
-# holding.  Value formulas mirror the PNG/BMP fixtures so the oracles
-# share one shape; compression never changes decoded statistics, so
-# the oracle's only family-dependent column is fmt.
+# family = doc_id % 10: gray/rgb x {uncompressed LE, PackBits BE,
+# LZW LE, LZW BE, Deflate} with Predictor=2 on families 5/6/8 —
+# compression x byte order x spp x predictor in ten streams, all
+# multi-strip (rows_per_strip=2 < h).  Even families are gray, odd
+# rgb, so the cross-codec agreement pins (PNG==BMP==TIFF on d%4
+# slices) keep holding.  Value formulas mirror the PNG/BMP fixtures
+# so the oracles share one shape; compression never changes decoded
+# statistics, so the oracle's only family-dependent column is fmt.
 TIFF_FMTS = [
     "gray", "rgb", "gray_pb", "rgb_pb",
     "gray_lzw", "rgb_lzw_p2", "gray_lzw_be_p2", "rgb_lzw_be",
+    "gray_zip_p2", "rgb_zip_be",
 ]
 
 
@@ -455,10 +467,11 @@ def _tiff_geometry(doc_id: int) -> tuple[int, int]:
 def make_tiff(doc_id: int) -> bytes:
     """Deterministic TIFF fixture: gray v = (d + 3r + 5c) % 256, rgb
     channel k = (d + 3r + 5c + 77k) % 256; families 2/3 are PackBits +
-    big-endian (MM); families 4-7 are LZW (LE then BE), with
-    Predictor=2 horizontal differencing on 5/6."""
+    big-endian (MM); families 4-7 are LZW (LE then BE); families 8/9
+    are Deflate (LE then BE); Predictor=2 horizontal differencing on
+    5/6/8."""
     w, h = _tiff_geometry(doc_id)
-    fam = doc_id % 8
+    fam = doc_id % 10
     rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     base = (doc_id + 3 * rr + 5 * cc) % 256
     if fam % 2 == 0:
@@ -469,10 +482,11 @@ def make_tiff(doc_id: int) -> bytes:
         ).astype(np.uint8)
     return encode_tiff(
         img,
-        big_endian=fam in (2, 3, 6, 7),
+        big_endian=fam in (2, 3, 6, 7, 9),
         packbits=fam in (2, 3),
-        lzw=fam >= 4,
-        predictor=2 if fam in (5, 6) else 1,
+        lzw=fam in (4, 5, 6, 7),
+        deflate=fam in (8, 9),
+        predictor=2 if fam in (5, 6, 8) else 1,
     )
 
 
@@ -486,7 +500,7 @@ def _tiff_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         for doc_id, media in zip(pdf["doc_id"].values, pdf["media"].values):
             img = decode_tiff(bytes(media))
             rows["doc_id"].append(doc_id)
-            rows["fmt"].append(TIFF_FMTS[int(doc_id) % 8])
+            rows["fmt"].append(TIFF_FMTS[int(doc_id) % 10])
             if img is None:
                 rows["w"].append(0)
                 rows["h"].append(0)
@@ -511,10 +525,12 @@ def _tiff_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def media_tiff_decode(spark, sf_dir: str):
     """Real TIFF pixel path: synthesize a genuine baseline TIFF per doc
-    (family by doc_id % 8: gray/rgb x uncompressed-LE / PackBits-BE /
-    LZW-LE / LZW-BE, Predictor=2 on families 5/6, all multi-strip) ->
+    (family by doc_id % 10: gray/rgb x uncompressed-LE / PackBits-BE /
+    LZW-LE / LZW-BE / Deflate, Predictor=2 on families 5/6/8, all
+    multi-strip) ->
     mapInPandas runs the full decode (endian-correct IFD walk, strip
     assembly, PackBits expansion, §13 LZW with early-change widths,
+    per-strip zlib inflate,
     horizontal-differencing undo) on the actual bytes and emits decoded
     pixel statistics.  Driver-gated as ``media_features`` kind='tiff'
     (slice-pinned)."""
@@ -548,7 +564,7 @@ def media_tiff_decode(spark, sf_dir: str):
 MEDIA_TIFF_DECODE_ORACLE = """
 WITH g AS (
   SELECT doc_id,
-         CAST(doc_id % 8 AS INT) AS fam,
+         CAST(doc_id % 10 AS INT) AS fam,
          4 + doc_id % 5 AS w,
          4 + (doc_id * 3) % 5 AS h
   FROM documents
@@ -561,7 +577,8 @@ samp AS (
 )
 SELECT doc_id,
        (['gray', 'rgb', 'gray_pb', 'rgb_pb',
-         'gray_lzw', 'rgb_lzw_p2', 'gray_lzw_be_p2', 'rgb_lzw_be'])[fam + 1] AS fmt,
+         'gray_lzw', 'rgb_lzw_p2', 'gray_lzw_be_p2', 'rgb_lzw_be',
+         'gray_zip_p2', 'rgb_zip_be'])[fam + 1] AS fmt,
        w::BIGINT AS w, h::BIGINT AS h,
        round(avg(v), 6) AS mean_px,
        min(v)::BIGINT AS min_px, max(v)::BIGINT AS max_px,
