@@ -1182,18 +1182,91 @@ class TestPngCodec:
         # soft even though depth 16 / interlace 1 are now in-envelope
         assert decode_png(with_ihdr(16, 0)) is None
         assert decode_png(with_ihdr(8, 1)) is None
-        # genuinely outside the envelope: sub-byte depths, unknown
-        # interlace method, 16-bit palette
+        # lying IHDRs claiming sub-byte depths over the 8-bit payload
+        # (sub-byte is in-envelope since the final sweep, but the
+        # inflated length no longer matches) and genuinely-invalid
+        # shapes: unknown interlace method, 16-bit palette, sub-byte
+        # truecolor
         assert decode_png(with_ihdr(4, 0)) is None
         assert decode_png(with_ihdr(1, 0)) is None
         assert decode_png(with_ihdr(8, 2)) is None
         assert decode_png(with_ihdr(16, 0, ctype=3)) is None
+        assert decode_png(with_ihdr(4, 0, ctype=2)) is None
+
+    def test_subbyte_and_gray_alpha_round_trip(self):
+        """The final-sweep envelope completion: depths 1/2/4 (gray and
+        palette, MSB-first bit packing, byte-distance-1 filtering) and
+        color type 4 (grayscale+alpha, depths 8/16), each sequential
+        AND Adam7 (sub-byte rows re-pack per pass, so interlace is a
+        real composition test); widths cross byte boundaries (16, 31)
+        to pin the padding-bit handling."""
+        import numpy as np
+
+        from textextraction_spark.operators.png import decode_png, encode_png
+
+        rng = np.random.RandomState(23)
+        for depth in (1, 2, 4):
+            mx = 1 << depth
+            for h, w in [(1, 1), (3, 5), (4, 8), (7, 9), (5, 16), (2, 31)]:
+                g = rng.randint(0, mx, (h, w)).astype(np.uint8)
+                for inter in (False, True):
+                    ct, arr = decode_png(
+                        encode_png(g, 0, depth=depth, interlace=inter))
+                    assert ct == 0 and (arr == g).all(), (depth, h, w, inter)
+                n = min(mx, 5)
+                idx = rng.randint(0, n, (h, w)).astype(np.uint8)
+                pal = [(i * 31 % 256, i * 57 % 256, i * 91 % 256)
+                       for i in range(n)]
+                want = np.array(pal, np.uint8)[idx]
+                for inter in (False, True):
+                    ct, arr = decode_png(encode_png(
+                        idx, 3, palette=pal, depth=depth, interlace=inter))
+                    assert ct == 3 and (arr == want).all(), (depth, h, w)
+        for h, w in [(1, 1), (4, 4), (9, 13)]:
+            ga8 = rng.randint(0, 256, (h, w, 2)).astype(np.uint8)
+            ga16 = rng.randint(0, 65536, (h, w, 2)).astype(np.uint16)
+            for inter in (False, True):
+                ct, arr = decode_png(encode_png(ga8, 4, interlace=inter))
+                assert ct == 4 and (arr == ga8).all()
+                ct, arr = decode_png(
+                    encode_png(ga16, 4, depth=16, interlace=inter))
+                assert ct == 4 and arr.dtype == np.uint16
+                assert (arr == ga16).all()
+        # fuzz an interlaced 2-bit stream: fail soft, never raise
+        data = encode_png(
+            rng.randint(0, 4, (9, 7)).astype(np.uint8),
+            0, depth=2, interlace=True)
+        for cut in range(0, len(data), 3):
+            assert decode_png(data[:cut]) is None, cut
+        for _ in range(300):
+            b = bytearray(data)
+            for _ in range(2):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            r = decode_png(bytes(b))
+            assert r is None or isinstance(r, tuple)
+
+    def test_plte_and_length_lies_fail_soft(self):
+        """A palette stream missing its PLTE and an IHDR lying about
+        the image height both return None."""
+        import struct
+
+        import numpy as np
+
+        from textextraction_spark.operators.png import (
+            _SIG,
+            _chunk,
+            decode_png,
+            encode_png,
+            make_png,
+        )
+
         # palette stream with the PLTE chunk excised
         pal_png = make_png(3)  # fam 3 = palette
         (ln,) = struct.unpack(">I", pal_png[33:37])  # PLTE after IHDR
         no_plte = pal_png[:33] + pal_png[33 + 12 + ln :]
         assert decode_png(no_plte) is None
         # wrong inflated length: claim 5x4 but carry 4x4 scanlines
+        good = encode_png(np.zeros((4, 4), np.uint8), 0)
         ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 0, 0, 0, 0)
         lied = _SIG + _chunk(b"IHDR", ihdr) + good[8 + 25 :]
         assert decode_png(lied) is None

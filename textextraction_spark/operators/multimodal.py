@@ -60,8 +60,9 @@ def real_decode(data: bytes, kind: str):
     operators/png.py; BI_RGB BMP in operators/bmp.py; baseline TIFF
     incl. PackBits, §13 LZW + Predictor 2, and both byte orders in
     operators/tiff.py); wiring a production codec here changes the
-    supported-format list (arithmetic JPEG, sub-byte-depth PNG,
-    WebP/AVIF bitstreams, H.264), not the Spark plumbing."""
+    supported-format list (arithmetic JPEG, WebP/AVIF bitstreams,
+    H.264 — PNG needs nothing: its full spec surface decodes in
+    operators/png.py), not the Spark plumbing."""
     raise NotImplementedError(
         "broad-format media decoding requires codec libraries not present "
         "in this image; wire pillow/av here in production (the GIF/WAV/PGM/"

@@ -21,10 +21,14 @@ passes over the spec §8.2 sub-grids, each with its own
 previous-row-resets-to-zero filter state, scattered back onto the full
 pixel grid; empty passes on small images contribute no bytes, and the
 expected inflated length is the per-pass sum — a lying IHDR still
-fails soft).  1/2/4-bit depths return None rather than garbage —
-``multimodal.real_decode`` remains the production swap-in for those
-(they need nothing beyond more code, unlike WebP/AVIF which need codec
-libraries).
+fails soft).  The close-out's final sweep added the remaining
+spec-legal shapes: **sub-byte depths 1/2/4** (gray and palette —
+MSB-first bit-packed scanlines with zero padding bits, filtered at
+byte distance 1, unpacked per Adam7 pass so interlace composes) and
+**color type 4 (grayscale+alpha)** at depths 8/16.  Every color type x
+depth x interlace combination the spec defines now decodes except
+nothing — the PNG envelope is COMPLETE; ``multimodal.real_decode``
+is no longer needed for any PNG.
 
 The encoder cycles the scanline filter type with the row index
 (row % 5), so every fixture stream exercises ALL FIVE unfilter paths —
@@ -52,7 +56,7 @@ from pyspark.sql import functions as F
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (before palette mapping)
-_SPP = {0: 1, 2: 3, 3: 1, 6: 4}
+_SPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 # ------------------------------------------------------------------ encoder
@@ -109,12 +113,29 @@ _ADAM7 = (
 
 
 def _byte_rows(px: np.ndarray, depth: int) -> np.ndarray:
-    """(rows, cols, spp) pixel block -> (rows, cols*spp*depth//8) uint8
-    scanline bytes (16-bit samples are big-endian per spec)."""
+    """(rows, cols, spp) pixel block -> (rows, ceil(cols*spp*depth/8))
+    uint8 scanline bytes (16-bit samples big-endian, sub-byte samples
+    packed MSB-first with zero padding bits, per spec)."""
     rows = px.shape[0]
     if depth == 16:
         return px.astype(">u2").view(np.uint8).reshape(rows, -1)
-    return px.astype(np.uint8).reshape(rows, -1)
+    if depth == 8:
+        return px.astype(np.uint8).reshape(rows, -1)
+    # 1/2/4-bit: expand each sample to its bits (MSB first), pack
+    flat = px.astype(np.uint8).reshape(rows, -1)
+    bits = (
+        (flat[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(rows, -1)
+    return np.packbits(bits, axis=1)
+
+
+def _unpack_samples(rows_bytes: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """(rows, stride_bytes) packed scanline bytes -> (rows, w) raw
+    sample values (0 .. 2**depth - 1), MSB-first."""
+    bits = np.unpackbits(rows_bytes, axis=1)[:, : w * depth]
+    vals = bits.reshape(rows_bytes.shape[0], w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2).astype(np.uint8)
 
 
 def _filter_block(px: np.ndarray, depth: int, spp: int) -> bytearray:
@@ -123,7 +144,7 @@ def _filter_block(px: np.ndarray, depth: int, spp: int) -> bytearray:
     previous-row predictor resets at the block start (each Adam7 pass
     filters independently, spec §8.2)."""
     flat = _byte_rows(px, depth)
-    bpp = spp * depth // 8
+    bpp = max(1, spp * depth // 8)  # sub-byte rows filter at distance 1
     prev = np.zeros(flat.shape[1], np.uint8)
     lines = bytearray()
     for y in range(flat.shape[0]):
@@ -159,6 +180,8 @@ def encode_png(
     spp = _SPP[color_type]
     if depth == 16 and color_type == 3:
         raise ValueError("palette PNGs are 8-bit here")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError("sub-byte depths are gray/palette only")
     lines = bytearray()
     if interlace:
         for xs, ys, xstep, ystep in _ADAM7:
@@ -221,12 +244,13 @@ def _unfilter_block(raw: bytes, base: int, rows: int, stride: int, bpp: int):
 
 def decode_png(data: bytes):
     """Full PNG decode.  Returns ``(color_type, array)`` — (h, w) for
-    grayscale, (h, w, 3) for truecolor and palette (mapped), and
-    (h, w, 4) for RGBA; uint8 at depth 8, uint16 at depth 16 — or None
-    for anything malformed or outside the supported envelope (truncated
-    stream, bad CRC, bad zlib stream, wrong inflated length — sequential
-    or per-Adam7-pass — 1/2/4-bit depths, 16-bit palette).  Never
-    raises."""
+    grayscale, (h, w, 3) for truecolor and palette (mapped), (h, w, 4)
+    for RGBA; uint8 at depth 8, uint16 at depth 16 — or None
+    ((h, w, 2) for grayscale+alpha); uint8 at depths 1-8 (sub-byte
+    samples as raw 0..2**depth-1 values), uint16 at depth 16 — or None
+    for anything malformed (truncated stream, bad CRC, bad zlib stream,
+    wrong inflated length — sequential or per-Adam7-pass — sub-byte
+    truecolor, 16-bit palette).  Never raises."""
     try:
         if len(data) < 8 or data[:8] != _SIG:
             return None
@@ -263,9 +287,10 @@ def decode_png(data: bytes):
             return None
         w, h, depth, ctype, comp, filt, inter = ihdr
         if (
-            depth not in (8, 16)
+            depth not in (1, 2, 4, 8, 16)
             or ctype not in _SPP
             or (depth == 16 and ctype == 3)
+            or (depth < 8 and ctype not in (0, 3))
             or comp != 0
             or filt != 0
             or inter not in (0, 1)
@@ -275,14 +300,21 @@ def decode_png(data: bytes):
         ):
             return None
         spp = _SPP[ctype]
-        bpp = spp * depth // 8
+        sub = depth < 8  # bit-packed gray / palette scanlines
+        bpp = 1 if sub else spp * depth // 8  # filter distance, bytes
+
+        def row_bytes(width: int) -> int:
+            return (width * spp * depth + 7) // 8 if sub else width * bpp
+
         raw = zlib.decompress(bytes(idat))
         if inter == 0:
-            if len(raw) != h * (1 + w * bpp):
+            if len(raw) != h * (1 + row_bytes(w)):
                 return None
-            out = _unfilter_block(raw, 0, h, w * bpp, bpp)
+            out = _unfilter_block(raw, 0, h, row_bytes(w), bpp)
             if out is None:
                 return None
+            if sub:
+                out = _unpack_samples(out, w, depth)
         else:  # Adam7: seven independently-filtered sub-grids
             passes = []
             total = 0
@@ -291,21 +323,24 @@ def decode_png(data: bytes):
                 ph = (h - ys + ystep - 1) // ystep if h > ys else 0
                 passes.append((xs, ys, xstep, ystep, pw, ph))
                 if pw and ph:
-                    total += ph * (1 + pw * bpp)
+                    total += ph * (1 + row_bytes(pw))
             if len(raw) != total:
                 return None
-            out = np.zeros((h, w * bpp), np.uint8)
+            gw = w if sub else w * bpp  # grid columns, per-pixel for sub
+            out = np.zeros((h, gw), np.uint8)
             pos2 = 0
             for xs, ys, xstep, ystep, pw, ph in passes:
                 if not (pw and ph):
                     continue
-                block = _unfilter_block(raw, pos2, ph, pw * bpp, bpp)
+                block = _unfilter_block(raw, pos2, ph, row_bytes(pw), bpp)
                 if block is None:
                     return None
-                pos2 += ph * (1 + pw * bpp)
+                pos2 += ph * (1 + row_bytes(pw))
+                if sub:  # unpack the pass's bit-packed rows first
+                    block = _unpack_samples(block, pw, depth)
                 # scatter the pass's pixels onto the full byte grid
-                px = block.reshape(ph, pw, bpp)
-                grid = out.reshape(h, w, bpp)
+                px = block.reshape(ph, pw, 1 if sub else bpp)
+                grid = out.reshape(h, w, 1 if sub else bpp)
                 grid[ys::ystep, xs::xstep] = px
         if depth == 16:
             out = (
@@ -318,6 +353,8 @@ def decode_png(data: bytes):
             return 0, out
         if ctype == 2:
             return 2, out.reshape(h, w, 3)
+        if ctype == 4:
+            return 4, out.reshape(h, w, 2)
         if ctype == 6:
             return 6, out.reshape(h, w, 4)
         # palette: map indices through PLTE
