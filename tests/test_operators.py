@@ -1732,14 +1732,51 @@ class TestAudioExtCodec:
                     b[rng.randint(len(b))] ^= 1 << rng.randint(8)
                 r = dec(bytes(b))
                 assert r is None or isinstance(r, tuple)
-        # pinned envelope: A-law AU (encoding 27) and stereo AIFF -> None
+        # pinned envelope: float AU (encoding 6) and stereo AIFF ->
+        # None.  A-law (encoding 27) moved INSIDE the envelope in the
+        # round-5 close-out: relabeling the mu-law fixture's bytes as
+        # A-law decodes fine (every byte is a valid A-law code) but to
+        # DIFFERENT samples — the sign conventions are opposite — so
+        # the two laws cannot be conflated without the oracle failing.
         bad = bytearray(make_audio_ext(2))
-        struct.pack_into(">I", bad, 12, 27)
+        struct.pack_into(">I", bad, 12, 6)
         assert decode_au(bytes(bad)) is None
+        relab = bytearray(make_audio_ext(2))
+        struct.pack_into(">I", relab, 12, 27)
+        as_alaw = decode_au(bytes(relab))
+        as_ulaw = decode_au(bytes(make_audio_ext(2)))
+        assert as_alaw is not None and (as_alaw[1] != as_ulaw[1]).any()
         aiff = bytearray(make_audio_ext(0))
         comm = bytes(aiff).find(b"COMM")
         struct.pack_into(">h", aiff, comm + 8, 2)  # channels = 2
         assert decode_aiff(bytes(aiff)) is None
+
+    def test_alaw_anchors_and_inversion(self):
+        """ITU G.711 A-law: the four anchor codes (0x55 -> -8,
+        0xD5 -> +8, 0x2A -> -32256, 0xAA -> +32256), exact
+        encoder/decoder inversion on ALL 256 codes (zero is not on the
+        A-law lattice, so unlike mu-law there is no degenerate pair),
+        and the opposite-sign-convention pin vs mu-law."""
+        from textextraction_spark.operators.audioext import (
+            alaw_decode_byte,
+            alaw_encode_sample,
+            ulaw_decode_byte,
+        )
+
+        assert alaw_decode_byte(0x55) == -8
+        assert alaw_decode_byte(0xD5) == 8
+        assert alaw_decode_byte(0x2A) == -32256
+        assert alaw_decode_byte(0xAA) == 32256
+        vals = set()
+        for c in range(256):
+            v = alaw_decode_byte(c)
+            assert alaw_encode_sample(v) == c, c
+            assert v != 0  # zero is not representable
+            vals.add(v)
+        assert len(vals) == 256  # all codes decode distinctly
+        # opposite sign conventions: MSB set is negative for mu-law,
+        # positive for A-law (after each law's own bit masking)
+        assert ulaw_decode_byte(0x00) < 0 < alaw_decode_byte(0x00 ^ 0xFF)
 
     def test_operator_matches_oracle(self, spark):
         from textextraction_spark.operators.audioext import (

@@ -12,23 +12,29 @@ completes the decodable-without-codec-libraries audio tail the way
   decoded exactly for integer rates), SSND big-endian 16-bit PCM.
   The big-endian counterpart to RIFF WAV, exactly as TIFF-MM was to
   BMP-LE.
-- **AU** (Sun/NeXT ``.snd``): header walk + two encodings — 3
-  (16-bit linear PCM big-endian) and 1 (**G.711 mu-law**, expanded
+- **AU** (Sun/NeXT ``.snd``): header walk + three encodings — 3
+  (16-bit linear PCM big-endian), 1 (**G.711 mu-law**, expanded
   with the standard segment arithmetic: ``u' = ~u``,
-  ``t = ((m·8 + 132) << e) − 132``, sign from bit 7).  The mu-law
-  table is pinned by its anchor values (0x00 → −32124, 0xFF → 0) and
-  by the exact encoder/decoder inversion on all 255 non-degenerate
-  codes (the two codes that decode to 0 collapse to 0xFF on
-  re-encode, asserted explicitly).
+  ``t = ((m·8 + 132) << e) − 132``, sign from bit 7), and — the
+  round-5 close-out — 27 (**G.711 A-law**: ``a' = a XOR 0x55``,
+  segment/mantissa expansion onto the 13-bit lattice, sign convention
+  OPPOSITE to mu-law's).  The mu-law table is pinned by its anchor
+  values (0x00 → −32124, 0xFF → 0) and by the exact encoder/decoder
+  inversion on all 255 non-degenerate codes (the two codes that
+  decode to 0 collapse to 0xFF on re-encode, asserted explicitly);
+  the A-law table by its ITU anchors (0x55 → −8, 0xD5 → +8,
+  0x2A/0xAA → ∓32256) and exact inversion on ALL 256 codes (A-law
+  has no degenerate pair — zero is not on its lattice).
 
-PCM and mu-law are losslessly re-expandable, so the standard is exact:
-decode must reproduce the sample formulas bit-for-bit, and the DuckDB
-oracle recomputes the decoded-sample statistics arithmetically —
-including the mu-law expansion, written out in integer SQL.
+PCM and both companding laws are losslessly re-expandable, so the
+standard is exact: decode must reproduce the sample formulas
+bit-for-bit, and the DuckDB oracle recomputes the decoded-sample
+statistics arithmetically — including both G.711 expansions, written
+out in integer SQL.
 
 Supported envelope (pinned fail-soft): AIFF mono 16-bit (AIFC
-compressed variants return None), AU encodings 1 and 3 mono (A-law,
-float, ADPCM return None).
+compressed variants return None), AU encodings 1, 3, and 27 mono
+(float, ADPCM, 24-bit return None).
 
 Reference analog: none — the reference pipeline is document-only; this
 is part of the beyond-reference multimodal suite.
@@ -170,6 +176,50 @@ def ulaw_encode_sample(x: int) -> int:
     return ~(sign | (e << 4) | m) & 0xFF
 
 
+# -------------------------------------------------------------- G.711 A-law
+def alaw_decode_byte(a: int) -> int:
+    """Standard G.711 A-law expansion: one transmitted byte (even bits
+    inverted by the 0x55 mask) -> 13-bit-lattice linear sample.
+    Anchors: 0x55 -> -8, 0xD5 -> +8, 0x2A -> -32256, 0xAA -> +32256.
+    Note the sign convention is the OPPOSITE of mu-law's: a set MSB
+    (after the mask) marks a POSITIVE sample."""
+    a ^= 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_ALAW_LUT = np.array([alaw_decode_byte(a) for a in range(256)], np.int16)
+
+
+def alaw_decode(data: bytes) -> np.ndarray:
+    return _ALAW_LUT[np.frombuffer(data, np.uint8)]
+
+
+def alaw_encode_sample(x: int) -> int:
+    """Standard G.711 A-law compression — the exact inverse of
+    ``alaw_decode_byte`` on its output lattice (pinned over all 256
+    codes in pytest)."""
+    sign = 0x80 if x >= 0 else 0
+    mag = x if x >= 0 else -x
+    if mag > 0x7FFF:
+        mag = 0x7FFF
+    if mag < 256:
+        seg, m = 0, mag >> 4
+    else:
+        seg = 1
+        while mag >= (256 << seg) and seg < 7:
+            seg += 1
+        m = (mag >> (seg + 3)) & 0x0F
+    return (sign | (seg << 4) | m) ^ 0x55
+
+
 # -------------------------------------------------------------------- AU
 def encode_au(payload: bytes, rate: int, encoding: int) -> bytes:
     """Sun AU: .snd magic, 24-byte header, big-endian payload."""
@@ -181,12 +231,12 @@ def encode_au(payload: bytes, rate: int, encoding: int) -> bytes:
 
 def decode_au(data: bytes):
     """AU -> (rate, int16 array) or None.  Encodings: 3 = 16-bit PCM
-    big-endian, 1 = G.711 mu-law.  Never raises."""
+    big-endian, 1 = G.711 mu-law, 27 = G.711 A-law.  Never raises."""
     try:
         if len(data) < 24 or data[:4] != b".snd":
             return None
         _, off, size, enc, rate, ch = struct.unpack(">4sIIIII", data[:24])
-        if off < 24 or ch != 1 or enc not in (1, 3) or rate == 0:
+        if off < 24 or ch != 1 or enc not in (1, 3, 27) or rate == 0:
             return None
         if size == 0xFFFFFFFF:  # "unknown length" sentinel
             payload = data[off:]
@@ -198,26 +248,31 @@ def decode_au(data: bytes):
             x = np.frombuffer(
                 payload[: 2 * (len(payload) // 2)], dtype=">i2"
             ).astype(np.int16)
-        else:
+        elif enc == 1:
             x = ulaw_decode(payload)
+        else:
+            x = alaw_decode(payload)
         return rate, x
     except Exception:
         return None
 
 
 # ------------------------------------------------------- fixture + operator
-# family = doc_id % 3: aiff PCM / au PCM / au mu-law.  PCM families use
-# the WAV sample formula ((7i + d) % 1000) - 500 so the AIFF/AU decode
-# must agree bit-for-bit with the independently-gated WAV path; the
-# mu-law family stores code bytes (11i + d) % 256 whose expansion the
-# oracle recomputes with the G.711 arithmetic in integer SQL.
-AUDIO_EXT_FMTS = ["aiff", "au_pcm", "au_ulaw"]
+# family = doc_id % 4: aiff PCM / au PCM / au mu-law / au A-law.  PCM
+# families use the WAV sample formula ((7i + d) % 1000) - 500 so the
+# AIFF/AU decode must agree bit-for-bit with the independently-gated
+# WAV path; the mu-law family stores code bytes (11i + d) % 256 and the
+# A-law family (13i + d) % 256, whose expansions the oracle recomputes
+# with the G.711 arithmetic in integer SQL (the two companding laws
+# have OPPOSITE sign conventions, so a mixed-up branch cannot pass).
+# Rates stay indexed by doc_id % 3 (the WAV rate formula).
+AUDIO_EXT_FMTS = ["aiff", "au_pcm", "au_ulaw", "au_alaw"]
 
 
 def make_audio_ext(doc_id: int) -> bytes:
     n = 64 + doc_id % 64
     rate = AUDIO_RATES[doc_id % 3]
-    fam = doc_id % 3
+    fam = doc_id % 4
     if fam < 2:
         x = np.array(
             [((7 * i + doc_id) % 1000) - 500 for i in range(n)], np.int16
@@ -225,8 +280,11 @@ def make_audio_ext(doc_id: int) -> bytes:
         if fam == 0:
             return encode_aiff(x, rate)
         return encode_au(x.astype(">i2").tobytes(), rate, 3)
-    codes = bytes((11 * i + doc_id) % 256 for i in range(n))
-    return encode_au(codes, rate, 1)
+    if fam == 2:
+        codes = bytes((11 * i + doc_id) % 256 for i in range(n))
+        return encode_au(codes, rate, 1)
+    codes = bytes((13 * i + doc_id) % 256 for i in range(n))
+    return encode_au(codes, rate, 27)
 
 
 def _audio_ext_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -234,7 +292,7 @@ def _audio_ext_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = {k: [] for k in cols}
         for doc_id, media in zip(pdf["doc_id"].values, pdf["media"].values):
-            fam = int(doc_id) % 3
+            fam = int(doc_id) % 4
             dec = (decode_aiff if fam == 0 else decode_au)(bytes(media))
             rows["doc_id"].append(doc_id)
             rows["fmt"].append(AUDIO_EXT_FMTS[fam])
@@ -287,7 +345,7 @@ def media_audio_ext(spark, sf_dir: str):
 MEDIA_AUDIO_EXT_ORACLE = f"""
 WITH dims AS (
   SELECT doc_id,
-         CAST(doc_id % 3 AS INT) AS fam,
+         CAST(doc_id % 4 AS INT) AS fam,
          64 + doc_id % 64 AS n,
          ([{", ".join(str(r) for r in AUDIO_RATES)}])[CAST(doc_id % 3 AS INT) + 1]
              AS sample_rate
@@ -311,11 +369,32 @@ ulaw AS (
     SELECT ((uinv % 16) * 8 + 132) * (1 << ((uinv // 16) % 8)) - 132 AS t
   )
 ),
+-- A-law: a' = code XOR 85, m = a' % 16, seg = (a' // 16) % 8,
+-- t = m*16+8 (seg 0) / m*16+264 (seg 1) / (m*16+264) << (seg-1);
+-- sign POSITIVE when a' >= 128 (the opposite of mu-law) — exactly
+-- alaw_decode_byte.
+alaw AS (
+  SELECT doc_id, fam, n, sample_rate,
+         CASE WHEN ainv >= 128 THEN t ELSE -t END AS v
+  FROM (
+    SELECT d.doc_id, d.fam, d.n, d.sample_rate,
+           xor((13 * i + d.doc_id) % 256, 85) AS ainv
+    FROM dims d, UNNEST(range(d.n)) AS u(i)
+    WHERE d.fam = 3
+  ), LATERAL (
+    SELECT CASE (ainv // 16) % 8
+               WHEN 0 THEN (ainv % 16) * 16 + 8
+               WHEN 1 THEN (ainv % 16) * 16 + 264
+               ELSE ((ainv % 16) * 16 + 264)
+                    * (1 << (((ainv // 16) % 8) - 1))
+           END AS t
+  )
+),
 s AS (
-  SELECT * FROM pcm UNION ALL SELECT * FROM ulaw
+  SELECT * FROM pcm UNION ALL SELECT * FROM ulaw UNION ALL SELECT * FROM alaw
 )
 SELECT doc_id,
-       (['aiff', 'au_pcm', 'au_ulaw'])[fam + 1] AS fmt,
+       (['aiff', 'au_pcm', 'au_ulaw', 'au_alaw'])[fam + 1] AS fmt,
        sample_rate::BIGINT AS sample_rate,
        n::BIGINT AS n_samples,
        round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,

@@ -1034,7 +1034,7 @@ def media_features(spark, sf_dir: str):
     (baseline TIFF: endian-correct IFD walk, multi-strip assembly,
     PackBits RLE, operators/tiff.py) and ``kind='audio_ext'`` to
     ``media_audio_ext`` (AIFF with the 80-bit-float rate + Sun AU
-    PCM/G.711-mu-law, operators/audioext.py).  All branches stay
+    PCM/G.711-mu-law/G.711-A-law, operators/audioext.py).  All branches stay
     mapInPandas over Arrow batches — the union adds no exchange."""
     from textextraction_spark.operators.audioext import media_audio_ext
     from textextraction_spark.operators.bmp import media_bmp_decode
