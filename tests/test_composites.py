@@ -571,6 +571,15 @@ class TestOperatorFamilyBranches:
                 "doc_id", "fmt", "sample_rate", "n_samples", "rms", "peak"
             ),
         )
+        # round-5: the entropy-coded FLAC path rides as kind='flac'
+        from textextraction_spark.operators import flac as FL
+
+        assert_df_equal(
+            FL.media_flac_decode(spark, SF),
+            comp.filter(F.col("kind") == "flac").select(
+                "doc_id", "fmt", "sample_rate", "n_samples", "rms", "peak"
+            ),
+        )
 
     def test_pq_suite_slices(self, spark):
         """Round-5 rotation: pq_encode + ann_pq_adc gate as one row;

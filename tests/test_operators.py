@@ -1790,6 +1790,156 @@ class TestAudioExtCodec:
         assert not problems, problems
 
 
+class TestFlacCodec:
+    """Round-5: real entropy-coded FLAC (operators/flac.py) — fLaC
+    metadata walk, CRC-8/16-verified frames, CONSTANT / VERBATIM /
+    FIXED 0-4 / honest-LPC subframes, partitioned rice (both methods)
+    with escapes and wasted bits.  Losslessness makes the standard
+    exact: decode must reproduce the input bit-for-bit.  Driver-gated
+    as media_features kind='flac'."""
+
+    def test_all_subframe_types_round_trip(self):
+        """Every subframe type × both rice methods on adversarial
+        (random) content — the worst case for rice coding."""
+        import numpy as np
+
+        from textextraction_spark.operators.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        rng = np.random.RandomState(7)
+        for _ in range(8):
+            n = int(rng.randint(8, 300))
+            x = rng.randint(-32768, 32768, n).astype(np.int16)
+            for mode in (
+                "fixed0", "fixed1", "fixed2", "fixed3", "fixed4",
+                "verbatim", "lpc2", "lpc4",
+            ):
+                for rm in (0, 1):
+                    got = decode_flac(
+                        encode_flac(x, 44100, mode=mode, rice_method=rm)
+                    )
+                    assert got is not None, (n, mode, rm)
+                    rate, g = got
+                    assert rate == 44100 and (g == x).all(), (n, mode, rm)
+
+    def test_partitions_escape_wasted_constant(self):
+        """The stranger corners of the residual layer: multi-partition
+        rice, the escape-to-raw encoding, the wasted-bits header, and
+        the CONSTANT subframe."""
+        import numpy as np
+
+        from textextraction_spark.operators.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        rng = np.random.RandomState(11)
+        x = rng.randint(-32768, 32768, 96).astype(np.int16)
+        for p in (1, 2):
+            _, g = decode_flac(
+                encode_flac(x, 8000, mode="fixed3", partition_order=p)
+            )
+            assert (g == x).all(), p
+        _, g = decode_flac(encode_flac(x, 8000, mode="fixed2",
+                                       force_escape=True))
+        assert (g == x).all()
+        ev = (rng.randint(-8000, 8000, 64) * 4).astype(np.int16)
+        rate, g = decode_flac(encode_flac(ev, 16000, mode="lpc3", wasted=2))
+        assert rate == 16000 and (g == ev).all()
+        const = np.full(50, -77, np.int16)
+        _, g = decode_flac(encode_flac(const, 16000, mode="constant"))
+        assert (g == const).all()
+
+    def test_lpc_is_honest(self):
+        """The LPC path computes real Levinson-Durbin coefficients: on
+        a smooth ramp it engages (no fixed fallback), compresses far
+        better than verbatim, and still round-trips exactly through
+        the quantized integer predictor."""
+        import numpy as np
+
+        from textextraction_spark.operators.flac import (
+            decode_flac,
+            encode_flac,
+            lpc_coefficients,
+        )
+
+        ramp = (np.arange(256) * 7 - 900).astype(np.int16)
+        got = lpc_coefficients([int(v) for v in ramp], 4)
+        assert got is not None
+        qcoefs, shift = got
+        assert shift > 0 and any(c != 0 for c in qcoefs)
+        enc = encode_flac(ramp, 44100, mode="lpc4")
+        assert len(enc) < len(encode_flac(ramp, 44100, mode="verbatim")) / 2
+        _, g = decode_flac(enc)
+        assert (g == ramp).all()
+        # degenerate signal (zero variance) falls back, still exact
+        flat = np.zeros(40, np.int16)
+        _, g = decode_flac(encode_flac(flat, 8000, mode="lpc4"))
+        assert (g == flat).all()
+
+    def test_corruption_fails_soft(self):
+        """Truncation at every third byte and random double-bit flips
+        must never mis-decode: CRC-8/16 catch everything outside the
+        ignored STREAMINFO fields (md5, min/max framesize)."""
+        import numpy as np
+
+        from textextraction_spark.operators.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        rng = np.random.RandomState(3)
+        x = rng.randint(-1000, 1000, 96).astype(np.int16)
+        data = encode_flac(x, 44100, mode="lpc4")
+        for cut in range(0, len(data), 3):
+            assert decode_flac(data[:cut]) is None, cut
+        for _ in range(200):
+            b = bytearray(data)
+            for _ in range(2):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            got = decode_flac(bytes(b))
+            if got is not None:
+                # survivors must be flips confined to ignored fields:
+                # the decoded samples are still exactly right
+                assert (got[1] == x).all()
+
+    def test_fixture_decodes_to_formula(self):
+        """make_flac(doc_id) walks all five modes / both rice methods /
+        all three partition orders and always decodes back to the WAV
+        sample formula — the invariant the DuckDB oracle recomputes."""
+        import numpy as np
+
+        from textextraction_spark.operators.flac import (
+            FLAC_MODES,
+            decode_flac,
+            make_flac,
+        )
+        from textextraction_spark.operators.audioext import AUDIO_RATES
+
+        for d in range(0, 40):
+            n = 64 + d % 64
+            x = np.array(
+                [((7 * i + d) % 1000) - 500 for i in range(n)], np.int16
+            )
+            got = decode_flac(make_flac(d))
+            assert got is not None, (d, FLAC_MODES[d % 5])
+            rate, g = got
+            assert rate == AUDIO_RATES[d % 3] and (g == x).all(), d
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.flac import (
+            MEDIA_FLAC_DECODE_ORACLE,
+            media_flac_decode,
+        )
+
+        got = media_flac_decode(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(MEDIA_FLAC_DECODE_ORACLE).df()
+        problems = compare("media_flac_decode", got, want)
+        assert not problems, problems
+
+
 class TestExtractionSurfaceProperties:
     """Hypothesis properties for the round-5 extraction surfaces —
     beyond the formula fixtures: arbitrary values (including

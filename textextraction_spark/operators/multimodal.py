@@ -1034,9 +1034,13 @@ def media_features(spark, sf_dir: str):
     (baseline TIFF: endian-correct IFD walk, multi-strip assembly,
     PackBits RLE, operators/tiff.py) and ``kind='audio_ext'`` to
     ``media_audio_ext`` (AIFF with the 80-bit-float rate + Sun AU
-    PCM/G.711-mu-law/G.711-A-law, operators/audioext.py).  All branches stay
+    PCM/G.711-mu-law/G.711-A-law, operators/audioext.py) and
+    ``kind='flac'`` to ``media_flac_decode`` (real entropy-coded FLAC:
+    CRC'd frames, partitioned-rice residuals through fixed/LPC
+    predictors, operators/flac.py).  All branches stay
     mapInPandas over Arrow batches — the union adds no exchange."""
     from textextraction_spark.operators.audioext import media_audio_ext
+    from textextraction_spark.operators.flac import media_flac_decode
     from textextraction_spark.operators.bmp import media_bmp_decode
     from textextraction_spark.operators.jpeg import (
         media_jpeg_color,
@@ -1135,6 +1139,15 @@ def media_features(spark, sf_dir: str):
         "fmt",
         *_nulls("w", "h", "mean_r", "mean_g", "mean_b"),
     )
+    flc = media_flac_decode(spark, sf_dir).select(
+        F.lit("flac").alias("kind"),
+        "doc_id",
+        *_nulls("rw", "rh", "mean_px", "min_px", "max_px"),
+        "sample_rate", "n_samples", "rms", "peak",
+        *_nulls("frame_idx", "fw", "fh"),
+        "fmt",
+        *_nulls("w", "h", "mean_r", "mean_g", "mean_b"),
+    )
     return (
         img.unionByName(aud)
         .unionByName(frm)
@@ -1144,6 +1157,7 @@ def media_features(spark, sf_dir: str):
         .unionByName(bmp)
         .unionByName(tif)
         .unionByName(aux)
+        .unionByName(flc)
     )
 
 
@@ -1155,6 +1169,7 @@ def _media_features_oracle() -> str:
     from textextraction_spark.operators.audioext import (
         MEDIA_AUDIO_EXT_ORACLE,
     )
+    from textextraction_spark.operators.flac import MEDIA_FLAC_DECODE_ORACLE
     from textextraction_spark.operators.bmp import MEDIA_BMP_DECODE_ORACLE
     from textextraction_spark.operators.png import MEDIA_PNG_DECODE_ORACLE
     from textextraction_spark.operators.tiff import MEDIA_TIFF_DECODE_ORACLE
@@ -1234,6 +1249,14 @@ SELECT 'audio_ext' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
        fmt, NULL::BIGINT AS w, NULL::BIGINT AS h,
        NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g, NULL::DOUBLE AS mean_b
 FROM ({MEDIA_AUDIO_EXT_ORACLE})
+UNION ALL
+SELECT 'flac' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
+       NULL::DOUBLE AS mean_px, NULL::BIGINT AS min_px, NULL::BIGINT AS max_px,
+       sample_rate, n_samples, rms, peak,
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
+       fmt, NULL::BIGINT AS w, NULL::BIGINT AS h,
+       NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g, NULL::DOUBLE AS mean_b
+FROM ({MEDIA_FLAC_DECODE_ORACLE})
 """
 
 
