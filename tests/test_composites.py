@@ -580,6 +580,15 @@ class TestOperatorFamilyBranches:
                 "doc_id", "fmt", "sample_rate", "n_samples", "rms", "peak"
             ),
         )
+        # round-5: the VP8L WebP-lossless path rides as kind='webp'
+        from textextraction_spark.operators import vp8l as WL
+
+        assert_df_equal(
+            WL.media_webp_decode(spark, SF),
+            comp.filter(F.col("kind") == "webp").select(
+                "doc_id", "fmt", "w", "h", "mean_r", "mean_g", "mean_b"
+            ),
+        )
 
     def test_pq_suite_slices(self, spark):
         """Round-5 rotation: pq_encode + ann_pq_adc gate as one row;

@@ -1940,6 +1940,165 @@ class TestFlacCodec:
         assert not problems, problems
 
 
+class TestVp8lCodec:
+    """Round-5: WebP lossless / VP8L (operators/vp8l.py) — LSB-first
+    bit layer, canonical prefix codes with the 19-symbol code-length
+    meta-code (16/17/18 repeats + explicit symbol count), simple 1/2-
+    symbol codes, LZ77 back-references, color cache, subtract-green.
+    Lossless => exact round trips.  Driver-gated as media_features
+    kind='webp'."""
+
+    def test_all_encoder_features_round_trip(self):
+        """Arbitrary (random) RGBA content through every encoder
+        feature combination — literals, subtract-green, color cache,
+        LZ77, code-length repeats — must decode bit-exact."""
+        import numpy as np
+
+        from textextraction_spark.operators.vp8l import (
+            decode_vp8l,
+            encode_vp8l,
+        )
+
+        rng = np.random.RandomState(5)
+        for _ in range(6):
+            h, w = int(rng.randint(1, 24)), int(rng.randint(1, 24))
+            img = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+            for kw in (
+                {},
+                {"subtract_green": True},
+                {"cache_bits": 6},
+                {"use_lz77": True},
+                {"subtract_green": True, "cache_bits": 5,
+                 "use_lz77": True, "cl_repeats": True},
+            ):
+                got = decode_vp8l(encode_vp8l(img, **kw))
+                assert got is not None, kw
+                gw, gh, dec = got
+                assert (gw, gh) == (w, h) and (dec == img).all(), kw
+
+    def test_lz77_actually_compresses(self):
+        """The LZ77 path is not decorative: row-repetitive content
+        must shrink >3x vs the literal-only encoding, and single-pixel
+        runs (distance 1) must also engage."""
+        import numpy as np
+
+        from textextraction_spark.operators.vp8l import (
+            decode_vp8l,
+            encode_vp8l,
+        )
+
+        rows = np.tile(np.arange(64, dtype=np.uint8), (48, 1))
+        img = np.stack([rows, rows, rows, np.full_like(rows, 255)], -1)
+        plain = encode_vp8l(img)
+        lz = encode_vp8l(img, use_lz77=True, cl_repeats=True)
+        assert len(lz) < len(plain) / 3, (len(lz), len(plain))
+        _, _, dec = decode_vp8l(lz)
+        assert (dec == img).all()
+        flat = np.full((9, 31, 4), 123, np.uint8)  # distance-1 runs
+        data = encode_vp8l(flat, use_lz77=True)
+        _, _, dec = decode_vp8l(data)
+        assert (dec == flat).all()
+
+    def test_degenerate_codes(self):
+        """Constant images produce single-symbol (0-bit) codes in
+        every group; 1x1 images and 2-symbol simple codes round-trip."""
+        import numpy as np
+
+        from textextraction_spark.operators.vp8l import (
+            decode_vp8l,
+            encode_vp8l,
+        )
+
+        img = np.full((9, 9, 4), 200, np.uint8)
+        for kw in ({}, {"use_lz77": True}):
+            _, _, dec = decode_vp8l(encode_vp8l(img, **kw))
+            assert (dec == img).all(), kw
+        one = np.array([[[1, 2, 3, 4]]], np.uint8)
+        assert (decode_vp8l(encode_vp8l(one))[2] == one).all()
+        two = np.zeros((4, 4, 4), np.uint8)
+        two[::2, :, :] = 255  # exactly two distinct symbols per channel
+        assert (decode_vp8l(encode_vp8l(two))[2] == two).all()
+
+    def test_fixture_families_and_dims_pin(self):
+        """make_webp walks all five encoding families; decode must
+        reproduce the per-family pixel formula, and the round-2 header
+        parser must agree on dims (the VP8L 14-bit packed field)."""
+        from textextraction_spark.operators.multimodal import (
+            parse_image_dims,
+        )
+        from textextraction_spark.operators.vp8l import (
+            WEBP_FAMS,
+            _webp_geometry,
+            _webp_pixels,
+            decode_vp8l,
+            make_webp,
+        )
+
+        for d in range(40):
+            w, h = _webp_geometry(d)
+            data = make_webp(d)
+            got = decode_vp8l(data)
+            assert got is not None, (d, WEBP_FAMS[d % 5])
+            gw, gh, dec = got
+            assert (gw, gh) == (w, h)
+            assert (dec == _webp_pixels(d)).all(), d
+            assert parse_image_dims(data) == ("webp", w, h), d
+
+    def test_truncation_fails_soft(self):
+        import numpy as np
+
+        from textextraction_spark.operators.vp8l import (
+            decode_vp8l,
+            encode_vp8l,
+        )
+
+        rng = np.random.RandomState(9)
+        data = encode_vp8l(
+            rng.randint(0, 256, (8, 8, 4)).astype(np.uint8),
+            use_lz77=True, cache_bits=5,
+        )
+        for cut in range(0, len(data), 2):
+            r = decode_vp8l(data[:cut])
+            assert r is None or r[2].shape == (8, 8, 4), cut
+
+    def test_out_of_envelope_fails_soft(self):
+        """Streams using unsupported spec features must return None,
+        not mis-decode: predictor transform, meta-prefix bit, 2D
+        neighbor distance codes."""
+        import numpy as np
+
+        from textextraction_spark.operators.vp8l import (
+            BitWriter,
+            decode_vp8l,
+            encode_vp8l,
+        )
+
+        img = np.full((4, 4, 4), 7, np.uint8)
+        base = encode_vp8l(img)
+        # flip the first transform bit to claim a PREDICTOR transform:
+        # payload starts at byte 21; header is 32 bits, so the
+        # transform-present bit is bit 0 of byte 25
+        b = bytearray(base)
+        b[25] |= 0x01  # transform present
+        # type bits (1-2) are now whatever followed; all three
+        # non-subtract-green types must fail soft
+        for t in (0, 1, 3):
+            bb = bytearray(b)
+            bb[25] = (bb[25] & ~0x06) | (t << 1)
+            assert decode_vp8l(bytes(bb)) is None, t
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.vp8l import (
+            MEDIA_WEBP_DECODE_ORACLE,
+            media_webp_decode,
+        )
+
+        got = media_webp_decode(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(MEDIA_WEBP_DECODE_ORACLE).df()
+        problems = compare("media_webp_decode", got, want)
+        assert not problems, problems
+
+
 class TestExtractionSurfaceProperties:
     """Hypothesis properties for the round-5 extraction surfaces —
     beyond the formula fixtures: arbitrary values (including

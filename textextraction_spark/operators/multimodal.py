@@ -1037,10 +1037,14 @@ def media_features(spark, sf_dir: str):
     PCM/G.711-mu-law/G.711-A-law, operators/audioext.py) and
     ``kind='flac'`` to ``media_flac_decode`` (real entropy-coded FLAC:
     CRC'd frames, partitioned-rice residuals through fixed/LPC
-    predictors, operators/flac.py).  All branches stay
+    predictors, operators/flac.py) and ``kind='webp'`` to
+    ``media_webp_decode`` (VP8L lossless: canonical prefix-code
+    groups, LZ77, color cache, subtract-green, operators/vp8l.py).
+    All branches stay
     mapInPandas over Arrow batches — the union adds no exchange."""
     from textextraction_spark.operators.audioext import media_audio_ext
     from textextraction_spark.operators.flac import media_flac_decode
+    from textextraction_spark.operators.vp8l import media_webp_decode
     from textextraction_spark.operators.bmp import media_bmp_decode
     from textextraction_spark.operators.jpeg import (
         media_jpeg_color,
@@ -1148,6 +1152,14 @@ def media_features(spark, sf_dir: str):
         "fmt",
         *_nulls("w", "h", "mean_r", "mean_g", "mean_b"),
     )
+    wbp = media_webp_decode(spark, sf_dir).select(
+        F.lit("webp").alias("kind"),
+        "doc_id",
+        *_nulls("rw", "rh", "mean_px", "min_px", "max_px",
+                "sample_rate", "n_samples", "rms", "peak",
+                "frame_idx", "fw", "fh"),
+        "fmt", "w", "h", "mean_r", "mean_g", "mean_b",
+    )
     return (
         img.unionByName(aud)
         .unionByName(frm)
@@ -1158,6 +1170,7 @@ def media_features(spark, sf_dir: str):
         .unionByName(tif)
         .unionByName(aux)
         .unionByName(flc)
+        .unionByName(wbp)
     )
 
 
@@ -1170,6 +1183,7 @@ def _media_features_oracle() -> str:
         MEDIA_AUDIO_EXT_ORACLE,
     )
     from textextraction_spark.operators.flac import MEDIA_FLAC_DECODE_ORACLE
+    from textextraction_spark.operators.vp8l import MEDIA_WEBP_DECODE_ORACLE
     from textextraction_spark.operators.bmp import MEDIA_BMP_DECODE_ORACLE
     from textextraction_spark.operators.png import MEDIA_PNG_DECODE_ORACLE
     from textextraction_spark.operators.tiff import MEDIA_TIFF_DECODE_ORACLE
@@ -1257,6 +1271,14 @@ SELECT 'flac' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
        fmt, NULL::BIGINT AS w, NULL::BIGINT AS h,
        NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g, NULL::DOUBLE AS mean_b
 FROM ({MEDIA_FLAC_DECODE_ORACLE})
+UNION ALL
+SELECT 'webp' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
+       NULL::DOUBLE AS mean_px, NULL::BIGINT AS min_px, NULL::BIGINT AS max_px,
+       NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::DOUBLE AS rms, NULL::BIGINT AS peak,
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
+       fmt, w, h, mean_r, mean_g, mean_b
+FROM ({MEDIA_WEBP_DECODE_ORACLE})
 """
 
 
