@@ -2099,6 +2099,83 @@ class TestVp8lCodec:
         assert not problems, problems
 
 
+class TestMediaCodecProperties:
+    """Hypothesis properties for the round-5 entropy codecs: arbitrary
+    content (not the fixture formulas) must round-trip bit-exact
+    through hypothesis-drawn encoder configurations — the codecs are
+    general, not fixture-shaped."""
+
+    def test_flac_roundtrips_arbitrary_samples(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from textextraction_spark.operators.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        @given(
+            samples=st.lists(
+                st.integers(-32768, 32767), min_size=6, max_size=200
+            ),
+            mode=st.sampled_from(
+                ["fixed0", "fixed1", "fixed2", "fixed3", "fixed4",
+                 "verbatim", "lpc2", "lpc4"]
+            ),
+            rice_method=st.integers(0, 1),
+            rate=st.sampled_from([8000, 16000, 44100]),
+        )
+        @settings(max_examples=120, deadline=None)
+        def prop(samples, mode, rice_method, rate):
+            x = np.array(samples, np.int16)
+            got = decode_flac(
+                encode_flac(x, rate, mode=mode, rice_method=rice_method)
+            )
+            assert got is not None
+            assert got[0] == rate and (got[1] == x).all()
+
+        prop()
+
+    def test_vp8l_roundtrips_arbitrary_pixels(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from textextraction_spark.operators.vp8l import (
+            decode_vp8l,
+            encode_vp8l,
+        )
+
+        @given(
+            w=st.integers(1, 12),
+            h=st.integers(1, 12),
+            seed=st.integers(0, 2**31 - 1),
+            sg=st.booleans(),
+            cache_bits=st.sampled_from([0, 1, 4, 8]),
+            lz=st.booleans(),
+            rep=st.booleans(),
+        )
+        @settings(max_examples=120, deadline=None)
+        def prop(w, h, seed, sg, cache_bits, lz, rep):
+            img = (
+                np.random.RandomState(seed)
+                .randint(0, 256, (h, w, 4))
+                .astype(np.uint8)
+            )
+            got = decode_vp8l(
+                encode_vp8l(
+                    img, subtract_green=sg, cache_bits=cache_bits,
+                    use_lz77=lz, cl_repeats=rep,
+                )
+            )
+            assert got is not None
+            gw, gh, dec = got
+            assert (gw, gh) == (w, h) and (dec == img).all()
+
+        prop()
+
+
 class TestExtractionSurfaceProperties:
     """Hypothesis properties for the round-5 extraction surfaces —
     beyond the formula fixtures: arbitrary values (including
