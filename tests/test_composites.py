@@ -589,6 +589,16 @@ class TestOperatorFamilyBranches:
                 "doc_id", "fmt", "w", "h", "mean_r", "mean_g", "mean_b"
             ),
         )
+        # round-5: the ICO / favicon container path rides as kind='ico'
+        from textextraction_spark.operators import ico as IC
+
+        assert_df_equal(
+            IC.media_ico_decode(spark, SF),
+            comp.filter(F.col("kind") == "ico").select(
+                "doc_id", "fmt", "w", "h", "mean_px", "min_px", "max_px",
+                "mean_r", "mean_g", "mean_b"
+            ),
+        )
 
     def test_pq_suite_slices(self, spark):
         """Round-5 rotation: pq_encode + ann_pq_adc gate as one row;

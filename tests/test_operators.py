@@ -4007,3 +4007,166 @@ class TestGopherQuality:
         )
         assert p.count("Exchange") == 0, p
         assert "EvalPython" not in p
+
+
+class TestIcoCodec:
+    """Round-5 close-out: ICO / favicon container (operators/ico.py) —
+    ICONDIR walk, payload-header entry ranking (directory bytes are
+    untrusted), doubled-height DIB payloads (8/24/32-bit) with the
+    32-bit-stride AND mask, alpha/mask transparency composited onto
+    black, PNG payloads through the package's own PNG codec.
+    Driver-gated as media_features kind='ico'."""
+
+    def test_fixture_families_bit_exact(self):
+        """All five fixture families decode to the exact composited
+        formulas (the same check the DuckDB oracle aggregates)."""
+        import numpy as np
+
+        from textextraction_spark.operators.ico import decode_ico, make_ico
+
+        for d in range(60):
+            w, h = 4 + d % 5, 4 + (d * 3) % 5
+            fam = d % 5
+            rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            base = (d + 3 * rr + 5 * cc) % 256
+            rgb = np.stack(
+                [(base + 77 * k) % 256 for k in range(3)], -1
+            ).astype(np.int64)
+            mask = (d + rr + 2 * cc) % 7 == 0
+            if fam == 0:
+                want, wfmt = rgb * ~mask[:, :, None], "dib24"
+            elif fam == 1:
+                n_pal = 2 + d % 15
+                idx = (d + 3 * rr + 5 * cc) % n_pal
+                pal = np.array(
+                    [
+                        [(7 * d + 11 * i) % 256, (13 * d + 17 * i) % 256,
+                         (3 * d + 19 * i) % 256]
+                        for i in range(n_pal)
+                    ]
+                )
+                want, wfmt = pal[idx] * ~mask[:, :, None], "dib8"
+            elif fam == 2:
+                a = (d + 7 * rr + 11 * cc) % 256
+                want, wfmt = rgb * a[:, :, None] // 255, "dib32"
+            else:
+                want, wfmt = rgb, "png"
+            fmt, img = decode_ico(make_ico(d))
+            assert fmt == wfmt and (img.astype(np.int64) == want).all(), d
+
+    def test_mask_stride_is_32_bits(self):
+        """AND-mask rows pad to 32 BITS (4-byte words), a different
+        stride rule than the XOR plane's: a 40-px-wide icon needs
+        2 mask words/row, and a decoder using byte padding mis-reads
+        every row past the first."""
+        import numpy as np
+
+        from textextraction_spark.operators.ico import (
+            decode_ico,
+            dib_payload,
+            encode_ico,
+        )
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (5, 40, 3)).astype(np.uint8)
+        mask = (rng.randint(0, 2, (5, 40))).astype(np.uint8)
+        ico = encode_ico([(dib_payload(img, mask=mask), 40, 5, 24)])
+        fmt, dec = decode_ico(ico)
+        want = img.astype(np.int64) * (1 - mask[:, :, None])
+        assert fmt == "dib24" and (dec.astype(np.int64) == want).all()
+
+    def test_directory_dims_untrusted(self):
+        """The fam-4 fixture's directory claims 255x255 for a junk
+        3x3 entry; payload-ranked selection must land on the real PNG
+        (pinned in the family test) — and a 256-wide payload decodes
+        at its payload width even though its directory byte reads 0
+        (the 0-means-256 convention)."""
+        import numpy as np
+
+        from textextraction_spark.operators.ico import (
+            decode_ico,
+            dib_payload,
+            encode_ico,
+        )
+
+        img = np.zeros((2, 256, 3), np.uint8)
+        img[:, ::2] = 200
+        ico = encode_ico([(dib_payload(img), 256, 2, 24)])
+        fmt, dec = decode_ico(ico)
+        assert dec.shape == (2, 256, 3) and (dec == img).all()
+
+    def test_fail_soft_envelope(self):
+        """Cursors, empty directories, payload overruns, unsupported
+        DIB layouts, and corrupt PNG payloads return None; a bad entry
+        NEXT TO a good one is skipped, not fatal."""
+        import struct
+
+        import numpy as np
+
+        from textextraction_spark.operators.ico import (
+            decode_ico,
+            dib_payload,
+            encode_ico,
+            make_ico,
+        )
+
+        good = make_ico(0)
+        assert decode_ico(b"") is None
+        assert decode_ico(good[:5]) is None
+        # type 2 = cursor
+        assert decode_ico(b"\x00\x00\x02\x00" + good[4:]) is None
+        # count = 0
+        assert decode_ico(struct.pack("<HHH", 0, 1, 0)) is None
+        # payload overrun
+        assert decode_ico(good[:-3]) is None
+        # 16-bit DIB: only entry unparseable -> None
+        img = np.zeros((2, 2, 3), np.uint8)
+        payload = bytearray(dib_payload(img))
+        struct.pack_into("<H", payload, 14, 16)
+        assert decode_ico(encode_ico([(bytes(payload), 2, 2, 16)])) is None
+        # ...but skipped when a good entry exists
+        ok = dib_payload(np.full((3, 3, 3), 9, np.uint8))
+        two = encode_ico([(bytes(payload), 2, 2, 16), (ok, 3, 3, 24)])
+        fmt, dec = decode_ico(two)
+        assert fmt == "dib24" and (dec == 9).all()
+        # corrupt PNG payload (flip a byte inside IDAT)
+        png_ico = bytearray(make_ico(3))
+        png_ico[-20] ^= 0xFF
+        assert decode_ico(bytes(png_ico)) is None
+
+    def test_round_trip_property(self):
+        """Hypothesis: arbitrary RGB + arbitrary mask (24-bit) and
+        arbitrary RGBA (32-bit) DIB icons decode to the exact
+        composite."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import numpy as np
+
+        from textextraction_spark.operators.ico import (
+            decode_ico,
+            dib_payload,
+            encode_ico,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.integers(1, 37), st.integers(1, 9), st.integers(0, 2**32 - 1)
+        )
+        def prop(w, h, seed):
+            rng = np.random.RandomState(seed)
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            mask = rng.randint(0, 2, (h, w)).astype(np.uint8)
+            fmt, dec = decode_ico(
+                encode_ico([(dib_payload(img, mask=mask), w, h, 24)])
+            )
+            want = img.astype(np.int64) * (1 - mask[:, :, None])
+            assert fmt == "dib24" and (dec.astype(np.int64) == want).all()
+            alpha = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            fmt, dec = decode_ico(
+                encode_ico([(dib_payload(img, alpha=alpha), w, h, 32)])
+            )
+            want = img.astype(np.int64) * alpha[:, :, None] // 255
+            assert fmt == "dib32" and (dec.astype(np.int64) == want).all()
+
+        prop()

@@ -1039,11 +1039,16 @@ def media_features(spark, sf_dir: str):
     CRC'd frames, partitioned-rice residuals through fixed/LPC
     predictors, operators/flac.py) and ``kind='webp'`` to
     ``media_webp_decode`` (VP8L lossless: canonical prefix-code
-    groups, LZ77, color cache, subtract-green, operators/vp8l.py).
+    groups, LZ77, color cache, subtract-green, operators/vp8l.py) and
+    ``kind='ico'`` to ``media_ico_decode`` (the favicon container:
+    directory walk, payload-header entry ranking, doubled-height DIBs
+    with AND-mask/alpha transparency composite, PNG payloads through
+    the package's own PNG codec, operators/ico.py).
     All branches stay
     mapInPandas over Arrow batches — the union adds no exchange."""
     from textextraction_spark.operators.audioext import media_audio_ext
     from textextraction_spark.operators.flac import media_flac_decode
+    from textextraction_spark.operators.ico import media_ico_decode
     from textextraction_spark.operators.vp8l import media_webp_decode
     from textextraction_spark.operators.bmp import media_bmp_decode
     from textextraction_spark.operators.jpeg import (
@@ -1160,6 +1165,15 @@ def media_features(spark, sf_dir: str):
                 "frame_idx", "fw", "fh"),
         "fmt", "w", "h", "mean_r", "mean_g", "mean_b",
     )
+    ico = media_ico_decode(spark, sf_dir).select(
+        F.lit("ico").alias("kind"),
+        "doc_id",
+        *_nulls("rw", "rh"),
+        "mean_px", "min_px", "max_px",
+        *_nulls("sample_rate", "n_samples", "rms", "peak",
+                "frame_idx", "fw", "fh"),
+        "fmt", "w", "h", "mean_r", "mean_g", "mean_b",
+    )
     return (
         img.unionByName(aud)
         .unionByName(frm)
@@ -1171,6 +1185,7 @@ def media_features(spark, sf_dir: str):
         .unionByName(aux)
         .unionByName(flc)
         .unionByName(wbp)
+        .unionByName(ico)
     )
 
 
@@ -1183,6 +1198,7 @@ def _media_features_oracle() -> str:
         MEDIA_AUDIO_EXT_ORACLE,
     )
     from textextraction_spark.operators.flac import MEDIA_FLAC_DECODE_ORACLE
+    from textextraction_spark.operators.ico import MEDIA_ICO_DECODE_ORACLE
     from textextraction_spark.operators.vp8l import MEDIA_WEBP_DECODE_ORACLE
     from textextraction_spark.operators.bmp import MEDIA_BMP_DECODE_ORACLE
     from textextraction_spark.operators.png import MEDIA_PNG_DECODE_ORACLE
@@ -1279,6 +1295,14 @@ SELECT 'webp' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
        NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
        fmt, w, h, mean_r, mean_g, mean_b
 FROM ({MEDIA_WEBP_DECODE_ORACLE})
+UNION ALL
+SELECT 'ico' AS kind, doc_id, NULL::BIGINT AS rw, NULL::BIGINT AS rh,
+       mean_px, min_px, max_px,
+       NULL::BIGINT AS sample_rate, NULL::BIGINT AS n_samples,
+       NULL::DOUBLE AS rms, NULL::BIGINT AS peak,
+       NULL::BIGINT AS frame_idx, NULL::BIGINT AS fw, NULL::BIGINT AS fh,
+       fmt, w, h, mean_r, mean_g, mean_b
+FROM ({MEDIA_ICO_DECODE_ORACLE})
 """
 
 
