@@ -4170,3 +4170,165 @@ class TestIcoCodec:
             assert fmt == "dib32" and (dec.astype(np.int64) == want).all()
 
         prop()
+
+
+class TestSheetFormats:
+    """Round-5: XLSX/PPTX extraction (operators/sheets.py) — the other
+    two OOXML containers.  Every indirection is load-bearing: workbook
+    order resolves through rels whose rId numbering opposes the sheet
+    file numbering, shared strings intern with real reuse, cell order
+    comes from A1 refs (written reversed), and sldIdLst permutes
+    slides vs their file numbering.  Pytest-oracle-gated."""
+
+    def test_xlsx_indirections(self):
+        """Workbook-order sheets (rels-resolved), ref-sorted cells,
+        interned shared strings in rich-text runs, all three value
+        channels; the A1 parser handles multi-letter columns."""
+        from textextraction_spark.operators.sheets import (
+            _col_name,
+            _parse_ref,
+            extract_xlsx_text,
+            make_xlsx,
+        )
+
+        # A1 ref algebra: base-26 with no zero digit
+        assert _col_name(0) == "A" and _col_name(25) == "Z"
+        assert _col_name(26) == "AA" and _col_name(27 * 26 - 1) == "ZZ"
+        assert _parse_ref("AB12") == (11, 27)
+        assert _parse_ref("12AB") is None and _parse_ref("") is None
+        for d in range(0, 40, 2):
+            txt = extract_xlsx_text(make_xlsx(d))
+            n_sheets = 1 + d % 3
+            lines = txt.split("\n")
+            assert len(lines) == sum(
+                2 + (d + s) % 3 for s in range(n_sheets)
+            ), d
+            # first sheet's first row, first cell (i=0, j=0)
+            kind = d % 3
+            first = lines[0].split("\t")[0]
+            if kind == 0:
+                assert first == f"sh {d}.0.0"
+            elif kind == 1:
+                assert first == str((7 * d) % 1000)
+            else:
+                assert first == f"in {d}.0.0.0"
+
+    def test_pptx_slide_order(self):
+        """doc_id % 4 == 3 lists slides reversed in sldIdLst: file
+        order extraction cannot pass."""
+        from textextraction_spark.operators.sheets import (
+            extract_pptx_text,
+            make_pptx,
+        )
+
+        for d in (3, 7, 11, 15):
+            n = 1 + d % 4  # == 4
+            txt = extract_pptx_text(make_pptx(d))
+            want = "\n".join(
+                f"slide {s} para {j} of {d} v "
+                f"{(31 * d + 17 * j + 7 * s) % 1000}"
+                for s in range(n - 1, -1, -1)
+                for j in range(2)
+            )
+            assert txt == want, d
+        # forward order for the other residues
+        d = 5
+        txt = extract_pptx_text(make_pptx(d))
+        assert txt.startswith(f"slide 0 para 0 of {d}")
+
+    def test_fail_soft(self):
+        """Corrupt archives, cross-format containers, missing parts,
+        dangling rIds, truncation/bit-flip fuzz: None, never raise."""
+        import io
+        import zipfile
+
+        import numpy as np
+
+        from textextraction_spark.operators.sheets import (
+            extract_pptx_text,
+            extract_xlsx_text,
+            make_pptx,
+            make_xlsx,
+        )
+
+        assert extract_xlsx_text(b"") is None
+        assert extract_pptx_text(b"PK\x03\x04junk") is None
+        assert extract_xlsx_text(make_pptx(3)) is None
+        assert extract_pptx_text(make_xlsx(2)) is None
+        # dangling rId: drop the rels part
+        src = zipfile.ZipFile(io.BytesIO(make_xlsx(4)))
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for n in src.namelist():
+                if "workbook.xml.rels" not in n:
+                    zf.writestr(n, src.read(n))
+        assert extract_xlsx_text(buf.getvalue()) is None
+        rng = np.random.RandomState(11)
+        for make, ext in (
+            (make_xlsx, extract_xlsx_text),
+            (make_pptx, extract_pptx_text),
+        ):
+            data = make(9 if make is make_pptx else 8)
+            for cut in range(0, len(data), 13):
+                r = ext(data[:cut])
+                assert r is None or isinstance(r, str), cut
+            for _ in range(120):
+                b = bytearray(data)
+                for _ in range(2):
+                    b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+                r = ext(bytes(b))
+                assert r is None or isinstance(r, str)
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.sheets import (
+            SHEET_TEXT_ORACLE,
+            sheet_text,
+        )
+
+        got = sheet_text(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(SHEET_TEXT_ORACLE).df()
+        problems = compare("sheet_text", got, want)
+        assert not problems, problems
+
+
+class TestDispatchSheets:
+    """Round-5 close-out: the universal front door sniffs the other
+    two OOXML containers by PART NAME (xl/workbook.xml /
+    ppt/presentation.xml), routes them through operators/sheets.py,
+    and composes with gzip transport — still from bytes alone."""
+
+    def test_sniff_and_extract(self):
+        import gzip as _gz
+
+        from textextraction_spark.operators.dispatch import extract_any
+        from textextraction_spark.operators.sheets import (
+            extract_pptx_text,
+            extract_xlsx_text,
+            make_pptx,
+            make_xlsx,
+        )
+
+        for d in (2, 4, 7, 9):
+            if d % 2 == 0:
+                blob, want = make_xlsx(d), extract_xlsx_text(make_xlsx(d))
+                wfmt = "xlsx"
+            else:
+                blob, want = make_pptx(d), extract_pptx_text(make_pptx(d))
+                wfmt = "pptx"
+            assert extract_any(blob) == (wfmt, False, want), d
+            assert extract_any(_gz.compress(blob, mtime=0)) == (
+                wfmt, True, want,
+            ), d
+
+    def test_opaque_zip_still_defaults(self):
+        """A zip with none of the known parts keeps taking the HTML
+        default route (the pre-existing opaque-zip contract)."""
+        import io
+        import zipfile
+
+        from textextraction_spark.operators.dispatch import sniff_format
+
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("data/blob.bin", b"\x00\x01")
+        assert sniff_format(buf.getvalue()) == "html"

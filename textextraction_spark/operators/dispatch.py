@@ -13,6 +13,8 @@ the doc_id family — across every format the engine decodes:
                   mimetype application/epub+zip            -> epub
                   mimetype application/vnd.oasis...text    -> odt
                   word/document.xml present                -> docx
+                  xl/workbook.xml present                  -> xlsx
+                  ppt/presentation.xml present             -> pptx
     xml         root <rss> / Atom <feed> -> feeds (title+summary text)
     (default)   HTML                     -> core DOM pipeline
 
@@ -108,6 +110,10 @@ def sniff_format(data: bytes) -> str:
                         return "odt"
                 if "word/document.xml" in names:
                     return "docx"
+                if "xl/workbook.xml" in names:
+                    return "xlsx"
+                if "ppt/presentation.xml" in names:
+                    return "pptx"
         except Exception:
             pass
         return "html"  # opaque zip: fall through to the default route
@@ -156,6 +162,14 @@ def extract_any(data: bytes) -> tuple[str, bool, str | None]:
             return (fmt, gz, extract_odt_text(data))
         if fmt == "epub":
             return (fmt, gz, extract_epub_text(data))
+        if fmt in ("xlsx", "pptx"):
+            from textextraction_spark.operators.sheets import (
+                extract_pptx_text,
+                extract_xlsx_text,
+            )
+
+            ext = extract_xlsx_text if fmt == "xlsx" else extract_pptx_text
+            return (fmt, gz, ext(data))
         if fmt in ("rss", "atom"):
             items = extract_feed_items(data)
             if items is None:
