@@ -709,14 +709,15 @@ class TestFlateDecodePdf:
         # doc 40 also carries the TOTAL block -> span + rect on flate path
         assert any(s.field == "invoice.total" for s in rf.spans)
 
-    def test_flate_multipage(self):
+    def test_compressed_multipage(self):
         from textextraction_spark.sources.pages import make_pdf_bytes
 
-        # doc_id 100: % 40 == 20 (two pages) AND % 60 == 40 (compressed)
-        flate = make_pdf_bytes(self.TEXT, doc_id=100)
+        # doc_id 100: % 40 == 20 (two pages) AND % 60 == 40 (compressed;
+        # the %240==100 residue stores LZWDecode — round 5's filter split)
+        lzw = make_pdf_bytes(self.TEXT, doc_id=100)
         plain = make_pdf_bytes(self.TEXT, doc_id=20)
-        assert b"/FlateDecode" in flate
-        rf, rp = extract_document(flate), extract_document(plain)
+        assert b"/LZWDecode" in lzw and b"/FlateDecode" not in lzw
+        rf, rp = extract_document(lzw), extract_document(plain)
         assert rf.error == ""
         assert rf.extracted_text == rp.extracted_text
         assert len(rf.doc.pages) == 2
@@ -750,6 +751,153 @@ class TestFlateDecodePdf:
         )
         doc = parse_pdf(pdf)
         assert doc.text() == "endstream trick works"
+
+
+class TestPdfStreamFilters:
+    """Round-5 close-out: the five standard non-image stream filters
+    (PDF 32000-1 §7.4) and left-to-right chains.  Extracted text is
+    invariant across storage forms, so every text/rect oracle
+    transitively gates every decode path."""
+
+    TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+
+    def test_all_filter_forms_extract_identically(self):
+        from textextraction_spark.sources.pages import (
+            make_pdf_bytes,
+            total_amount_str,
+        )
+
+        def norm(d, t):
+            return t.replace(total_amount_str(d), "$AMT")
+
+        base = norm(0, extract_document(
+            make_pdf_bytes(self.TEXT, 0)).extracted_text)
+        base2 = extract_document(make_pdf_bytes(self.TEXT, 20)).extracted_text
+        for d, token in (
+            (40, b"/FlateDecode"),
+            (100, b"/LZWDecode"),
+            (160, b"[/ASCII85Decode /FlateDecode]"),
+            (220, b"[/ASCIIHexDecode /RunLengthDecode]"),
+        ):
+            pdf = make_pdf_bytes(self.TEXT, d)
+            assert token in pdf, d
+            r = extract_document(pdf)
+            assert r.error == "", (d, r.error)
+            if d % 40 == 20:
+                assert r.extracted_text == base2, d
+            else:
+                assert norm(d, r.extracted_text) == base, d
+
+    def test_filter_primitives(self):
+        """Each decoder against hand-built §7.4 streams, including the
+        EOD conventions and the hex odd-digit pad."""
+        import zlib
+
+        from textextraction_spark.core.pdfblocks import (
+            _ascii85_decode,
+            _ascii_hex_decode,
+            _apply_filters,
+            _lzw_decode_pdf,
+            _runlength_decode,
+        )
+        from textextraction_spark.operators.tiff import lzw_encode
+
+        assert _ascii_hex_decode(b"48 65 6C6C 6F>") == b"Hello"
+        assert _ascii_hex_decode(b"7>") == b"p"  # odd digit pads with 0
+        assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+        assert _ascii85_decode(b"87cURD]j7B~>") == b"Hello wo"
+        assert _ascii85_decode(b"87cUR~>") == b"Hell"  # partial final group
+        assert _runlength_decode(b"\x02abc\xfeZ\x80") == b"abc" + b"Z" * 3
+        data = bytes(range(256)) * 5 + b"aaaaaaaa" * 40
+        assert _lzw_decode_pdf(lzw_encode(data)) == data
+        # chain order is left-to-right
+        payload = zlib.compress(b"chained", 6)
+        import base64
+
+        wrapped = base64.a85encode(payload) + b"~>"
+        assert _apply_filters(
+            wrapped, ["ASCII85Decode", "FlateDecode"]
+        ) == b"chained"
+
+    def test_corrupt_streams_name_the_filter(self):
+        pdfs = {
+            "LZWDecode": (
+                b"%PDF-1.4\n<< /Filter /LZWDecode /Length 4 >>\nstream\n"
+                b"\xff\xff\xff\xff\nendstream\n%%EOF"
+            ),
+            "ASCII85Decode": (
+                b"%PDF-1.4\n<< /Filter /ASCII85Decode /Length 6 >>\nstream\n"
+                b"\xffuuuu~>\nendstream\n%%EOF"
+            ),
+            "RunLengthDecode": (
+                b"%PDF-1.4\n<< /Filter /RunLengthDecode /Length 3 >>\n"
+                b"stream\n\x7fab\nendstream\n%%EOF"
+            ),
+        }
+        for name, pdf in pdfs.items():
+            r = extract_document(pdf)
+            assert r.extracted_text == "" and name in r.error, (name, r.error)
+
+    def test_unsupported_filter_passthrough_and_structural_raise(self):
+        """Byte-soup: a /DCTDecode stream passes through undecoded (no
+        crash, no phantom text).  Structural: a page whose /Contents
+        names an image filter raises with the filter named."""
+        jpeg_ish = b"\xff\xd8\xff\xdb" + bytes(range(40))
+        soup = (
+            b"%PDF-1.4\nstream\nBT 72 700 Td (visible) Tj ET\nendstream\n"
+            b"<< /Filter /DCTDecode /Length "
+            + str(len(jpeg_ish)).encode()
+            + b" >>\nstream\n"
+            + jpeg_ish
+            + b"\nendstream\n%%EOF"
+        )
+        r = extract_document(soup)
+        assert r.error == "" and r.extracted_text == "visible"
+        content = b"BT 72 700 Td (x) Tj ET"
+        structural = (
+            b"%PDF-1.5\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+            b"endobj\n"
+            b"4 0 obj << /Filter /DCTDecode /Length "
+            + str(len(content)).encode()
+            + b" >>\nstream\n"
+            + content
+            + b"\nendstream\nendobj\n%%EOF"
+        )
+        r = extract_document(structural)
+        assert r.extracted_text == "" and "DCTDecode" in r.error
+
+    def test_roundtrip_property(self):
+        """Hypothesis: arbitrary content-stream text survives every
+        filter form bit-exact (the whole body, not just fixtures)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from textextraction_spark.core.pdfblocks import (
+            _apply_filters,
+            _runlength_decode,
+        )
+        from textextraction_spark.sources.pages import _runlength_encode
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.binary(min_size=0, max_size=600))
+        def prop(raw):
+            import base64
+            import zlib
+
+            assert _runlength_decode(_runlength_encode(raw)) == raw
+            assert _apply_filters(raw.hex().encode() + b">",
+                                  ["ASCIIHexDecode"]) == raw
+            assert _apply_filters(base64.a85encode(raw) + b"~>",
+                                  ["ASCII85Decode"]) == raw
+            assert _apply_filters(
+                base64.a85encode(zlib.compress(raw)) + b"~>",
+                ["ASCII85Decode", "FlateDecode"],
+            ) == raw
+
+        prop()
 
 
 class TestParserRealismFamilies:

@@ -19,13 +19,18 @@ SEQUENTIALLY with the standard text-positioning operator set —
     ' / "     move-to-next-line-and-show (9.4.3; " also sets spacing)
 
 with PDF string escapes (named + octal) and hex-string whitespace/odd-
-digit rules, stored either raw or as a
-**FlateDecode** (zlib) compressed stream —
-``<< /Filter /FlateDecode /Length N >> stream ... endstream`` — which is
-how virtually every real-world PDF stores content streams (FlateDecode is
-plain zlib, stdlib-decodable; no external dependency).  Compressed
-streams are inflated in a pre-pass, then parsed identically to raw ones.
-A corrupt flate stream raises (→ the row's ``error`` column).
+digit rules, stored either raw or behind any chain of the FIVE standard
+non-image stream filters (PDF 32000-1 §7.4, all stdlib-decodable):
+**FlateDecode** (zlib — how virtually every modern producer stores
+content), **LZWDecode** (the pre-1.2 mainstay; TIFF §13 variant with
+EarlyChange=1), **ASCII85Decode** / **ASCIIHexDecode** (the 7-bit
+transport wrappers, usually chained in front of flate or LZW), and
+**RunLengthDecode** — ``/Filter`` names one or an array applied
+left-to-right.  Filtered streams are decoded in a pre-pass, then parsed
+identically to raw ones.  A corrupt stream raises with the failing
+filter named (→ the row's ``error`` column); image-only filters
+(DCTDecode, JBIG2Decode, ...) stay encoded, and a page whose /Contents
+names one raises rather than parsing garbage.
 
 Coordinates are PDF user-space-ish integer "pixels"; origin bottom-left, so
 reading order = y DESCENDING, then x ascending.  Anything outside this
@@ -92,18 +97,171 @@ _TJ_STR = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
 _ESC = re.compile(rb"\\([nrtbf()\\]|[0-7]{1,3})")
 _WS = re.compile(rb"\s")
 
-# FlateDecode object: dict carrying /Filter /FlateDecode, then the stream
-# keyword; /Length (when present) slices the exact payload — binary zlib
+# Filtered stream object: dict carrying /Filter, then the stream
+# keyword; /Length (when present) slices the exact payload — binary
 # bytes may legally contain the "endstream" token, so the length is
 # authoritative and the token search is only the fallback.  The dict body
 # admits ONE level of nested << >> (e.g. /DecodeParms << ... >>), the
 # real-world shape; deeper nesting is out of scope.
-_FLATE_OBJ = re.compile(
-    rb"<<(?P<dict>(?:[^<>]|<<[^<>]*>>)*?/FlateDecode(?:[^<>]|<<[^<>]*>>)*?)>>"
+_FILTER_OBJ = re.compile(
+    rb"<<(?P<dict>(?:[^<>]|<<[^<>]*>>)*?/Filter(?:[^<>]|<<[^<>]*>>)*?)>>"
     rb"\s*stream\r?\n"
 )
 _LENGTH = re.compile(rb"/Length\s+(\d+)")
 _ENDSTREAM = re.compile(rb"\s*endstream")
+
+# ------------------------------------------------------- stream filters
+# /Filter is a single name or an array applied left-to-right (PDF
+# 32000-1 §7.4).  The five standard non-image filters are implemented
+# in pure stdlib; image-only filters (DCTDecode, JBIG2Decode, ...)
+# stay encoded — they are never part of a text content stream, and a
+# page whose /Contents DOES name one raises (surfaced via the error
+# column) rather than parsing garbage.
+_FILTER_SPEC = re.compile(
+    rb"/Filter\s*(?:\[(?P<arr>[^\[\]]*)\]|/(?P<one>[A-Za-z0-9]+))"
+)
+_FILTER_NAME = re.compile(rb"/([A-Za-z0-9]+)")
+SUPPORTED_FILTERS = {
+    "FlateDecode",
+    "LZWDecode",
+    "ASCIIHexDecode",
+    "ASCII85Decode",
+    "RunLengthDecode",
+}
+
+
+def _filter_chain(dict_bytes: bytes) -> list[str]:
+    m = _FILTER_SPEC.search(dict_bytes)
+    if not m:
+        return []
+    if m.group("one") is not None:
+        return [m.group("one").decode("ascii")]
+    return [
+        n.group(1).decode("ascii")
+        for n in _FILTER_NAME.finditer(m.group("arr"))
+    ]
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """§7.4.2: hex pairs, whitespace ignored, '>' is EOD, an odd final
+    digit is padded with 0."""
+    body = data.split(b">", 1)[0]
+    h = _WS.sub(b"", body)
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii"))
+    except ValueError as e:
+        raise ValueError(f"corrupt ASCIIHexDecode stream: {e}") from None
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """§7.4.3: base-85 groups ('z' = four zero bytes), '~>' is EOD."""
+    import base64
+
+    body = _WS.sub(b"", data).split(b"~>", 1)[0]
+    try:
+        return base64.a85decode(body)
+    except ValueError as e:
+        raise ValueError(f"corrupt ASCII85Decode stream: {e}") from None
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """§7.4.5 (PackBits shape): length byte L < 128 -> L+1 literal
+    bytes; L > 128 -> the next byte repeated 257-L times; 128 is EOD
+    (and a stream without one is corrupt)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            if i + ln + 1 > n:
+                raise ValueError("corrupt RunLengthDecode stream: short literal")
+            out += data[i : i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                raise ValueError("corrupt RunLengthDecode stream: short run")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    raise ValueError("corrupt RunLengthDecode stream: missing EOD")
+
+
+def _lzw_decode_pdf(data: bytes) -> bytes:
+    """§7.4.4 LZWDecode with the default EarlyChange=1 — the TIFF §13
+    variant: MSB-first codes, initial width 9, ClearCode 256 / EOD 257,
+    width bump one code early (the decoder's table runs one entry
+    behind the writer's, so it fires at ``(1 << width) - 2``).
+    Duplicated from operators/tiff.py's strip decoder minus the
+    expected-length contract — core stays stdlib-only and must not
+    import the (pyspark-importing) operator layer."""
+    out = bytearray()
+    base: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width, prev = 9, None
+    bitbuf = nbits = pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("corrupt LZWDecode stream: no EOD")
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        bitbuf &= (1 << nbits) - 1
+        if code == 256:
+            table = list(base)
+            width, prev = 9, None
+            continue
+        if code == 257:
+            return bytes(out)
+        if prev is None:
+            if code > 255:
+                raise ValueError("corrupt LZWDecode stream: bad first code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("corrupt LZWDecode stream: code gap")
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        out += entry
+        if len(out) > 1 << 26:
+            raise ValueError("corrupt LZWDecode stream: runaway expansion")
+        prev = entry
+
+
+def _apply_filters(payload: bytes, chain: list[str]) -> bytes:
+    """Decode a fully-supported filter chain left-to-right; ValueError
+    (with the failing filter named) on corrupt data."""
+    for name in chain:
+        if name == "FlateDecode":
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error as e:
+                raise ValueError(
+                    f"corrupt FlateDecode stream: {e}"
+                ) from None
+        elif name == "LZWDecode":
+            payload = _lzw_decode_pdf(payload)
+        elif name == "ASCIIHexDecode":
+            payload = _ascii_hex_decode(payload)
+        elif name == "ASCII85Decode":
+            payload = _ascii85_decode(payload)
+        elif name == "RunLengthDecode":
+            payload = _runlength_decode(payload)
+        else:  # callers gate on SUPPORTED_FILTERS; belt and braces
+            raise ValueError(f"unsupported stream filter /{name}")
+    return payload
 
 
 def is_pdf(data: bytes) -> bool:
@@ -111,15 +269,16 @@ def is_pdf(data: bytes) -> bool:
 
 
 def _inflate_streams(data: bytes) -> bytes:
-    """Replace every FlateDecode stream object with its inflated content
-    (raising ValueError on corrupt zlib — surfaced via the error column).
-    Non-flate bytes pass through untouched, so mixed raw/compressed PDFs
-    parse with one code path."""
-    if b"/FlateDecode" not in data:
+    """Replace every filtered stream object whose /Filter chain is fully
+    supported with its decoded content (raising ValueError on corrupt
+    data — surfaced via the error column).  Unfiltered bytes and
+    streams with unsupported (image) filters pass through untouched, so
+    mixed raw/compressed PDFs parse with one code path."""
+    if b"/Filter" not in data:
         return data
     out = bytearray()
     pos = 0
-    for m in _FLATE_OBJ.finditer(data):
+    for m in _FILTER_OBJ.finditer(data):
         if m.start() < pos:  # overlapping match inside a consumed stream
             continue
         start = m.end()
@@ -134,19 +293,19 @@ def _inflate_streams(data: bytes) -> bytes:
         # bytes that can contain phantom BT..ET matches.  (Files with a
         # real page tree take the structural path and never get here.)
         dict_bytes = m.group("dict")
+        chain = _filter_chain(dict_bytes)
         if (
             _XREF_STM.search(dict_bytes)
             or _OBJSTM.search(dict_bytes)
             or _IMAGE_XOBJ.search(dict_bytes)
+            or not chain
+            or any(c not in SUPPORTED_FILTERS for c in chain)
         ):
             em = _ENDSTREAM.search(data, end)
             out += data[pos : m.start()]
             pos = em.end() if em else len(data)
             continue
-        try:
-            inflated = zlib.decompress(data[start:end])
-        except zlib.error as e:
-            raise ValueError(f"corrupt FlateDecode stream: {e}") from None
+        inflated = _apply_filters(data[start:end], chain)
         em = _ENDSTREAM.search(data, end)
         tail = em.end() if em else len(data)
         out += data[pos : m.start()]
@@ -157,7 +316,7 @@ def _inflate_streams(data: bytes) -> bytes:
 
 
 # ------------------------------------------------- structural mode (PDF 1.5)
-# One-level-nested dict body (same nesting budget as _FLATE_OBJ).
+# One-level-nested dict body (same nesting budget as _FILTER_OBJ).
 _ANCHORED_DICT = re.compile(rb"\s*(<<(?:[^<>]|<<[^<>]*>>)*>>)")
 _TOP_OBJ = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 _STREAM_KW = re.compile(rb"\s*stream\r?\n")
@@ -174,7 +333,6 @@ _XREF_STM = re.compile(rb"/Type\s*/XRef\b")
 _IMAGE_XOBJ = re.compile(rb"/Subtype\s*/Image\b")
 _N_KEY = re.compile(rb"/N\s+(\d+)\b")
 _FIRST_KEY = re.compile(rb"/First\s+(\d+)\b")
-_FLATE_KEY = re.compile(rb"/Filter\s*/FlateDecode\b")
 _INT = re.compile(rb"\d+")
 
 
@@ -211,13 +369,16 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             payload = data[start:end]
             em = _ENDSTREAM.search(data, end)
             guard = em.end() if em else len(data)
-            if _FLATE_KEY.search(d):
+            chain = _filter_chain(d)
+            if chain and all(c in SUPPORTED_FILTERS for c in chain):
                 try:
-                    payload = zlib.decompress(payload)
-                except zlib.error as e:
+                    payload = _apply_filters(payload, chain)
+                except ValueError as e:
                     raise ValueError(
-                        f"corrupt FlateDecode stream in obj {int(m.group(1))}: {e}"
+                        f"{e} in obj {int(m.group(1))}"
                     ) from None
+            # unsupported (image) chains stay encoded; _page_contents
+            # raises if such an object is actually used as content
         # later definitions win, matching incremental-update semantics
         objs[int(m.group(1))] = (d, payload)
     return objs
@@ -257,9 +418,20 @@ def _page_contents(objs: dict, page_dict: bytes) -> bytes:
         am = _CONTENTS_ARR.search(page_dict)
         if am:
             refs = [int(r.group(1)) for r in _REF.finditer(am.group(1))]
-    parts = [
-        objs[r][1] for r in refs if r in objs and objs[r][1] is not None
-    ]
+    parts = []
+    for r in refs:
+        if r not in objs or objs[r][1] is None:
+            continue
+        bad = [
+            c
+            for c in _filter_chain(objs[r][0])
+            if c not in SUPPORTED_FILTERS
+        ]
+        if bad:
+            raise ValueError(
+                f"unsupported content stream filter /{bad[0]} in obj {r}"
+            )
+        parts.append(objs[r][1])
     return b"\n".join(parts)
 
 

@@ -246,6 +246,33 @@ def total_amount_str(doc_id: int) -> str:
     return f"${1 + doc_id % 9},{doc_id % 1000:03d}.00"
 
 
+def _runlength_encode(data: bytes) -> bytes:
+    """RunLengthDecode's inverse (PDF 32000-1 §7.4.5, PackBits shape):
+    runs >= 3 as (257-n, byte), literal stretches in <=128-byte blocks,
+    terminated by the 128 EOD byte."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes((257 - run, data[i]))
+            i += run
+            continue
+        j = i + 1
+        while (
+            j < n
+            and j - i < 128
+            and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])
+        ):
+            j += 1
+        out += bytes((j - i - 1,)) + data[i:j]
+        i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
 def make_structural_pdf(page_bodies: list[str]) -> bytes:
     """A REAL PDF 1.5 object graph (how modern producers write files):
     top-level catalog, the page tree (/Pages node + /Type /Page dicts)
@@ -473,9 +500,34 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
         else:
             body = "".join(block_op(x, y, t) for x, y, t in blocks)
     if doc_id % 60 == 40:
-        payload = zlib.compress(body.encode("latin-1"), level=6)
+        # the four compressed residues (mod 240: 40/100/160/220) each
+        # take a different standard filter form — extracted text is
+        # invariant, so every existing oracle transitively gates every
+        # decode path (PDF 32000-1 §7.4):
+        #   40  -> /FlateDecode                      (modern default)
+        #   100 -> /LZWDecode                        (pre-1.2 producers)
+        #   160 -> [/ASCII85Decode /FlateDecode]     (7-bit transport chain)
+        #   220 -> [/ASCIIHexDecode /RunLengthDecode]
+        raw = body.encode("latin-1")
+        form = doc_id % 240
+        if form == 100:
+            from textextraction_spark.operators.tiff import lzw_encode
+
+            payload, filt = lzw_encode(raw), b"/LZWDecode"
+        elif form == 160:
+            import base64
+
+            payload = base64.a85encode(zlib.compress(raw, 6)) + b"~>"
+            filt = b"[/ASCII85Decode /FlateDecode]"
+        elif form == 220:
+            payload = _runlength_encode(raw).hex().encode("ascii") + b">"
+            filt = b"[/ASCIIHexDecode /RunLengthDecode]"
+        else:
+            payload, filt = zlib.compress(raw, 6), b"/FlateDecode"
         return (
-            b"%PDF-1.4\n<< /Filter /FlateDecode /Length "
+            b"%PDF-1.4\n<< /Filter "
+            + filt
+            + b" /Length "
             + str(len(payload)).encode()
             + b" >>\nstream\n"
             + payload
