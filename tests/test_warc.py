@@ -550,3 +550,127 @@ class TestThirdPartyCrossValidation:
                         assert rec.content_stream().read()
                         n += 1
         assert n == pages.count()
+
+
+class TestWat:
+    """Round-5: WAT — the metadata third of the Common Crawl triple.
+    The envelope is built entirely JVM-side (to_json over structs +
+    codegen'd regexp mining), written as WARC *metadata* records, and
+    read back through the same zero-shuffle scan shape."""
+
+    def _titled_pages(self, spark):
+        rows = [
+            (
+                f"https://wat.example.com/p/{i}",
+                TS,
+                (
+                    f"<html><head><title>Page {i}</title></head><body>"
+                    + "".join(f'<a href=/l{i}.{j}>x</a>' for j in range(i % 4))
+                    + "<p>body</p></body></html>"
+                ).encode(),
+            )
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+
+    def test_roundtrip_titles_and_links(self, spark, tmp_path):
+        from textextraction_spark.sources.warc import (
+            build_wat,
+            parse_wat,
+            read_wat,
+            write_wat_dir,
+        )
+
+        pages = self._titled_pages(spark)
+        manifest = write_wat_dir(build_wat(pages).repartition(2), str(tmp_path))
+        assert sum(r.n_records for r in manifest) == 40
+        assert all(r.path.endswith(".warc.wat.gz") for r in manifest)
+        got = {
+            (r.url, r.title, tuple(r.links or []))
+            for r in parse_wat(read_wat(spark, str(tmp_path))).collect()
+        }
+        want = {
+            (
+                f"https://wat.example.com/p/{i}",
+                f"Page {i}",
+                tuple(f"/l{i}.{j}" for j in range(i % 4)),
+            )
+            for i in range(40)
+        }
+        assert got == want
+
+    def test_wat_record_shape_and_join_key(self, spark, tmp_path):
+        """WARC-Type metadata, application/json payload, and Refers-To
+        equal to the response record's id — the join key back to the
+        page capture."""
+        import hashlib
+        import json
+
+        from textextraction_spark.sources.warc import (
+            build_wat,
+            warc_record_bytes,
+            write_wat_dir,
+        )
+
+        pages = self._titled_pages(spark).limit(5)
+        write_wat_dir(build_wat(pages).coalesce(1), str(tmp_path), compress=False)
+        raw = open(
+            str(tmp_path / "part-00000.warc.wat"), "rb"
+        ).read()
+        assert b"WARC-Type: metadata" in raw
+        assert b"Content-Type: application/json" in raw
+        for url, _ts, body, _cs in iter_warc_records(raw, ("metadata",)):
+            src_id = hashlib.md5(url.encode()).hexdigest()
+            assert f"<urn:md5:{src_id}>".encode() in raw
+            # the same id the response record carries
+            assert f"urn:md5:{src_id}".encode() in warc_record_bytes(
+                url, TS, b"x"
+            )
+            env = json.loads(body)["Envelope"]
+            assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == url
+
+    def test_three_formats_share_a_tree(self, spark, tmp_path):
+        """WARC + WET + WAT segments and their three CDX dirs coexist;
+        each reader sees only its own records."""
+        from textextraction_spark.sources.warc import (
+            build_wat,
+            read_wet,
+            read_wat,
+            write_wat_dir,
+            write_wet_dir,
+        )
+
+        pages = _pages_min(spark).limit(20).coalesce(1)
+        write_warc_dir(pages, str(tmp_path))
+        write_wet_dir(
+            extract_pages(pages).select("url", "warc_ts", "extracted_text"),
+            str(tmp_path),
+        )
+        write_wat_dir(build_wat(pages).coalesce(1), str(tmp_path))
+        assert read_warc(spark, str(tmp_path)).count() == 20
+        assert read_wet(spark, str(tmp_path)).count() == 20
+        assert read_wat(spark, str(tmp_path)).count() == 20
+        for d in ("cdx", "cdx-wet", "cdx-wat"):
+            assert spark.read.parquet(str(tmp_path / d)).count() == 20
+
+    def test_parse_wat_malformed_json_nulls(self, spark):
+        from textextraction_spark.sources.warc import parse_wat
+
+        df = spark.createDataFrame(
+            [("u", TS, "{not json"), ("v", TS, "{}")],
+            "url string, warc_ts timestamp, wat string",
+        )
+        rows = {r.url: (r.title, r.links) for r in parse_wat(df).collect()}
+        assert rows["u"] == (None, None) and rows["v"] == (None, None)
+
+    def test_build_wat_plan_is_jvm_only(self, spark):
+        from textextraction_spark.sources.warc import build_wat
+
+        p = (
+            build_wat(self._titled_pages(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in p
+        assert "EvalPython" not in p and "ArrowEval" not in p

@@ -58,9 +58,10 @@ _CHUNK_RECORDS = 4096
 
 # page-segment glob: matches x.warc / x.warc.gz but NOT x.warc.wet.gz
 _WARC_GLOB = "*.warc{,.gz}"
-# index subdirs: page and WET indexes live side by side, never clobber
+# index subdirs: page, WET, and WAT indexes live side by side, never clobber
 _CDX_DIR = "cdx"
 _CDX_WET_DIR = "cdx-wet"
+_CDX_WAT_DIR = "cdx-wat"
 
 
 # --------------------------------------------------------------------------
@@ -113,6 +114,27 @@ def wet_record_bytes(url: str, ts: datetime, text: str) -> bytes:
         f"WARC-Record-ID: <urn:md5:{rec_id}>\r\n"
         f"WARC-Refers-To: <urn:md5:{src_id}>\r\n"
         "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n"
+    ).encode("utf-8")
+    return head + b"\r\n" + body + _CRLF2
+
+
+def wat_record_bytes(url: str, ts: datetime, wat_json: str) -> bytes:
+    """One WARC *metadata* record — the WAT form Common Crawl publishes
+    for per-capture metadata (page head fields + outgoing links as a
+    JSON envelope).  Refers-To points at the response record's
+    url-derived id, so WAT rows join back to their page captures."""
+    body = wat_json.encode("utf-8")
+    src_id = hashlib.md5(url.encode("utf-8")).hexdigest()
+    rec_id = hashlib.md5(b"wat:" + url.encode("utf-8")).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: metadata\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime(_TS_FMT)}\r\n"
+        f"WARC-Record-ID: <urn:md5:{rec_id}>\r\n"
+        f"WARC-Refers-To: <urn:md5:{src_id}>\r\n"
+        "Content-Type: application/json\r\n"
         f"Content-Length: {len(body)}\r\n"
     ).encode("utf-8")
     return head + b"\r\n" + body + _CRLF2
@@ -537,6 +559,146 @@ def read_wet(spark, path: str):
     )
     return files.mapInArrow(
         _parse_wet_batches, schema="url string, warc_ts timestamp, extracted_text string"
+    )
+
+
+# --------------------------------------------------------------------------
+# WAT: the metadata third of the Common Crawl triple (WARC/WAT/WET)
+# --------------------------------------------------------------------------
+def build_wat(pages):
+    """pages ``(url, warc_ts, html)`` -> ``(url, warc_ts, wat)`` with the
+    WAT JSON envelope built ENTIRELY JVM-side — ``to_json`` over nested
+    structs, title/link mining via codegen'd ``regexp_extract_all`` —
+    zero Python in the plan, zero exchanges.  Envelope shape follows
+    Common Crawl's published WAT layout:
+    ``Envelope.WARC-Header-Metadata.{WARC-Target-URI, WARC-Date}`` and
+    ``Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata
+    .{Head.Title, Links[].url}``.  The html bytes are read through the
+    LENIENT binary->string cast (not strict ``decode``): at corpus
+    scale a single legacy-charset or transport-compressed page must
+    yield an empty-metadata WAT row, never kill the job — callers that
+    want mined metadata for those families route them through the
+    extraction kernel's charset layer first (the
+    ``operators.graph.anchor_corpus`` contract)."""
+    from pyspark.sql import functions as F
+
+    dec = F.col("html").cast("string")
+    title = F.regexp_extract(dec, "<title>([^<]*)</title>", 1)
+    links = F.regexp_extract_all(dec, F.lit("<a href=([^>]*)>"), 1)
+    envelope = F.struct(
+        F.struct(
+            F.col("url").alias("WARC-Target-URI"),
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "WARC-Date"
+            ),
+        ).alias("WARC-Header-Metadata"),
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.struct(title.alias("Title")).alias("Head"),
+                    F.transform(
+                        links, lambda u: F.struct(u.alias("url"))
+                    ).alias("Links"),
+                ).alias("HTML-Metadata")
+            ).alias("HTTP-Response-Metadata")
+        ).alias("Payload-Metadata"),
+    ).alias("Envelope")
+    return pages.select(
+        "url", "warc_ts", F.to_json(F.struct(envelope)).alias("wat")
+    )
+
+
+def write_wat_dir(df, out_dir: str, compress: bool = True, index: bool = True):
+    """Write ``(url, warc_ts, wat)`` rows (see ``build_wat``) as WAT
+    segments (``part-{pid}.warc.wat.gz``, WARC *metadata* records with
+    JSON payloads).  Same layout and manifest contract as
+    ``write_warc_dir``; the index lands in ``{out_dir}/cdx-wat``."""
+    return _write_segment_dir(
+        df, out_dir, compress, index, "wat", wat_record_bytes,
+        ".warc.wat", _CDX_WAT_DIR,
+    )
+
+
+def _parse_wat_batches(batches):
+    yield from _parse_batches_gen(batches, ("metadata",), "wat", True)
+
+
+def read_wat(spark, path: str):
+    """WAT segments -> DataFrame ``(url, warc_ts, wat)`` (raw JSON
+    column).  Same zero-shuffle binaryFile + mapInArrow shape as
+    ``read_warc``; use ``parse_wat`` for typed columns."""
+    from textextraction_spark.job.packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wat*")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("content")
+    )
+    return files.mapInArrow(
+        _parse_wat_batches, schema="url string, warc_ts timestamp, wat string"
+    )
+
+
+def parse_wat(df):
+    """``(url, warc_ts, wat)`` -> ``(url, warc_ts, title, links)`` via a
+    JVM-side ``from_json`` against the envelope schema (no Python)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    html_meta = T.StructType(
+        [
+            T.StructField(
+                "Head",
+                T.StructType([T.StructField("Title", T.StringType())]),
+            ),
+            T.StructField(
+                "Links",
+                T.ArrayType(
+                    T.StructType([T.StructField("url", T.StringType())])
+                ),
+            ),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField(
+                "Envelope",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "Payload-Metadata",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "HTTP-Response-Metadata",
+                                        T.StructType(
+                                            [
+                                                T.StructField(
+                                                    "HTML-Metadata",
+                                                    html_meta,
+                                                )
+                                            ]
+                                        ),
+                                    )
+                                ]
+                            ),
+                        )
+                    ]
+                ),
+            )
+        ]
+    )
+    meta = F.from_json("wat", schema)[
+        "Envelope"
+    ]["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    return df.select(
+        "url",
+        "warc_ts",
+        meta["Head"]["Title"].alias("title"),
+        F.transform(meta["Links"], lambda s: s["url"]).alias("links"),
     )
 
 
