@@ -68,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
         "segments (WARC conversion records + CDX index)",
     )
     ap.add_argument(
+        "--export-wat", metavar="DIR",
+        help="after the batch commits, export per-page metadata (title "
+        "+ outgoing links in the Common Crawl WAT JSON envelope) as WAT "
+        "segments (WARC metadata records + cdx-wat index)",
+    )
+    ap.add_argument(
         "--profile-output", metavar="DIR",
         help="after the batch commits, write the per-url curation "
         "profile (token/quality/lang/fingerprint/PII/repetition "
@@ -147,6 +153,14 @@ def main(argv: list[str] | None = None) -> int:
         results = CheckpointCatalog(args.checkpoint).results(spark)
         write_wet_dir(
             results.select("url", "warc_ts", "extracted_text"), args.export_wet
+        )
+    if args.export_wat:
+        from textextraction_spark.sources.warc import build_wat, write_wat_dir
+
+        # WAT derives from the PAGES side (head/link metadata of the
+        # raw captures), not from extraction results
+        write_wat_dir(
+            build_wat(pages.select("url", "warc_ts", "html")), args.export_wat
         )
     if args.profile_output:
         from textextraction_spark.io.checkpoint import CheckpointCatalog

@@ -663,6 +663,36 @@ class TestWat:
         rows = {r.url: (r.title, r.links) for r in parse_wat(df).collect()}
         assert rows["u"] == (None, None) and rows["v"] == (None, None)
 
+    def test_cli_export_wat(self, spark, tmp_path):
+        """job.py --export-wat publishes the pages side's metadata next
+        to the extraction commit (the Common Crawl triple from one
+        invocation)."""
+        from job import main
+        from textextraction_spark.sources.warc import parse_wat, read_wat
+
+        pages = self._titled_pages(spark).limit(10).coalesce(1)
+        write_warc_dir(pages, str(tmp_path / "crawl"))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            rc = main([
+                "--input", str(tmp_path / "crawl"),
+                "--input-format", "warc",
+                "--checkpoint", str(tmp_path / "ckpt"),
+                "--batch-id", "b1",
+                "--partitions", "4",
+                "--export-wat", str(tmp_path / "wat"),
+            ])
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert rc == 0
+        got = {
+            (r.url, r.title)
+            for r in parse_wat(read_wat(spark, str(tmp_path / "wat"))).collect()
+        }
+        assert got == {
+            (f"https://wat.example.com/p/{i}", f"Page {i}") for i in range(10)
+        }
+
     def test_build_wat_plan_is_jvm_only(self, spark):
         from textextraction_spark.sources.warc import build_wat
 
