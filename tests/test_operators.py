@@ -4332,3 +4332,86 @@ class TestDispatchSheets:
         with zipfile.ZipFile(buf, "w") as zf:
             zf.writestr("data/blob.bin", b"\x00\x01")
         assert sniff_format(buf.getvalue()) == "html"
+
+
+class TestRefinedWebLines:
+    """Round-5: RefinedWeb §G.2 line-wise filters (curation suite) —
+    SHOUTING / numeric / counter / one-word navigation-residue lines
+    removed per line, document dropped when the filters removed too
+    much of it.  Pure JVM higher-order functions, zero shuffle."""
+
+    def test_planted_families_and_verdicts(self, spark):
+        from textextraction_spark.operators.curation import (
+            RW_MIN_KEEP_FRAC,
+            refinedweb_lines,
+        )
+
+        texts = {
+            d: t
+            for d, t in connect_duckdb(SF)
+            .execute("select doc_id, text from documents")
+            .fetchall()
+        }
+        rows = {r.doc_id: r for r in refinedweb_lines(spark, SF).collect()}
+        for d, r in rows.items():
+            fam = d % 5
+            planted = (
+                r.n_upper if fam == 0 else r.n_numeric if fam == 1
+                else r.n_counter if fam == 2 else r.n_oneword if fam == 3
+                else 0
+            )
+            # a SHORT doc's second content slice is a single word — the
+            # one-word rule legitimately drops it (residue and content
+            # are indistinguishable at that granularity)
+            tail = texts[d][44:79]
+            tail_oneword = 1 if tail and " " not in tail else 0
+            if d % 10 == 5:  # the mostly-residue family
+                assert (r.n_lines, r.n_upper, r.n_numeric) == (5, 2, 1), d
+                assert not r.doc_keep, d
+                assert r.keep_frac == round((2 - tail_oneword) / 5, 6), d
+            else:
+                assert r.n_lines == 3, d
+                extra = tail_oneword if fam == 3 else 0
+                assert planted == (0 if fam == 4 else 1) + extra, d
+                if fam != 3:
+                    assert r.n_oneword == tail_oneword, d
+                kept = 3 - (0 if fam == 4 else 1) - tail_oneword
+                assert r.keep_frac == round(kept / 3, 6), d
+                assert r.doc_keep == (kept / 3 >= RW_MIN_KEEP_FRAC), d
+            # cleaned text keeps only surviving lines, content first
+            assert "SHARE THIS ARTICLE" not in r.cleaned
+            assert "\nMenu" not in r.cleaned
+            assert r.cleaned.count("\n") + 1 == round(
+                r.keep_frac * r.n_lines
+            ), d
+
+    def test_first_match_categories_disjoint(self, spark):
+        """A numeric line is also one-word; first-match order must
+        count it once, as numeric (the %10==5 family's '4242')."""
+        from textextraction_spark.operators.curation import refinedweb_lines
+
+        r = {r.doc_id: r for r in refinedweb_lines(spark, SF).collect()}[5]
+        assert r.n_numeric == 1 and r.n_oneword == 0
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.curation import (
+            REFINEDWEB_LINES_ORACLE,
+            refinedweb_lines,
+        )
+
+        got = refinedweb_lines(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(REFINEDWEB_LINES_ORACLE).df()
+        problems = compare("refinedweb_lines", got, want)
+        assert not problems, problems
+
+    def test_zero_shuffle_plan(self, spark):
+        from textextraction_spark.operators.curation import refinedweb_lines
+
+        p = (
+            refinedweb_lines(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert p.count("Exchange") == 0, p
+        assert "EvalPython" not in p

@@ -957,3 +957,132 @@ SELECT 'gq' AS tag, doc_id, NULL, NULL, NULL, n_words, NULL, NULL, NULL,
        n_stop_distinct
 FROM gqx
 """
+
+
+# ------------------------------------------------------- RefinedWeb lines
+# Line-wise correction filters (Falcon RefinedWeb, Penedo et al. 2023
+# §G.2, arXiv:2306.01116): after boilerplate stripping, individual
+# SHOUTING / numeric / social-counter / one-word lines are navigation
+# residue — remove the line, and drop the whole document when the
+# filters removed too much of it (the document was mostly residue).
+# Rules are applied per line, first match names the category:
+#   upper    the line equals its own uppercasing (and has a letter)
+#   numeric  digits only
+#   counter  "<n> likes|comments|shares|views"
+#   oneword  a single non-empty token
+# Doc verdict: keep iff kept_lines / total_lines >= RW_MIN_KEEP_FRAC.
+#
+# The driver corpus is a single unstructured line, so the fixture
+# builds a multi-line page: two content slices of the real text around
+# a planted line chosen by doc_id % 5 (four violations + one clean),
+# and doc_id % 10 == 5 plants TWO extra junk lines so its kept
+# fraction (2/5) falls below the threshold and the DOCUMENT drops —
+# both engines rebuild the page from the same formula and the rules
+# run as real predicates over it.  Zero-shuffle narrow projection (the
+# curation-suite invariant).
+RW_MIN_KEEP_FRAC = 0.5
+_RW_COUNTER_RE = "^[0-9]+ (likes|comments|shares|views)$"
+
+_RW_AUG_SPARK = """
+concat_ws(char(10),
+  substring(text, 1, 40),
+  CASE cast(doc_id % 5 as int)
+    WHEN 0 THEN 'SHARE THIS ARTICLE'
+    WHEN 1 THEN cast(doc_id as string)
+    WHEN 2 THEN concat(cast(doc_id % 97 as string), ' likes')
+    WHEN 3 THEN 'Menu'
+    ELSE 'more normal content here' END,
+  substring(text, 45, 35))
+"""
+
+_RW_AUG_DUCK = """
+concat_ws(chr(10),
+  substring(text, 1, 40),
+  CASE (doc_id % 5)
+    WHEN 0 THEN 'SHARE THIS ARTICLE'
+    WHEN 1 THEN doc_id::VARCHAR
+    WHEN 2 THEN (doc_id % 97)::VARCHAR || ' likes'
+    WHEN 3 THEN 'Menu'
+    ELSE 'more normal content here' END,
+  substring(text, 45, 35))
+"""
+_RW_EXTRA_SPARK = (
+    "CASE WHEN doc_id % 10 = 5 THEN concat(char(10), 'LOUD JUNK LINE', "
+    "char(10), '4242') ELSE '' END"
+)
+_RW_EXTRA_DUCK = (
+    "CASE WHEN doc_id % 10 = 5 THEN chr(10) || 'LOUD JUNK LINE' || "
+    "chr(10) || '4242' ELSE '' END"
+)
+
+# per-line predicates (x = the line), Spark SQL lambda body
+_RW_UPPER = "(x = upper(x) AND x rlike '[A-Z]')"
+_RW_NUMERIC = "x rlike '^[0-9]+$'"
+_RW_COUNTER = f"x rlike '{_RW_COUNTER_RE}'"
+_RW_ONEWORD = "(x != '' AND NOT contains(trim(x), ' '))"
+_RW_DROP = f"({_RW_UPPER} OR {_RW_NUMERIC} OR {_RW_COUNTER} OR {_RW_ONEWORD})"
+
+
+def refinedweb_lines(spark, sf_dir: str):
+    """(doc_id, n_lines, n_upper, n_numeric, n_counter, n_oneword,
+    keep_frac, doc_keep, cleaned): RefinedWeb §G.2 line-wise filters as
+    pure JVM higher-order functions — split -> per-line predicate
+    lambdas -> filter/size — no shuffle, no Python.  Per-line category
+    counts use first-match order (upper > numeric > counter > oneword);
+    ``cleaned`` is the surviving text and ``doc_keep`` the document
+    verdict (kept fraction >= RW_MIN_KEEP_FRAC)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        f"split(concat(({_RW_AUG_SPARK}), {_RW_EXTRA_SPARK}), '\\n') AS ls",
+    )
+    return d.selectExpr(
+        "doc_id",
+        "cast(size(ls) as bigint) AS n_lines",
+        f"cast(size(filter(ls, x -> {_RW_UPPER})) as bigint) AS n_upper",
+        f"cast(size(filter(ls, x -> NOT {_RW_UPPER} AND {_RW_NUMERIC}))"
+        " as bigint) AS n_numeric",
+        f"cast(size(filter(ls, x -> NOT {_RW_UPPER} AND NOT {_RW_NUMERIC}"
+        f" AND {_RW_COUNTER})) as bigint) AS n_counter",
+        f"cast(size(filter(ls, x -> NOT {_RW_UPPER} AND NOT {_RW_NUMERIC}"
+        f" AND NOT {_RW_COUNTER} AND {_RW_ONEWORD})) as bigint)"
+        " AS n_oneword",
+        f"round(size(filter(ls, x -> NOT {_RW_DROP})) / size(ls), 6)"
+        " AS keep_frac",
+        f"(size(filter(ls, x -> NOT {_RW_DROP})) / size(ls))"
+        f" >= {RW_MIN_KEEP_FRAC} AS doc_keep",
+        f"array_join(filter(ls, x -> NOT {_RW_DROP}), char(10)) AS cleaned",
+    )
+
+
+# DuckDB twin: list_filter + regexp_matches over the same built page
+_RWD_UPPER = "(x = upper(x) AND regexp_matches(x, '[A-Z]'))"
+_RWD_NUMERIC = "regexp_matches(x, '^[0-9]+$')"
+_RWD_COUNTER = f"regexp_matches(x, '{_RW_COUNTER_RE}')"
+_RWD_ONEWORD = "(x <> '' AND NOT contains(trim(x), ' '))"
+_RWD_DROP = (
+    f"({_RWD_UPPER} OR {_RWD_NUMERIC} OR {_RWD_COUNTER} OR {_RWD_ONEWORD})"
+)
+
+REFINEDWEB_LINES_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         str_split(({_RW_AUG_DUCK}) || ({_RW_EXTRA_DUCK}), chr(10)) AS ls
+  FROM documents
+)
+SELECT doc_id,
+       len(ls)::BIGINT AS n_lines,
+       len(list_filter(ls, x -> {_RWD_UPPER}))::BIGINT AS n_upper,
+       len(list_filter(ls, x -> NOT {_RWD_UPPER} AND {_RWD_NUMERIC}))::BIGINT
+           AS n_numeric,
+       len(list_filter(ls, x -> NOT {_RWD_UPPER} AND NOT {_RWD_NUMERIC}
+           AND {_RWD_COUNTER}))::BIGINT AS n_counter,
+       len(list_filter(ls, x -> NOT {_RWD_UPPER} AND NOT {_RWD_NUMERIC}
+           AND NOT {_RWD_COUNTER} AND {_RWD_ONEWORD}))::BIGINT AS n_oneword,
+       round(len(list_filter(ls, x -> NOT {_RWD_DROP}))
+             / CAST(len(ls) AS DOUBLE), 6) AS keep_frac,
+       (len(list_filter(ls, x -> NOT {_RWD_DROP}))
+        / CAST(len(ls) AS DOUBLE)) >= {RW_MIN_KEEP_FRAC} AS doc_keep,
+       array_to_string(list_filter(ls, x -> NOT {_RWD_DROP}), chr(10))
+           AS cleaned
+FROM d
+"""
