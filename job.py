@@ -107,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
             args.stream_checkpoint,
             num_partitions=args.partitions,
             input_format=args.input_format,
+            wet_dir=args.export_wet,
         )
         q.awaitTermination()
         return 0

@@ -187,3 +187,48 @@ class TestStreamingDedup:
         got = spark.table("dedup_urls").toPandas()
         assert len(got) == 100
         assert got["url"].nunique() == 100
+
+
+class TestStreamingWetExport:
+    def test_micro_batches_publish_wet_segments(self, spark, tmp_path):
+        """Continuous crawl-in -> published-text-out: with wet_dir set,
+        every micro-batch appends epoch-prefixed WET segments + cdx-wet
+        rows; two epochs coexist (no clobber) and the read-back equals
+        the committed extraction results."""
+        from textextraction_spark.sources.warc import read_wet
+
+        pages_dir = str(tmp_path / "pages")
+        ckpt = str(tmp_path / "ckpt")
+        sckpt = str(tmp_path / "sckpt")
+        wet = str(tmp_path / "wet")
+        _write_pages(spark, pages_dir, limit=80)
+
+        q = run_streaming_extraction(
+            spark, pages_dir, ckpt, sckpt, num_partitions=4, wet_dir=wet
+        )
+        q.awaitTermination(120)
+        _write_pages(spark, pages_dir, limit=40, skip=80)
+        q2 = run_streaming_extraction(
+            spark, pages_dir, ckpt, sckpt, num_partitions=4, wet_dir=wet
+        )
+        q2.awaitTermination(120)
+
+        import os
+
+        segs = sorted(
+            f for f in os.listdir(wet) if f.endswith(".warc.wet.gz")
+        )
+        epochs = {f.split("-")[1] for f in segs}
+        assert len(epochs) >= 2, segs  # no epoch clobbered another
+        res = CheckpointCatalog(ckpt).results(spark)
+        want = {
+            (r.url, r.extracted_text)
+            for r in res.select("url", "extracted_text").collect()
+        }
+        got = {
+            (r.url, r.extracted_text)
+            for r in read_wet(spark, wet).collect()
+        }
+        assert got == want and len(want) == 120
+        # appended cdx-wet covers every published record
+        assert spark.read.parquet(str(tmp_path / "wet" / "cdx-wet")).count() == 120

@@ -447,8 +447,14 @@ CDX_SCHEMA = (
 
 def _write_segment_dir(
     df, out_dir: str, compress: bool, index: bool, value_col: str, rec_fn, ext: str,
-    cdx_dir: str,
+    cdx_dir: str, prefix: str = "part", cdx_mode: str = "overwrite",
+    collect_manifest: bool = True,
 ):
+    """``prefix`` / ``cdx_mode='append'`` / ``collect_manifest=False``
+    are the STREAMING knobs: per-micro-batch exports name segments by
+    epoch so epochs never clobber each other, append their CDX rows,
+    and skip the driver-side manifest (which would re-read the whole
+    accumulated index every epoch)."""
     import pandas as pd
     from pyspark import TaskContext
     from pyspark.sql import functions as F
@@ -458,7 +464,7 @@ def _write_segment_dir(
 
     def _write(pdfs):
         pid = TaskContext.get().partitionId()
-        name = f"part-{pid:05d}{ext}" + (".gz" if compress else "")
+        name = f"{prefix}-{pid:05d}{ext}" + (".gz" if compress else "")
         records: list[tuple[str, datetime, object]] = []
         for pdf in pdfs:
             for url, ts, val in zip(pdf["url"], pdf["warc_ts"], pdf[value_col]):
@@ -489,7 +495,9 @@ def _write_segment_dir(
     )
     if index:
         # the parquet write is the action that drives the segment writes
-        cdx.write.mode("overwrite").parquet(os.path.join(out_dir, cdx_dir))
+        cdx.write.mode(cdx_mode).parquet(os.path.join(out_dir, cdx_dir))
+        if not collect_manifest:
+            return None
         manifest = (
             df.sparkSession.read.parquet(os.path.join(out_dir, cdx_dir))
             .groupBy("filename")
@@ -510,7 +518,8 @@ def _write_segment_dir(
     )
 
 
-def write_warc_dir(df, out_dir: str, compress: bool = True, index: bool = True):
+def write_warc_dir(df, out_dir: str, compress: bool = True, index: bool = True,
+                   **stream_kw):
     """Write ``(url, warc_ts, html)`` out as ``part-{pid}.warc.gz`` files,
     one per partition, returning the (tiny) per-file manifest as a list
     of Rows ``(path, n_records)``.
@@ -526,11 +535,13 @@ def write_warc_dir(df, out_dir: str, compress: bool = True, index: bool = True):
     rows and stays fully distributed; the only driver-side collect is
     the per-FILE manifest aggregated from it."""
     return _write_segment_dir(
-        df, out_dir, compress, index, "html", warc_record_bytes, ".warc", _CDX_DIR
+        df, out_dir, compress, index, "html", warc_record_bytes, ".warc",
+        _CDX_DIR, **stream_kw
     )
 
 
-def write_wet_dir(df, out_dir: str, compress: bool = True, index: bool = True):
+def write_wet_dir(df, out_dir: str, compress: bool = True, index: bool = True,
+                  **stream_kw):
     """Write extraction RESULTS ``(url, warc_ts, extracted_text)`` as WET
     segments (``part-{pid}.warc.wet.gz``, WARC *conversion* records) —
     the format Common Crawl publishes extracted plain text in, i.e. the
@@ -540,7 +551,7 @@ def write_wet_dir(df, out_dir: str, compress: bool = True, index: bool = True):
     without clobbering each other's CDX."""
     return _write_segment_dir(
         df, out_dir, compress, index, "extracted_text", wet_record_bytes,
-        ".warc.wet", _CDX_WET_DIR,
+        ".warc.wet", _CDX_WET_DIR, **stream_kw
     )
 
 
@@ -608,14 +619,15 @@ def build_wat(pages):
     )
 
 
-def write_wat_dir(df, out_dir: str, compress: bool = True, index: bool = True):
+def write_wat_dir(df, out_dir: str, compress: bool = True, index: bool = True,
+                  **stream_kw):
     """Write ``(url, warc_ts, wat)`` rows (see ``build_wat``) as WAT
     segments (``part-{pid}.warc.wat.gz``, WARC *metadata* records with
     JSON payloads).  Same layout and manifest contract as
     ``write_warc_dir``; the index lands in ``{out_dir}/cdx-wat``."""
     return _write_segment_dir(
         df, out_dir, compress, index, "wat", wat_record_bytes,
-        ".warc.wat", _CDX_WAT_DIR,
+        ".warc.wat", _CDX_WAT_DIR, **stream_kw
     )
 
 

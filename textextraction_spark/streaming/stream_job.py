@@ -34,6 +34,7 @@ def run_streaming_extraction(
     num_partitions: int = 8,
     trigger: dict | None = None,
     input_format: str = "parquet",
+    wet_dir: str | None = None,
 ):
     """Start the streaming extraction over a pages directory.
 
@@ -44,6 +45,10 @@ def run_streaming_extraction(
     micro-batch through the same ``mapInArrow`` parser as the batch path.
     trigger: e.g. {"processingTime": "2 minutes"} (the reference's poll
     cadence) or {"availableNow": True} (drain-and-stop, used by tests).
+    wet_dir: when set, each micro-batch also PUBLISHES its extraction
+    results as WET segments there — epoch-prefixed file names so epochs
+    never clobber each other, cdx-wet rows appended, no per-epoch
+    manifest collect (continuous crawl-in -> published-text-out).
     Returns the StreamingQuery; caller awaits/stops it.
     """
     catalog = CheckpointCatalog(checkpoint_root)
@@ -74,6 +79,16 @@ def run_streaming_extraction(
             F.lit(f"epoch-{epoch_id}").alias("batch_id"),
         )
         catalog.write_batch(extracted, f"epoch-{epoch_id}")
+        if wet_dir:
+            from textextraction_spark.sources.warc import write_wet_dir
+
+            write_wet_dir(
+                extracted.select("url", "warc_ts", "extracted_text"),
+                wet_dir,
+                prefix=f"epoch-{epoch_id}",
+                cdx_mode="append",
+                collect_manifest=False,
+            )
 
     writer = (
         stream.writeStream.foreachBatch(commit_batch)
