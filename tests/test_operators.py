@@ -4415,3 +4415,71 @@ class TestRefinedWebLines:
         )
         assert p.count("Exchange") == 0, p
         assert "EvalPython" not in p
+
+
+class TestTemperatureMix:
+    """Round-5: multilingual temperature sampling (mC4/XLM-R
+    p_lang^(1/T)) with the UniMax epoch cap — the language twin of
+    domain_mix, one tiny broadcast aggregate over a narrow corpus."""
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.packing import (
+            TEMPERATURE_MIX_ORACLE,
+            temperature_mix,
+        )
+
+        got = temperature_mix(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(TEMPERATURE_MIX_ORACLE).df()
+        problems = compare("temperature_mix", got, want)
+        assert not problems, problems
+
+    def test_direction_and_expectation(self, spark):
+        """The majority language downsamples, minorities upsample, and
+        realized copies track the factor in expectation (the md5 coin
+        is deterministic, so the realized mix is a fixed number)."""
+        import math
+
+        from textextraction_spark.operators.packing import (
+            MIX_TEMPERATURE,
+            temperature_mix,
+        )
+
+        df = temperature_mix(spark, SF).toPandas()
+        by = df.groupby("lang")
+        factors = by["factor"].first()
+        toks = by["n_tokens"].sum().astype(float)
+        assert factors["en"] < 1.0 < factors[toks.idxmin()]
+        # T=1 identity check, recomputed from the same totals
+        p = toks / toks.sum()
+        q = p ** (1.0 / MIX_TEMPERATURE)
+        q /= q.sum()
+        for lang in factors.index:
+            assert math.isclose(
+                factors[lang], round(q[lang] / p[lang], 6), abs_tol=2e-6
+            ), lang
+        # realized copies within the coin's permille granularity
+        for lang, grp in df.groupby("lang"):
+            want = grp["factor"].iloc[0]
+            got = grp["n_copies"].mean()
+            assert abs(got - want) < 0.1, (lang, got, want)
+
+    def test_unimax_cap_binds_on_extreme_skew(self, spark, tmp_path):
+        """A near-empty language would get a huge factor under pure
+        temperature scaling; the UniMax cap pins it at MAX_EPOCHS."""
+        from textextraction_spark.operators.packing import (
+            MAX_EPOCHS,
+            temperature_mix,
+        )
+
+        rows = [(i, "en", "w " * 50) for i in range(1000)] + [
+            (5000 + i, "xx", "w " * 5) for i in range(2)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        f = {
+            r.lang: r.factor
+            for r in temperature_mix(spark, str(tmp_path)).collect()
+        }
+        assert f["xx"] == MAX_EPOCHS  # capped, not ~8.9
+        assert f["en"] < 1.01

@@ -182,6 +182,96 @@ FROM d JOIN rates r USING (source)
 """
 
 
+# ---------------------------------------------------------- temperature_mix
+# Multilingual temperature sampling (mC4 / XLM-R: target share ∝
+# p_lang^(1/T)) with the UniMax epoch cap (Chung et al. 2023: never
+# upsample a language past MAX_EPOCHS passes over its data, however
+# small it is — the cap is what stops a tiny language from being
+# memorized).  factor_l = min(q_l / p_l, MAX_EPOCHS) where
+# p_l = tokens_l / total and q_l = p_l^(1/T) / Σ p^(1/T); per-doc copy
+# counts realize the factor with the same deterministic md5 coin as
+# domain_mix.  T=1 reproduces the natural distribution (all factors 1);
+# T→∞ approaches uniform-per-language.
+#
+# 100 TB shape: identical to domain_mix — one tiny per-lang aggregate
+# (5 rows here, a few hundred at web scale) broadcast back onto a
+# narrow corpus projection; no rand(), re-runs reproduce the same mix.
+MIX_TEMPERATURE = 3.3  # the mC4 default
+MAX_EPOCHS = 4.0  # UniMax cap
+
+
+def temperature_mix(spark, sf_dir: str):
+    """(doc_id, lang, n_tokens, factor, n_copies): language-temperature
+    sampling at T=MIX_TEMPERATURE with the UniMax MAX_EPOCHS cap."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        F.expr(_NTOK).cast("bigint").alias("n_tokens"),
+    )
+    totals = d.groupBy("lang").agg(
+        F.sum("n_tokens").cast("double").alias("lang_tokens")
+    )
+    inv_t = 1.0 / MIX_TEMPERATURE
+    powed = totals.select(
+        "lang",
+        "lang_tokens",
+        F.pow(F.col("lang_tokens"), inv_t).alias("pw"),
+    )
+    scal = powed.agg(
+        F.sum("lang_tokens").alias("all_tokens"), F.sum("pw").alias("all_pw")
+    )
+    # q_l / p_l = (pw_l / Σpw) / (tokens_l / Σtokens), capped
+    rates = powed.crossJoin(F.broadcast(scal)).select(
+        "lang",
+        F.round(
+            F.least(
+                (F.col("pw") / F.col("all_pw"))
+                / (F.col("lang_tokens") / F.col("all_tokens")),
+                F.lit(MAX_EPOCHS),
+            ),
+            6,
+        ).alias("factor"),
+    )
+    coin = F.expr(_MIX_COIN_SPARK)
+    base = F.floor("factor").cast("bigint")
+    frac_permille = F.floor(
+        (F.col("factor") - F.floor("factor")) * 1000
+    ).cast("bigint")
+    return d.join(F.broadcast(rates), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "factor",
+        (base + (coin < frac_permille).cast("bigint")).alias("n_copies"),
+    )
+
+
+TEMPERATURE_MIX_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, len(str_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+tot AS (
+  SELECT lang, sum(n_tokens)::DOUBLE AS lang_tokens,
+         pow(sum(n_tokens)::DOUBLE, 1.0 / {MIX_TEMPERATURE}) AS pw
+  FROM d GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         round(least((pw / (SELECT sum(pw) FROM tot))
+                     / (lang_tokens / (SELECT sum(lang_tokens) FROM tot)),
+                     {MAX_EPOCHS}), 6) AS factor
+  FROM tot
+)
+SELECT d.doc_id, d.lang, d.n_tokens, r.factor,
+       (floor(r.factor)::BIGINT
+        + CASE WHEN ({_MIX_COIN_DUCK})
+                    < floor((r.factor - floor(r.factor)) * 1000)::BIGINT
+               THEN 1 ELSE 0 END)::BIGINT AS n_copies
+FROM d JOIN rates r USING (lang)
+"""
+
+
 # ----------------------------------------------------------- training_order
 # Deterministic global training-order shuffle: training runs want the
 # corpus in a reproducible pseudo-random order, laid out as numbered
