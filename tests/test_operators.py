@@ -4483,3 +4483,46 @@ class TestTemperatureMix:
         }
         assert f["xx"] == MAX_EPOCHS  # capped, not ~8.9
         assert f["en"] < 1.01
+
+
+class TestSitemapIndex:
+    """Round-5: namespaced two-level sitemaps — <sitemapindex> parsed,
+    child sitemap files dereferenced by absolute-url join, namespaced
+    urlsets parsed with local-name() XPath (portable across
+    namespace-aware processors; this build's xpath() is
+    namespace-unaware, a measured fact noted in the module)."""
+
+    def test_operator_matches_oracle(self, spark):
+        from textextraction_spark.operators.scheduling import (
+            SITEMAP_INDEX_FRONTIER_ORACLE,
+            sitemap_index_frontier,
+        )
+
+        got = sitemap_index_frontier(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(
+            SITEMAP_INDEX_FRONTIER_ORACLE
+        ).df()
+        problems = compare("sitemap_index_frontier", got, want)
+        assert not problems, problems
+
+    def test_dereference_is_load_bearing(self, spark):
+        """Every entry arrives via a child sitemap named in the index
+        (never the index itself), children split 2/1, and the
+        never-crawled family is flagged new."""
+        from textextraction_spark.operators.scheduling import (
+            sitemap_index_frontier,
+        )
+
+        rows = sitemap_index_frontier(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r.sitemap.endswith(("/sitemap1.xml", "/sitemap2.xml"))
+            assert r.sitemap.startswith(f"https://{r.host}/")
+        by_host = {}
+        for r in rows:
+            by_host.setdefault(r.host, []).append(r)
+        for host, hr in by_host.items():
+            c1 = [r for r in hr if r.sitemap.endswith("/sitemap1.xml")]
+            c2 = [r for r in hr if r.sitemap.endswith("/sitemap2.xml")]
+            assert len(c1) == 2 and len(c2) == 1, host
+            assert all(r.is_new == 1 for r in c2), host  # 1e6-offset family

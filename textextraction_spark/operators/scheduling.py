@@ -450,6 +450,182 @@ FROM entries e LEFT JOIN seen s ON e.url = s.url
 """
 
 
+# ------------------------------------------------- namespaced sitemap index
+# Real-world sitemaps differ from the plain form above in two ways the
+# scope note called out: they carry the default namespace
+# ``xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"``, and large
+# sites serve a two-level <sitemapindex> whose <loc> entries point at
+# child sitemap files that must be dereferenced.
+# ``sitemap_index_frontier`` does both: parse the index, JOIN the child
+# files by their absolute url (the dereference), parse each child's
+# namespaced urlset, and flag entries against the seen set.  The XPath
+# uses ``local-name()`` predicates — measured fact: THIS build's
+# ``xpath()`` parses namespace-UNaware (plain ``//url`` also matches
+# under xmlns), but a namespace-aware XPath 1.0 processor resolves
+# ``//url`` against no-namespace and returns nothing, so the
+# local-name form is what keeps the plan portable; the xmlns rides on
+# every fixture byte either way.
+#
+# Fixture: per host, three "files" — /sitemap_index.xml referencing
+# /sitemap1.xml (entries 0-1) and /sitemap2.xml (entry 2), all three
+# carrying the real xmlns — index-following is load-bearing: the
+# entries are unreachable without the dereference join.
+#
+# (Outside the 50-query driver gate; full DuckDB value oracle in
+# tests/test_operators.py::TestSitemapIndex.)
+_SM_XMLNS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+
+def _sm_child_xml(entries: list[str]) -> str:
+    body = " || ".join(entries)
+    return (
+        f"'<?xml version=\"1.0\"?><urlset xmlns=\"{_SM_XMLNS}\">' || "
+        + body
+        + " || '</urlset>'"
+    )
+
+
+_SM_INDEX_XML = (
+    f"'<?xml version=\"1.0\"?><sitemapindex xmlns=\"{_SM_XMLNS}\">"
+    "<sitemap><loc>https://' || host || '/sitemap1.xml</loc></sitemap>"
+    "<sitemap><loc>https://' || host || '/sitemap2.xml</loc></sitemap>"
+    "</sitemapindex>'"
+)
+
+_LN_URL = "//*[local-name()='url']"
+
+
+def sitemap_index_frontier(spark, sf_dir: str):
+    """(host, sitemap, url, lastmod, priority, is_new): the namespaced
+    two-level form — sitemapindex parsed with local-name() XPath, child
+    sitemaps dereferenced by absolute-url equi-join, children's
+    namespaced urlsets parsed the same way, entries flagged against the
+    seen set.  All XML work is JVM xpath; no Python."""
+    from textextraction_spark.sources.pages import URL_SQL
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = d.select(F.expr(URL_SQL).alias("url"), F.lit(1).alias("seen"))
+    hosts = seen.select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host")
+    ).distinct()
+    files = hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("/sitemap_index.xml").alias("path"),
+                    F.expr(_SM_INDEX_XML).alias("xml"),
+                ),
+                F.struct(
+                    F.lit("/sitemap1.xml").alias("path"),
+                    F.expr(_sm_child_xml([_sm_entry(0), _sm_entry(1)])).alias(
+                        "xml"
+                    ),
+                ),
+                F.struct(
+                    F.lit("/sitemap2.xml").alias("path"),
+                    F.expr(_sm_child_xml([_sm_entry(2)])).alias("xml"),
+                ),
+            )
+        ).alias("f"),
+    ).select(
+        "host",
+        F.concat(F.lit("https://"), "host", F.col("f.path")).alias("floc"),
+        F.col("f.xml").alias("xml"),
+    )
+    index = files.filter(F.col("floc").endswith("/sitemap_index.xml")).select(
+        "host",
+        F.explode(
+            F.expr(
+                "xpath(xml, \"//*[local-name()='sitemap']"
+                "/*[local-name()='loc']/text()\")"
+            )
+        ).alias("floc"),
+    )
+    # the dereference: index -> child file bytes (an absolute-url join)
+    children = index.join(files.drop("host"), "floc").select(
+        "host", F.col("floc").alias("sitemap"), "xml"
+    )
+    entries = children.select(
+        "host",
+        "sitemap",
+        F.explode(
+            F.arrays_zip(
+                F.expr(
+                    f"xpath(xml, \"{_LN_URL}/*[local-name()='loc']/text()\")"
+                ).alias("url"),
+                F.expr(
+                    f"xpath(xml, \"{_LN_URL}/*[local-name()='lastmod']"
+                    "/text()\")"
+                ).alias("lastmod"),
+                F.expr(
+                    f"xpath(xml, \"{_LN_URL}/*[local-name()='priority']"
+                    "/text()\")"
+                ).alias("priority"),
+            )
+        ).alias("e"),
+    ).select(
+        "host",
+        "sitemap",
+        F.col("e.url").alias("url"),
+        F.col("e.lastmod").alias("lastmod"),
+        F.col("e.priority").cast("double").alias("priority"),
+    )
+    return entries.join(seen, "url", "left").select(
+        "host",
+        "sitemap",
+        "url",
+        "lastmod",
+        "priority",
+        F.when(F.col("seen").isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_new"),
+    )
+
+
+SITEMAP_INDEX_FRONTIER_ORACLE = f"""
+WITH seen AS (
+  SELECT {_URL_SQL} AS url FROM documents
+),
+hosts AS (
+  SELECT DISTINCT regexp_extract(url, '{_HOST_RE}', 1) AS host FROM seen
+),
+files AS (
+  SELECT host, 'https://' || host || '/sitemap1.xml' AS floc,
+         {_sm_child_xml([_sm_entry(0), _sm_entry(1)])} AS xml
+  FROM hosts
+  UNION ALL
+  SELECT host, 'https://' || host || '/sitemap2.xml' AS floc,
+         {_sm_child_xml([_sm_entry(2)])} AS xml
+  FROM hosts
+),
+idx AS (
+  SELECT host,
+         unnest(regexp_extract_all({_SM_INDEX_XML},
+                '<sitemap><loc>([^<]*)</loc>', 1)) AS floc
+  FROM hosts
+),
+children AS (
+  SELECT i.host, i.floc AS sitemap, f.xml
+  FROM idx i JOIN files f ON i.floc = f.floc
+),
+entries AS (
+  SELECT host, sitemap,
+         unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS url,
+         unnest(regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1))
+             AS lastmod,
+         unnest(regexp_extract_all(xml, '<priority>([^<]*)</priority>', 1))
+             AS priority
+  FROM children
+)
+SELECT e.host, e.sitemap, e.url, e.lastmod,
+       CAST(e.priority AS DOUBLE) AS priority,
+       (CASE WHEN s.url IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_new
+FROM entries e LEFT JOIN seen s ON e.url = s.url
+"""
+
+
 # ---------------------------------------------------------------- recrawl
 # Recrawl scheduling: join the sitemap frontier against the crawl
 # catalog's capture timestamps and decide, per url, whether to fetch —
