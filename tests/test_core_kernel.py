@@ -1205,3 +1205,91 @@ class TestNoTextLayer:
         )
         r = extract_document(pdf)
         assert r.error == "" and r.extracted_text == "Caption text"
+
+
+class TestCidFontPdf:
+    """Round-5: subset-font (Type0/CID) PDFs — 2-byte glyph codes
+    through a /ToUnicode CMap, the shape real crawl PDFs take.  The
+    %240==140 fixture family extracts byte-identically to its plain
+    two-page twin, so every PDF oracle transitively gates the CMap
+    decode; a raw latin-1 read of the show string is garbage."""
+
+    TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+
+    def test_cid_family_extracts_identically(self):
+        from textextraction_spark.sources.pages import make_pdf_bytes
+
+        cid = make_pdf_bytes(self.TEXT, doc_id=140)
+        plain = make_pdf_bytes(self.TEXT, doc_id=20)
+        assert b"/ToUnicode" in cid and b"Tf" in cid
+        # mapping is load-bearing: no plaintext head in the content obj
+        assert b"alpha" not in cid.split(b"7 0 obj")[0].split(b"6 0 obj")[1]
+        rc, rp = extract_document(cid), extract_document(plain)
+        assert rc.error == ""
+        assert rc.extracted_text == rp.extracted_text
+        assert len(rc.doc.pages) == 2
+
+    def test_parse_tounicode_semantics(self):
+        """bfchar pairs, bfrange increment-on-last-unit, multi-char
+        (ligature) dst, and the range-overflow guard."""
+        from textextraction_spark.core.pdfblocks import parse_tounicode
+
+        cmap = (
+            b"begincmap\n"
+            b"2 beginbfchar\n<D001> <0041>\n<D002> <00660066>\nendbfchar\n"
+            b"1 beginbfrange\n<E000> <E002> <0061>\nendbfrange\n"
+            b"endcmap\n"
+        )
+        m = parse_tounicode(cmap)
+        assert m[0xD001] == "A"
+        assert m[0xD002] == "ff"  # UTF-16BE multi-char ligature target
+        assert (m[0xE000], m[0xE001], m[0xE002]) == ("a", "b", "c")
+        assert 0xE003 not in m
+        # hi < lo and overflow ranges are ignored, never raise
+        assert parse_tounicode(
+            b"1 beginbfrange\n<0005> <0001> <0041>\nendbfrange\n"
+        ) == {}
+
+    def test_unmapped_codes_render_replacement(self):
+        """A code outside the map renders U+FFFD — visible, never a
+        silent wrong character."""
+        from textextraction_spark.core.pdfblocks import parse_pdf
+        from textextraction_spark.sources.pages import make_cid_pdf
+
+        # map covers 0xE000+codepoint; inject a code past the range
+        pdf = bytearray(make_cid_pdf("ab", "tail words here and more pad"))
+        # content obj shows <d001 e062>; flip e062 -> f062 (unmapped)
+        i = pdf.find(b"<d001e0")
+        assert i > 0
+        pdf[i + 5 : i + 6] = b"f"
+        doc = parse_pdf(bytes(pdf))
+        assert doc.pages[0].lines[0].text == "a�"
+
+    def test_font_without_tounicode_keeps_raw_read(self):
+        """A font object with no /ToUnicode leaves hex shows as the raw
+        latin-1 read (the pre-round-5 behavior, unchanged)."""
+        from textextraction_spark.core.pdfblocks import parse_pdf
+        from textextraction_spark.sources.pages import make_cid_pdf
+
+        pdf = make_cid_pdf("ab", "tail words here and more pad")
+        pdf = pdf.replace(b"/ToUnicode 10 0 R", b"/FontDescriptor 1 0 R")
+        doc = parse_pdf(pdf)
+        raw = doc.pages[0].lines[0].text
+        assert raw == bytes.fromhex("d001e062").decode("latin-1")
+
+    def test_fuzz_fail_soft(self):
+        import numpy as np
+
+        from textextraction_spark.sources.pages import make_pdf_bytes
+
+        data = make_pdf_bytes(self.TEXT, doc_id=140)
+        rng = np.random.RandomState(9)
+        for cut in range(0, len(data), 37):
+            r = extract_document(data[:cut])
+            assert isinstance(r.extracted_text, str)
+        for _ in range(150):
+            b = bytearray(data)
+            for _ in range(2):
+                b[rng.randint(len(b))] ^= 1 << rng.randint(8)
+            r = extract_document(bytes(b))
+            assert isinstance(r.extracted_text, str)

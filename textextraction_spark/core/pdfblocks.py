@@ -89,7 +89,8 @@ _TOKEN = re.compile(
     # PDF reals admit leading '+', a bare leading dot (.5) and a bare
     # trailing dot (5.) — PDF 32000-1 §7.3.3
     rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
-    rb"|(?P<op>Tj|TJ|Td|TD|Tm|TL|T\*|'|\")",
+    rb"|/(?P<name>[A-Za-z0-9]+)"  # name operand (font selection)
+    rb"|(?P<op>Tj|TJ|Td|TD|Tm|TL|Tf|T\*|'|\")",
     re.DOTALL,
 )
 # strings inside a TJ show-array: literal or hex, kerning numbers skipped
@@ -440,7 +441,7 @@ def _walk_pages(objs: dict, node_num: int, out: list[bytes], depth: int = 0) -> 
         return
     d = objs[node_num][0]
     if _TYPE_PAGE.search(d) and not _TYPE_PAGES.search(d):
-        out.append(_page_contents(objs, d))
+        out.append((_page_contents(objs, d), _page_fonts(objs, d)))
         return
     km = _KIDS.search(d)
     if km:
@@ -448,11 +449,12 @@ def _walk_pages(objs: dict, node_num: int, out: list[bytes], depth: int = 0) -> 
             _walk_pages(objs, int(r.group(1)), out, depth + 1)
 
 
-def _structural_pages(data: bytes) -> list[bytes] | None:
-    """Page content streams in page-tree order, or None when the file has
-    no object graph (the fixture byte-soup form).  A present-but-broken
-    page tree raises — surfaced via the row's error column, like a
-    corrupt flate stream."""
+def _structural_pages(data: bytes) -> list[tuple] | None:
+    """``(content_stream, fonts)`` per page in page-tree order — fonts =
+    the page's resolved ToUnicode maps, ``{}`` when it has none — or
+    None when the file has no object graph (the fixture byte-soup
+    form).  A present-but-broken page tree raises — surfaced via the
+    row's error column, like a corrupt flate stream."""
     if not _CATALOG.search(data):
         return None
     objs = _scan_objects(data)
@@ -500,7 +502,95 @@ def _unhex(raw: bytes) -> str:
     return bytes.fromhex(h.decode("ascii")).decode("latin-1")
 
 
-def _parse_block(body: bytes) -> list[tuple[int, int, str]]:
+# ----------------------------------------------------- ToUnicode CMaps
+# Real crawl PDFs overwhelmingly use SUBSET fonts whose glyph codes are
+# arbitrary (a latin-1 read of the show strings is garbage); the
+# /ToUnicode CMap (PDF 32000-1 §9.10.3) is the code->text mapping a
+# text extractor must apply.  Scope: 2-byte code space (the Type0/CID
+# standard), ``bfchar`` pairs and ``bfrange`` runs with a hex dst
+# (incremented on the last UTF-16BE unit); dst values decode as
+# UTF-16BE so multi-char ligature targets (<00660066> = "ff") work.
+# Codes with no mapping render U+FFFD — visible, never silently wrong.
+_BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEXTRIPLE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>"
+)
+_TOUNI_REF = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R\b")
+_RESOURCES_REF = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R\b")
+_FONT_REF = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R\b")
+_FONT_INLINE = re.compile(rb"/Font\s*<<([^<>]*)>>")
+_FONT_ENTRY = re.compile(rb"/([A-Za-z0-9]+)\s+(\d+)\s+\d+\s+R\b")
+
+
+def _u16be(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode(
+            "utf-16-be", "replace"
+        )
+    except ValueError:
+        return ""
+
+
+def parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """ToUnicode CMap payload -> {2-byte code: unicode string}."""
+    out: dict[int, str] = {}
+    for m in _BFRANGE.finditer(cmap):
+        for t in _HEXTRIPLE.finditer(m.group(1)):
+            lo, hi = int(t.group(1), 16), int(t.group(2), 16)
+            dst = _u16be(t.group(3))
+            if not dst or hi < lo or hi - lo > 0xFFFF:
+                continue
+            base = ord(dst[-1])
+            if base + (hi - lo) > 0x10FFFF:
+                continue
+            for k in range(hi - lo + 1):
+                out[lo + k] = dst[:-1] + chr(base + k)
+    for m in _BFCHAR.finditer(cmap):
+        # non-overlapping sequential pairs: finditer consumes both hex
+        # operands of each mapping before the next starts
+        for p in _HEXPAIR.finditer(m.group(1)):
+            out[int(p.group(1), 16)] = _u16be(p.group(2))
+    return out
+
+
+def _page_fonts(objs: dict, page_dict: bytes) -> dict[str, dict[int, str]]:
+    """Resolve a page's /Resources -> /Font -> per-name ToUnicode maps.
+    /Resources and /Font may each be an indirect ref or (within the
+    one-level nesting budget) inline; fonts with no /ToUnicode get no
+    entry (their shows stay raw latin-1, the pre-round-5 behavior)."""
+    res = page_dict
+    rm = _RESOURCES_REF.search(page_dict)
+    if rm and int(rm.group(1)) in objs:
+        res = objs[int(rm.group(1))][0]
+    font_body = None
+    fm = _FONT_REF.search(res)
+    if fm and int(fm.group(1)) in objs:
+        font_body = objs[int(fm.group(1))][0]
+    else:
+        im = _FONT_INLINE.search(res)
+        if im:
+            font_body = im.group(1)
+    if font_body is None:
+        return {}
+    fonts: dict[str, dict[int, str]] = {}
+    for e in _FONT_ENTRY.finditer(font_body):
+        name, num = e.group(1).decode("ascii"), int(e.group(2))
+        if num not in objs:
+            continue
+        tm = _TOUNI_REF.search(objs[num][0])
+        if not tm or int(tm.group(1)) not in objs:
+            continue
+        payload = objs[int(tm.group(1))][1]
+        if payload:
+            fonts[name] = parse_tounicode(payload)
+    return fonts
+
+
+def _parse_block(
+    body: bytes, fonts: dict[str, dict[int, str]] | None = None
+) -> list[tuple[int, int, str]]:
     """Interpret one BT..ET body sequentially -> [(x, y, text), ...].
 
     Tracks the text line matrix origin: ``tx ty Td`` translates relative
@@ -515,6 +605,8 @@ def _parse_block(body: bytes) -> list[tuple[int, int, str]]:
     nums: list[float] = []
     last_str: str | None = None
     last_arr: bytes | None = None
+    last_name: str | None = None
+    cur_map: dict[int, str] | None = None  # active font's ToUnicode
     blocks: list[list] = []  # [x, y, [texts]]
 
     def show(text: str) -> None:
@@ -522,6 +614,23 @@ def _parse_block(body: bytes) -> list[tuple[int, int, str]]:
             blocks[-1][2].append(text)
         else:
             blocks.append([x, y, [text]])
+
+    def unhex(raw: bytes) -> str:
+        # a CID font's hex shows are 2-byte codes through its ToUnicode
+        # map (unmapped codes -> U+FFFD, visible never silent); fonts
+        # without a map keep the raw latin-1 read
+        if cur_map is None:
+            return _unhex(raw)
+        h = _WS.sub(b"", raw)
+        if len(h) % 2:
+            h += b"0"
+        bs = bytes.fromhex(h.decode("ascii"))
+        if len(bs) % 2:
+            bs += b"\x00"
+        return "".join(
+            cur_map.get(int.from_bytes(bs[i : i + 2], "big"), "�")
+            for i in range(0, len(bs), 2)
+        )
 
     for m in _TOKEN.finditer(body):
         if m.group("num") is not None:
@@ -531,13 +640,18 @@ def _parse_block(body: bytes) -> list[tuple[int, int, str]]:
             last_str = _unescape(m.group("lit"))
             continue
         if m.group("hex") is not None:
-            last_str = _unhex(m.group("hex"))
+            last_str = unhex(m.group("hex"))
             continue
         if m.group("arr") is not None:
             last_arr = m.group("arr")
             continue
+        if m.group("name") is not None:
+            last_name = m.group("name").decode("ascii")
+            continue
         op = m.group("op")
-        if op == b"Td" and len(nums) >= 2:
+        if op == b"Tf":
+            cur_map = (fonts or {}).get(last_name)
+        elif op == b"Td" and len(nums) >= 2:
             x, y = x + nums[-2], y + nums[-1]
         elif op == b"TD" and len(nums) >= 2:
             leading = -nums[-1]
@@ -558,7 +672,7 @@ def _parse_block(body: bytes) -> list[tuple[int, int, str]]:
             show(last_str)
         elif op == b"TJ" and last_arr is not None:
             parts = [
-                _unescape(s.group(1)) if s.group(1) is not None else _unhex(s.group(2))
+                _unescape(s.group(1)) if s.group(1) is not None else unhex(s.group(2))
                 for s in _TJ_STR.finditer(last_arr)
             ]
             show("".join(parts))
@@ -582,17 +696,17 @@ def parse_pdf(data: bytes) -> Doc:
     body_parts = _structural_pages(data)
     if body_parts is None:
         data = _inflate_streams(data)
-        body_parts = _PAGE_SPLIT.split(data)
+        body_parts = [(p, None) for p in _PAGE_SPLIT.split(data)]
     pages: list[Page] = []
     offset = 0
     page_no = 0
     n_segs = 0
     n_parsed = 0
-    for part in body_parts:
+    for part, fonts in body_parts:
         blocks: list[tuple[int, int, str]] = []  # (x, y, text)
         for seg in _BT_ET.finditer(part):
             n_segs += 1
-            parsed = _parse_block(seg.group(1))
+            parsed = _parse_block(seg.group(1), fonts)
             if parsed:
                 n_parsed += 1
             blocks.extend(parsed)

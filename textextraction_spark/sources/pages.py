@@ -356,6 +356,60 @@ def make_structural_pdf(page_bodies: list[str]) -> bytes:
     return bytes(out)
 
 
+def make_cid_pdf(head: str, tail: str) -> bytes:
+    """A subset-font (Type0/CID) PDF — the shape real crawl PDFs
+    overwhelmingly take: page 1 shows its text as 2-BYTE GLYPH CODES
+    through a /ToUnicode CMap (first char via a bfchar pair at 0xD001,
+    the rest via a bfrange at 0xE000+codepoint — a raw latin-1 read of
+    the hex string is garbage, so the mapping is load-bearing), page 2
+    as a plain literal.  Top-level objects (no ObjStm — a different
+    storage mix than the %240==60 family), /Resources -> /Font ->
+    font -> /ToUnicode all indirect refs, CMap stream FlateDecode."""
+    import zlib as _z
+
+    codes = "".join(
+        "d001" if i == 0 else f"{0xE000 + ord(c):04x}"
+        for i, c in enumerate(head)
+    )
+    c1 = f"BT /F1 12 Tf 72 700 Td <{codes}> Tj ET\n".encode("latin-1")
+    c2 = f"BT 72 700 Td ({tail}) Tj ET\n".encode("latin-1")
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        "1 beginbfchar\n"
+        f"<d001> <{ord(head[0]):04x}>\n"
+        "endbfchar\n"
+        "1 beginbfrange\n<e000> <e0ff> <0000>\nendbfrange\n"
+        "endcmap\nend\nend\n"
+    ).encode("ascii")
+    cpay = _z.compress(cmap, 6)
+    out = bytearray(b"%PDF-1.5\n")
+
+    def emit(num: int, dict_str: str, payload: bytes | None = None) -> None:
+        out.extend(f"{num} 0 obj {dict_str}".encode("latin-1"))
+        if payload is not None:
+            out.extend(b"\nstream\n" + payload + b"\nendstream")
+        out.extend(b"\nendobj\n")
+
+    emit(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, "<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>")
+    emit(3, "<< /Type /Page /Parent 2 0 R /Contents 6 0 R /Resources 8 0 R >>")
+    emit(4, "<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>")
+    emit(
+        5,
+        "<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+FakeCID"
+        " /ToUnicode 10 0 R >>",
+    )
+    emit(6, f"<< /Length {len(c1)} >>", c1)
+    emit(7, f"<< /Length {len(c2)} >>", c2)
+    emit(8, "<< /Font 9 0 R >>")
+    emit(9, "<< /F1 5 0 R >>")
+    emit(10, f"<< /Filter /FlateDecode /Length {len(cpay)} >>", cpay)
+    out.extend(b"%%EOF")
+    return bytes(out)
+
+
 def make_image_only_pdf(doc_id: int) -> bytes:
     """A scanned-document PDF: real page tree (catalog -> /Pages -> one
     /Type /Page) whose content stream only DRAWS an image XObject
@@ -447,6 +501,13 @@ def make_pdf_bytes(text: str, doc_id: int = 1) -> bytes:
         blocks = [(72, 300, tail), (72, 700, head)]  # stream order != reading order
     if doc_id % 40 == 0:
         blocks.insert(0, (72, TOTAL_BLOCK_Y, f"TOTAL {total_amount_str(doc_id)}"))
+
+    if doc_id % 240 == 140 and head is not None:
+        # subset-font (Type0/CID) family: same two-page head/tail text,
+        # head shown as 2-byte glyph codes through a /ToUnicode CMap —
+        # the extracted-text oracle is unchanged, so it transitively
+        # gates the CMap decode path
+        return make_cid_pdf(head, tail)
 
     if doc_id % 240 == 60 and head is not None:
         # structural PDF 1.5 family: same two-page head/tail text as the
