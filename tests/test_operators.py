@@ -2866,10 +2866,18 @@ class TestRobots:
         got = {
             r.url: r.allowed for r in robots_filter(spark, SF).collect()
         }
-        # h3.example.com (len 14 -> digit 4): Disallow /d/4, Allow /d/44
+        # h3.example.com (len 14 -> digit 4): Disallow /d/4, Allow /d/44,
+        # Disallow /d/*4$, Allow /d/*44$
         assert got["https://h3.example.com/d/43"] == 0    # Disallow /d/4
         assert got["https://h3.example.com/d/443"] == 1   # Allow /d/44 longer
-        assert got["https://h4.example.com/d/44"] == 1    # tie-free allow
+        # round-5 wildcards (RFC 9309 2.2.3): /d/44 now wins via the
+        # 9-octet Allow /d/*44$ over the 7-octet Disallow /d/*4$
+        assert got["https://h4.example.com/d/44"] == 1
+        # wildcard-ONLY disallow: no prefix rule touches /d/384, but it
+        # ends in the digit -> blocked purely by Disallow /d/*4$
+        assert got["https://h4.example.com/d/384"] == 0
+        # ...and the doubled-digit end re-allows via Allow /d/*44$
+        assert got["https://h4.example.com/d/344"] == 1
         # if the googlebot 'Disallow: /' group leaked into *, EVERYTHING
         # would be blocked:
         vals = list(got.values())

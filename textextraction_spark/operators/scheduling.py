@@ -146,10 +146,13 @@ SELECT 'grouped' AS impl, * FROM ({POLITENESS_ORACLE})
 # robots.txt parse (line split -> User-agent group attribution -> rule
 # extraction) and the match (longest-path rule wins, Allow wins ties,
 # no matching rule = allowed) are plain DataFrame/SQL ops — no UDF, no
-# python in the loop.  Scope: prefix rules for the ``User-agent: *``
-# group (no ``*``/``$`` wildcards), which is RFC 9309 minus the optional
-# wildcard extension; other agent groups are correctly attributed and
-# ignored, empty patterns match nothing (per the RFC).
+# python in the loop.  Scope: the FULL RFC 9309 pattern grammar for the
+# ``User-agent: *`` group — prefix rules plus the §2.2.3 special
+# characters (``*`` any-sequence, trailing ``$`` end-anchor), compiled
+# to anchored regexes JVM-side (``rlike`` inside the match lambda; the
+# only regex metachar escaped is ``.``, the only one url paths carry);
+# other agent groups are correctly attributed and ignored, empty
+# patterns match nothing (per the RFC).
 #
 # 100 TB shape: rules live per HOST (tiny: one robots.txt per domain),
 # collapse to one array<struct> row per host, and broadcast onto the
@@ -182,6 +185,12 @@ _ROBOTS_TXT_SQL = (
     "'Disallow: /d/' || CAST(length(host) % 10 AS STRING) || chr(10) || "
     "'Allow: /d/' || CAST(length(host) % 10 AS STRING) "
     "|| CAST(length(host) % 10 AS STRING) || chr(10) || "
+    # RFC 9309 §2.2.3 wildcards: any /d/ path ENDING in the digit is
+    # blocked (*/$), unless it ends in the doubled digit (longer
+    # pattern wins — 9 octets vs 7)
+    "'Disallow: /d/*' || CAST(length(host) % 10 AS STRING) || '$' || chr(10) || "
+    "'Allow: /d/*' || CAST(length(host) % 10 AS STRING) "
+    "|| CAST(length(host) % 10 AS STRING) || '$' || chr(10) || "
     "'Disallow:' || chr(10)"
 )
 
@@ -250,20 +259,43 @@ def robots_filter(spark, sf_dir: str):
             "rpath", F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
         )
         .filter(F.col("rpath") != "")  # RFC: empty pattern matches nothing
+        # §2.2.3 pattern -> anchored regex: '*' = any sequence, a
+        # trailing '$' = end anchor, everything else literal ('.' is
+        # the only regex metachar a url path carries; escape it)
+        .withColumn("ends", F.col("rpath").endswith("$"))
+        .withColumn(
+            "rx",
+            F.concat(
+                F.lit("^"),
+                F.replace(
+                    F.replace(
+                        F.when(
+                            F.col("ends"),
+                            F.expr("left(rpath, length(rpath) - 1)"),
+                        ).otherwise(F.col("rpath")),
+                        F.lit("."),
+                        F.lit(r"\."),
+                    ),
+                    F.lit("*"),
+                    F.lit(".*"),
+                ),
+                F.when(F.col("ends"), F.lit("$")).otherwise(F.lit("")),
+            ),
+        )
     )
     per_host = rules.groupBy("host").agg(
         F.collect_list(
             F.struct(
                 F.length("rpath").alias("plen"),
                 F.col("allow").alias("allow"),
-                F.col("rpath").alias("rpath"),
+                F.col("rx").alias("rx"),
             )
         ).alias("rules")
     )
 
     # ---- match: longest rule wins, Allow wins ties, no rule = allowed -
     j = urls.join(F.broadcast(per_host), "host", "left")
-    best = F.array_max(F.expr("filter(rules, r -> startswith(path, r.rpath))"))
+    best = F.array_max(F.expr("filter(rules, r -> path rlike r.rx)"))
     return j.select(
         "url",
         "host",
@@ -325,12 +357,22 @@ rules AS (
       WHERE u.host = r.host AND u.run_id = r.run_id AND u.is_ua
         AND trim(substr(u.line, strpos(u.line, ':') + 1)) = '*')
 ),
+rx AS (
+  -- 2.2.3 pattern -> anchored regex, same translation as the engine
+  SELECT host, allow, rpath,
+         '^' || replace(replace(
+                  CASE WHEN rpath LIKE '%$'
+                       THEN left(rpath, len(rpath) - 1) ELSE rpath END,
+                  '.', '\\.'), '*', '.*')
+             || CASE WHEN rpath LIKE '%$' THEN '$' ELSE '' END AS rx
+  FROM rules
+),
 best AS (
   SELECT url, allow,
          row_number() OVER (PARTITION BY url
                             ORDER BY len(rpath) DESC, allow DESC) AS rn
-  FROM u JOIN rules USING (host)
-  WHERE starts_with(u.path, rules.rpath)
+  FROM u JOIN rx USING (host)
+  WHERE regexp_matches(u.path, rx.rx)
 )
 SELECT u.url, u.host,
        (CASE WHEN b.allow IS NULL THEN 1
