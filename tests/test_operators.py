@@ -4534,3 +4534,61 @@ class TestSitemapIndex:
             c2 = [r for r in hr if r.sitemap.endswith("/sitemap2.xml")]
             assert len(c1) == 2 and len(c2) == 1, host
             assert all(r.is_new == 1 for r in c2), host  # 1e6-offset family
+
+
+class TestCrawlDelay:
+    """Round-5: the de-facto Crawl-delay directive composed into the
+    politeness closed form — per-host d, star-group attribution,
+    decoy directive in a non-star group ignored."""
+
+    def test_matches_oracle(self, spark):
+        from textextraction_spark.operators.scheduling import (
+            CRAWL_DELAY_ORACLE,
+            crawl_delay_schedule,
+        )
+
+        got = crawl_delay_schedule(spark, SF).toPandas()
+        want = connect_duckdb(SF).execute(CRAWL_DELAY_ORACLE).df()
+        problems = compare("crawl_delay_schedule", got, want)
+        assert not problems, problems
+
+    def test_directive_attribution_and_default(self, spark):
+        """Even-length hosts carry 'Crawl-delay: 3' in the star group;
+        odd-length hosts fall back to MIN_DELAY; googlebot's decoy
+        'Crawl-delay: 99' must never leak into any host's schedule."""
+        from textextraction_spark.operators.scheduling import (
+            MIN_DELAY_US,
+            crawl_delay_schedule,
+        )
+
+        df = crawl_delay_schedule(spark, SF).toPandas()
+        per_host = df.groupby("host")["crawl_delay_us"].first()
+        for host, d_us in per_host.items():
+            want = (
+                (1 + len(host) % 3) * 1_000_000
+                if len(host) % 2 == 0
+                else MIN_DELAY_US
+            )
+            assert d_us == want, (host, d_us)
+        assert 99_000_000 not in set(df["crawl_delay_us"])
+
+    def test_recurrence_matches_imperative(self, spark):
+        """The closed form reproduces the sequential recurrence with
+        the per-host d (the politeness proof, re-run at the new key)."""
+        from textextraction_spark.operators.scheduling import (
+            crawl_delay_schedule,
+        )
+
+        df = crawl_delay_schedule(spark, SF).toPandas()
+        # recompute arrival tus from the url's doc_id (warc_ts formula)
+        doc_id = df["url"].str.rsplit("/", n=1).str[1].astype(int)
+        epoch_2026 = 1767225600
+        df["tus"] = (epoch_2026 + doc_id) * 1_000_000
+        for host, grp in df.groupby("host"):
+            grp = grp.sort_values(["tus", "url"])
+            d = int(grp["crawl_delay_us"].iloc[0])
+            prev = None
+            for tus, delay in zip(grp["tus"], grp["delay_us"]):
+                start = tus if prev is None else max(tus, prev + d)
+                assert delay == start - tus, host
+                prev = start

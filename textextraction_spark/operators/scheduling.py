@@ -180,7 +180,10 @@ SELECT 'grouped' AS impl, * FROM ({POLITENESS_ORACLE})
 #                           Allow: /d/<digit><digit>   (longest wins)
 #                           Disallow:                  (empty: no-op)
 _ROBOTS_TXT_SQL = (
+    # the googlebot group's Crawl-delay is a DECOY: star-group
+    # attribution must ignore it (crawl_delay_schedule pins this)
     "'User-agent: googlebot' || chr(10) || 'Disallow: /' || chr(10) || "
+    "'Crawl-delay: 99' || chr(10) || "
     "chr(10) || 'User-agent: *' || chr(10) || 'User-agent: bingbot' || chr(10) || "
     "'Disallow: /d/' || CAST(length(host) % 10 AS STRING) || chr(10) || "
     "'Allow: /d/' || CAST(length(host) % 10 AS STRING) "
@@ -191,11 +194,54 @@ _ROBOTS_TXT_SQL = (
     "'Disallow: /d/*' || CAST(length(host) % 10 AS STRING) || '$' || chr(10) || "
     "'Allow: /d/*' || CAST(length(host) % 10 AS STRING) "
     "|| CAST(length(host) % 10 AS STRING) || '$' || chr(10) || "
+    # Crawl-delay (the de-facto Bing/Yandex extension) on even-length
+    # hosts only, so the no-directive default path stays exercised
+    "CASE WHEN length(host) % 2 = 0 THEN "
+    "'Crawl-delay: ' || CAST(1 + length(host) % 3 AS STRING) || chr(10) "
+    "ELSE '' END || "
     "'Disallow:' || chr(10)"
 )
 
 _HOST_RE = "^https?://([^/]+)"
 _PATH_RE = "^https?://[^/]+(/.*)$"
+
+
+def _star_lines(urls):
+    """Per host, the robots.txt lines attributed to the ``User-agent:
+    *`` group — RFC 9309 §2.2.1 run attribution (consecutive UA lines
+    form one group whose rules apply to ALL listed agents; run_id =
+    cumulative count of run starts, non-UA lines inherit the latest
+    run's id) factored out so both the allow/disallow filter and the
+    Crawl-delay extraction read one derivation.  Tiny: one robots.txt
+    per distinct host."""
+    robots = (
+        urls.select("host")
+        .distinct()  # partial-agg first: ~rows-per-partition, then 21
+        .withColumn("robots_txt", F.expr(_ROBOTS_TXT_SQL))
+    )
+    lines = robots.select(
+        "host", F.posexplode(F.split("robots_txt", "\n")).alias("pos", "line")
+    )
+    low = F.lower(F.col("line"))
+    is_ua = low.startswith("user-agent:")
+    agent_decl = F.when(
+        is_ua, F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
+    )
+    w_ord = Window.partitionBy("host").orderBy("pos")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    attributed = lines.withColumn(
+        "run_id",
+        F.sum(
+            (is_ua & ~F.coalesce(F.lag(is_ua).over(w_ord), F.lit(False)))
+            .cast("int")
+        ).over(w_cum),
+    ).withColumn("agent", agent_decl)
+    star_groups = (
+        attributed.filter(F.col("agent") == "*")
+        .select("host", "run_id")
+        .distinct()
+    )
+    return attributed.join(star_groups, ["host", "run_id"])  # tiny x tiny
 
 
 def robots_filter(spark, sf_dir: str):
@@ -213,41 +259,9 @@ def robots_filter(spark, sf_dir: str):
         ).alias("path"),
     )
 
-    # ---- robots side (tiny: one row per host) -------------------------
-    robots = (
-        urls.select("host")
-        .distinct()  # partial-agg first: ~rows-per-partition, then 21
-        .withColumn("robots_txt", F.expr(_ROBOTS_TXT_SQL))
-    )
-    lines = robots.select(
-        "host", F.posexplode(F.split("robots_txt", "\n")).alias("pos", "line")
-    )
     low = F.lower(F.col("line"))
-    is_ua = low.startswith("user-agent:")
-    agent_decl = F.when(
-        is_ua, F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
-    )
-    w_ord = Window.partitionBy("host").orderBy("pos")
-    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # RFC 9309 §2.2.1 group attribution: CONSECUTIVE User-agent lines
-    # form one group whose rules apply to ALL listed agents — so a rule
-    # belongs to a UA *run*, not to the last UA line above it.  run_id =
-    # cumulative count of run STARTS (a UA line not preceded by one);
-    # non-UA lines inherit the latest run's id via the same cumsum.
-    attributed = lines.withColumn(
-        "run_id",
-        F.sum(
-            (is_ua & ~F.coalesce(F.lag(is_ua).over(w_ord), F.lit(False)))
-            .cast("int")
-        ).over(w_cum),
-    ).withColumn("agent", agent_decl)
-    star_groups = (
-        attributed.filter(F.col("agent") == "*")
-        .select("host", "run_id")
-        .distinct()
-    )
     rules = (
-        attributed.join(star_groups, ["host", "run_id"])  # tiny x tiny
+        _star_lines(urls)
         .withColumn(
             "allow",
             F.when(low.startswith("allow:"), F.lit(True)).when(
@@ -378,6 +392,126 @@ SELECT u.url, u.host,
        (CASE WHEN b.allow IS NULL THEN 1
              WHEN b.allow THEN 1 ELSE 0 END)::BIGINT AS allowed
 FROM u LEFT JOIN (SELECT url, allow FROM best WHERE rn = 1) b USING (url)
+"""
+
+
+# ------------------------------------------------------------ crawl delay
+# The de-facto ``Crawl-delay`` directive (honored by Bing/Yandex;
+# absent from RFC 9309 but ubiquitous in real robots.txt) composed
+# into the politeness schedule: the star group's directive sets THAT
+# HOST's minimum start-to-start gap, hosts without one keep the
+# MIN_DELAY default, and a directive in a non-star group is a decoy
+# the attribution must ignore (the fixture plants Crawl-delay: 99 on
+# googlebot).  The schedule is the same closed form as
+# politeness_schedule — start_n = n*d + max_{i<=n}(ts_i - i*d) — with
+# a PER-HOST d, still one shuffle + pure JVM windows.
+#
+# (Outside the 50-query driver gate; full DuckDB value oracle in
+# tests/test_operators.py::TestCrawlDelay.)
+def crawl_delay_schedule(spark, sf_dir: str):
+    """(host, url, crawl_delay_us, delay_us): per-capture fetch delays
+    under each host's own Crawl-delay (or the MIN_DELAY default)."""
+    from textextraction_spark.sources.pages import URL_SQL, warc_ts_sql
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = d.select(
+        F.expr(URL_SQL).alias("url"),
+        F.unix_micros(F.expr(warc_ts_sql("spark"))).alias("tus"),
+    ).withColumn("host", F.regexp_extract("url", _HOST_RE, 1))
+
+    low = F.lower(F.col("line"))
+    delays = (
+        _star_lines(urls)
+        .filter(low.startswith("crawl-delay:"))
+        .select(
+            "host",
+            (
+                F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
+                .cast("bigint")
+                * F.lit(1_000_000)
+            ).alias("crawl_delay_us"),
+        )
+    )
+    ev = urls.join(F.broadcast(delays), "host", "left").withColumn(
+        "crawl_delay_us",
+        F.coalesce("crawl_delay_us", F.lit(MIN_DELAY_US)),
+    )
+    w = Window.partitionBy("host").orderBy("tus", "url")
+    numbered = ev.withColumn("rn", F.row_number().over(w))
+    m = F.max(
+        F.col("tus") - F.col("rn") * F.col("crawl_delay_us")
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return numbered.select(
+        "host",
+        "url",
+        "crawl_delay_us",
+        (m + F.col("rn") * F.col("crawl_delay_us") - F.col("tus"))
+        .cast("bigint")
+        .alias("delay_us"),
+    )
+
+
+CRAWL_DELAY_ORACLE = f"""
+WITH u AS (
+  SELECT {_URL_SQL} AS url,
+         epoch_us({_warc_ts_duck}) AS tus,
+         regexp_extract({_URL_SQL}, '{_HOST_RE}', 1) AS host
+  FROM documents
+),
+robots AS (
+  SELECT host, {_ROBOTS_TXT_SQL} AS robots_txt
+  FROM (SELECT DISTINCT host FROM u)
+),
+lines AS (
+  SELECT host,
+         generate_subscripts(string_split(robots_txt, chr(10)), 1) AS pos,
+         unnest(string_split(robots_txt, chr(10))) AS line
+  FROM robots
+),
+flagged AS (
+  SELECT host, pos, line,
+         (lower(line) LIKE 'user-agent:%') AS is_ua,
+         coalesce(lag(lower(line) LIKE 'user-agent:%')
+                    OVER (PARTITION BY host ORDER BY pos), false) AS prev_ua
+  FROM lines
+),
+runs AS (
+  SELECT host, pos, line, is_ua,
+         sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY pos ROWS UNBOUNDED PRECEDING)
+           AS run_id
+  FROM flagged
+),
+delays AS (
+  SELECT host,
+         CAST(trim(substr(line, strpos(line, ':') + 1)) AS BIGINT)
+             * 1000000 AS crawl_delay_us
+  FROM runs r
+  WHERE lower(line) LIKE 'crawl-delay:%'
+    AND EXISTS (
+      SELECT 1 FROM runs g
+      WHERE g.host = r.host AND g.run_id = r.run_id AND g.is_ua
+        AND trim(substr(g.line, strpos(g.line, ':') + 1)) = '*')
+),
+ev AS (
+  SELECT u.url, u.host, u.tus,
+         coalesce(d.crawl_delay_us, {MIN_DELAY_US}) AS crawl_delay_us
+  FROM u LEFT JOIN delays d USING (host)
+),
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY tus, url) AS rn
+  FROM ev
+),
+seq AS (
+  SELECT *,
+         max(tus - rn * crawl_delay_us) OVER (
+           PARTITION BY host ORDER BY tus, url ROWS UNBOUNDED PRECEDING
+         ) AS m
+  FROM numbered
+)
+SELECT host, url, crawl_delay_us,
+       (m + rn * crawl_delay_us - tus)::BIGINT AS delay_us
+FROM seq
 """
 
 
