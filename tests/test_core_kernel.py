@@ -1293,3 +1293,58 @@ class TestCidFontPdf:
                 b[rng.randint(len(b))] ^= 1 << rng.randint(8)
             r = extract_document(bytes(b))
             assert isinstance(r.extracted_text, str)
+
+
+class TestDifferencesEncoding:
+    """Round-5: the OTHER font mechanism — simple (1-byte) fonts with
+    /Encoding /Differences glyph-name remaps (the pdflatex-era Type1
+    subset shape).  Page 2 of the %240==140 family rides it, so the
+    same oracles gate both mechanisms side by side."""
+
+    def test_parse_differences(self):
+        from textextraction_spark.core.pdfblocks import parse_differences
+
+        enc = (
+            b"<< /Type /Encoding /Differences "
+            b"[65 /a /b 160 /space /zero /uni0041 /bogusname] >>"
+        )
+        m = parse_differences(enc)
+        assert (m[65], m[66]) == ("a", "b")  # names consume+increment
+        assert (m[160], m[161]) == (" ", "0")  # AGL punct + digit names
+        assert m[162] == "A"  # algorithmic uniXXXX
+        assert m[163] == "�"  # unknown glyph name: visible
+        assert parse_differences(b"<< /Type /Encoding >>") == {}
+
+    def test_both_mechanisms_in_one_file(self):
+        """The %240==140 family now shows page 1 through a 2-byte
+        ToUnicode CMap and page 2 through a 1-byte Differences font —
+        neither page's text appears in the clear, and extraction still
+        equals the plain twin byte-for-byte."""
+        from textextraction_spark.sources.pages import make_pdf_bytes
+
+        TEXT = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+        )
+        cid = make_pdf_bytes(TEXT, doc_id=140)
+        plain = make_pdf_bytes(TEXT, doc_id=20)
+        assert b"/Differences" in cid and b"/ToUnicode" in cid
+        assert b"alpha" not in cid and b"lam" not in cid
+        rc, rp = extract_document(cid), extract_document(plain)
+        assert rc.error == "" and rc.extracted_text == rp.extracted_text
+
+    def test_unmapped_code_and_width(self):
+        """Codes outside the Differences array render U+FFFD, and the
+        1-byte width means a 2-char show is TWO codes (not one 16-bit
+        code)."""
+        from textextraction_spark.core.pdfblocks import parse_pdf
+        from textextraction_spark.sources.pages import make_cid_pdf
+
+        pdf = bytearray(make_cid_pdf("zq", "ab ab ab and more pad here"))
+        # page-2 content shows tail codes starting at 160 (0xa0): flip
+        # the first byte pair to a code before the array (0x9f)
+        i = pdf.find(b"BT /F2 10 Tf 72 700 Td <")
+        j = pdf.find(b"<", i) + 1
+        pdf[j : j + 2] = b"9f"
+        doc = parse_pdf(bytes(pdf))
+        line = doc.pages[1].lines[0].text
+        assert line.startswith("�") and line[1:] == "b ab ab and more pad here"

@@ -518,6 +518,9 @@ _HEXTRIPLE = re.compile(
     rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>"
 )
 _TOUNI_REF = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R\b")
+_ENCODING_REF = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R\b")
+_DIFFERENCES = re.compile(rb"/Differences\s*\[([^\]]*)\]")
+_DIFF_ITEM = re.compile(rb"(\d+)|/([A-Za-z0-9.]+)")
 _RESOURCES_REF = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R\b")
 _FONT_REF = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R\b")
 _FONT_INLINE = re.compile(rb"/Font\s*<<([^<>]*)>>")
@@ -555,11 +558,60 @@ def parse_tounicode(cmap: bytes) -> dict[int, str]:
     return out
 
 
-def _page_fonts(objs: dict, page_dict: bytes) -> dict[str, dict[int, str]]:
-    """Resolve a page's /Resources -> /Font -> per-name ToUnicode maps.
-    /Resources and /Font may each be an indirect ref or (within the
-    one-level nesting budget) inline; fonts with no /ToUnicode get no
-    entry (their shows stay raw latin-1, the pre-round-5 behavior)."""
+# Glyph-name -> text for /Encoding /Differences simple fonts (the
+# pre-Type0 mechanism: pdflatex-era Type1/TrueType subsets remap byte
+# codes to named glyphs).  Single-letter names are themselves, plus the
+# common AGL punctuation names and the algorithmic uniXXXX form;
+# unknown names render U+FFFD like unmapped CIDs.
+_GLYPH_NAMES = {
+    "space": " ", "period": ".", "comma": ",", "hyphen": "-",
+    "colon": ":", "semicolon": ";", "slash": "/", "dollar": "$",
+    "percent": "%", "ampersand": "&", "parenleft": "(",
+    "parenright": ")", "plus": "+", "equal": "=", "question": "?",
+    "exclam": "!", "at": "@", "underscore": "_", "quotesingle": "'",
+    "quotedbl": '"', "numbersign": "#", "asterisk": "*",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+}
+
+
+def _glyph_to_text(name: str) -> str:
+    if len(name) == 1 and name.isalpha():
+        return name
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            return "�"
+    return "�"
+
+
+def parse_differences(enc_dict: bytes) -> dict[int, str]:
+    """/Differences array -> {1-byte code: text}: each number resets
+    the running code, each /name consumes and increments it."""
+    m = _DIFFERENCES.search(enc_dict)
+    if not m:
+        return {}
+    out: dict[int, str] = {}
+    code = 0
+    for item in _DIFF_ITEM.finditer(m.group(1)):
+        if item.group(1) is not None:
+            code = int(item.group(1))
+        else:
+            out[code & 0xFF] = _glyph_to_text(item.group(2).decode("ascii"))
+            code += 1
+    return out
+
+
+def _page_fonts(objs: dict, page_dict: bytes) -> dict[str, tuple]:
+    """Resolve a page's /Resources -> /Font -> per-name ``(code_width,
+    map)``: ToUnicode CMaps give 2-byte maps, /Encoding /Differences
+    (indirect or inline) give 1-byte glyph-name maps.  /Resources and
+    /Font may each be an indirect ref or (within the one-level nesting
+    budget) inline; fonts with neither mechanism get no entry (their
+    shows stay raw latin-1, the pre-round-5 behavior)."""
     res = page_dict
     rm = _RESOURCES_REF.search(page_dict)
     if rm and int(rm.group(1)) in objs:
@@ -574,22 +626,29 @@ def _page_fonts(objs: dict, page_dict: bytes) -> dict[str, dict[int, str]]:
             font_body = im.group(1)
     if font_body is None:
         return {}
-    fonts: dict[str, dict[int, str]] = {}
+    fonts: dict[str, tuple] = {}
     for e in _FONT_ENTRY.finditer(font_body):
         name, num = e.group(1).decode("ascii"), int(e.group(2))
         if num not in objs:
             continue
-        tm = _TOUNI_REF.search(objs[num][0])
-        if not tm or int(tm.group(1)) not in objs:
+        fdict = objs[num][0]
+        tm = _TOUNI_REF.search(fdict)
+        if tm and int(tm.group(1)) in objs:
+            payload = objs[int(tm.group(1))][1]
+            if payload:
+                fonts[name] = (2, parse_tounicode(payload))
             continue
-        payload = objs[int(tm.group(1))][1]
-        if payload:
-            fonts[name] = parse_tounicode(payload)
+        em = _ENCODING_REF.search(fdict)
+        enc = objs[int(em.group(1))][0] if em and int(em.group(1)) in objs \
+            else fdict  # inline /Encoding << /Differences [...] >>
+        diff = parse_differences(enc)
+        if diff:
+            fonts[name] = (1, diff)
     return fonts
 
 
 def _parse_block(
-    body: bytes, fonts: dict[str, dict[int, str]] | None = None
+    body: bytes, fonts: dict[str, tuple] | None = None
 ) -> list[tuple[int, int, str]]:
     """Interpret one BT..ET body sequentially -> [(x, y, text), ...].
 
@@ -616,20 +675,22 @@ def _parse_block(
             blocks.append([x, y, [text]])
 
     def unhex(raw: bytes) -> str:
-        # a CID font's hex shows are 2-byte codes through its ToUnicode
-        # map (unmapped codes -> U+FFFD, visible never silent); fonts
-        # without a map keep the raw latin-1 read
+        # a mapped font's hex shows are code sequences through its map
+        # (2-byte CID/ToUnicode or 1-byte Differences; unmapped codes
+        # -> U+FFFD, visible never silent); fonts without a map keep
+        # the raw latin-1 read
         if cur_map is None:
             return _unhex(raw)
+        width, cmap = cur_map
         h = _WS.sub(b"", raw)
         if len(h) % 2:
             h += b"0"
         bs = bytes.fromhex(h.decode("ascii"))
-        if len(bs) % 2:
-            bs += b"\x00"
+        if len(bs) % width:
+            bs += b"\x00" * (width - len(bs) % width)
         return "".join(
-            cur_map.get(int.from_bytes(bs[i : i + 2], "big"), "�")
-            for i in range(0, len(bs), 2)
+            cmap.get(int.from_bytes(bs[i : i + width], "big"), "�")
+            for i in range(0, len(bs), width)
         )
 
     for m in _TOKEN.finditer(body):

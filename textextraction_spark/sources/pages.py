@@ -372,7 +372,16 @@ def make_cid_pdf(head: str, tail: str) -> bytes:
         for i, c in enumerate(head)
     )
     c1 = f"BT /F1 12 Tf 72 700 Td <{codes}> Tj ET\n".encode("latin-1")
-    c2 = f"BT 72 700 Td ({tail}) Tj ET\n".encode("latin-1")
+    # page 2: the OTHER font mechanism — a simple (1-byte) font whose
+    # /Encoding /Differences remaps codes 160.. to glyph NAMES (/a,
+    # /space, ...); shown as 1-byte hex codes, so a latin-1 read is
+    # garbage here too
+    alphabet = sorted(set(tail))
+    code_of = {ch: 160 + i for i, ch in enumerate(alphabet)}
+    gname = {" ": "space"}
+    diffs = " ".join(f"/{gname.get(ch, ch)}" for ch in alphabet)
+    codes2 = "".join(f"{code_of[ch]:02x}" for ch in tail)
+    c2 = f"BT /F2 10 Tf 72 700 Td <{codes2}> Tj ET\n".encode("latin-1")
     cmap = (
         "/CIDInit /ProcSet findresource begin\n"
         "12 dict begin\nbegincmap\n"
@@ -395,7 +404,10 @@ def make_cid_pdf(head: str, tail: str) -> bytes:
     emit(1, "<< /Type /Catalog /Pages 2 0 R >>")
     emit(2, "<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>")
     emit(3, "<< /Type /Page /Parent 2 0 R /Contents 6 0 R /Resources 8 0 R >>")
-    emit(4, "<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>")
+    emit(
+        4,
+        "<< /Type /Page /Parent 2 0 R /Contents 7 0 R /Resources 11 0 R >>",
+    )
     emit(
         5,
         "<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+FakeCID"
@@ -406,6 +418,14 @@ def make_cid_pdf(head: str, tail: str) -> bytes:
     emit(8, "<< /Font 9 0 R >>")
     emit(9, "<< /F1 5 0 R >>")
     emit(10, f"<< /Filter /FlateDecode /Length {len(cpay)} >>", cpay)
+    emit(11, "<< /Font 12 0 R >>")
+    emit(12, "<< /F2 13 0 R >>")
+    emit(
+        13,
+        "<< /Type /Font /Subtype /TrueType /BaseFont /GHIJKL+FakeT1"
+        " /Encoding 14 0 R >>",
+    )
+    emit(14, f"<< /Type /Encoding /Differences [160 {diffs}] >>")
     out.extend(b"%%EOF")
     return bytes(out)
 
