@@ -232,3 +232,27 @@ class TestStreamingWetExport:
         assert got == want and len(want) == 120
         # appended cdx-wet covers every published record
         assert spark.read.parquet(str(tmp_path / "wet" / "cdx-wet")).count() == 120
+
+
+class TestStreamingWatExport:
+    def test_micro_batches_publish_wat_segments(self, spark, tmp_path):
+        """wat_dir publishes each micro-batch's PAGES metadata as WAT
+        segments next to the commit; read-back parses to one row per
+        committed url."""
+        from textextraction_spark.sources.warc import parse_wat, read_wat
+
+        pages_dir = str(tmp_path / "pages")
+        q = run_streaming_extraction(
+            spark,
+            pages_dir if _write_pages(spark, pages_dir, limit=60) is None
+            else pages_dir,
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "sckpt"),
+            num_partitions=4,
+            wat_dir=str(tmp_path / "wat"),
+        )
+        q.awaitTermination(120)
+        got = parse_wat(read_wat(spark, str(tmp_path / "wat")))
+        rows = got.collect()
+        assert len(rows) == 60
+        assert all(r.links is not None for r in rows)

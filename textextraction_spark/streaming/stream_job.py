@@ -35,6 +35,7 @@ def run_streaming_extraction(
     trigger: dict | None = None,
     input_format: str = "parquet",
     wet_dir: str | None = None,
+    wat_dir: str | None = None,
 ):
     """Start the streaming extraction over a pages directory.
 
@@ -49,6 +50,8 @@ def run_streaming_extraction(
     results as WET segments there — epoch-prefixed file names so epochs
     never clobber each other, cdx-wet rows appended, no per-epoch
     manifest collect (continuous crawl-in -> published-text-out).
+    wat_dir: same contract for the metadata side — each micro-batch's
+    PAGES publish as WAT segments (title + links envelope, cdx-wat).
     Returns the StreamingQuery; caller awaits/stops it.
     """
     catalog = CheckpointCatalog(checkpoint_root)
@@ -85,6 +88,19 @@ def run_streaming_extraction(
             write_wet_dir(
                 extracted.select("url", "warc_ts", "extracted_text"),
                 wet_dir,
+                prefix=f"epoch-{epoch_id}",
+                cdx_mode="append",
+                collect_manifest=False,
+            )
+        if wat_dir:
+            from textextraction_spark.sources.warc import (
+                build_wat,
+                write_wat_dir,
+            )
+
+            write_wat_dir(
+                build_wat(pending.select("url", "warc_ts", "html")),
+                wat_dir,
                 prefix=f"epoch-{epoch_id}",
                 cdx_mode="append",
                 collect_manifest=False,
